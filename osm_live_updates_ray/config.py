@@ -1,0 +1,65 @@
+"""Engine configuration.
+
+Mirrors the reference's CLI/config surface (reference:
+src/config/Config.cpp:34-420, include/config/Config.h) re-expressed for
+a Ray Data engine: batch sizes, grid resolutions, shuffle knobs, state
+paths.  The reference's ``--batch-size`` (default 1<<18, Config.h:38)
+chunked every endpoint interaction; here it sizes broadcast id-set
+lookups and map_batches batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    # --- grid / tiling -------------------------------------------------
+    #: cell resolution in degrees (H3/S2-style uint64 grid cells; one
+    #: cell is the unit of spatial-join partitioning and of delta
+    #: dirtiness).
+    cell_res_deg: float = 1.0
+    #: tile resolution in degrees (rollup unit; one tile = many cells).
+    tile_res_deg: float = 10.0
+
+    # --- batching ------------------------------------------------------
+    #: ids per broadcast lookup chunk (reference default 1<<18,
+    #: include/config/Config.h:38).
+    batch_size: int = 1 << 18
+    #: rows per map_batches batch in hot vectorized stages.
+    map_batch_size: int = 8192
+    #: actor pool size for stateful spatial stages; None = tasks.
+    spatial_concurrency: Optional[int] = None
+
+    # --- skew handling -------------------------------------------------
+    #: cells whose page count exceeds this are salted into
+    #: ``salt_factor`` sub-partitions for the shuffle-based join path.
+    mega_cell_threshold: int = 200_000
+    salt_factor: int = 16
+
+    # --- geometry ------------------------------------------------------
+    #: WKT coordinate precision (reference: Config.h:36
+    #: DEFAULT_WKT_PRECISION = 7, std::fixed).
+    wkt_precision: int = 7
+
+    # --- state store ---------------------------------------------------
+    state_dir: str = "/tmp/olu_ray_state"
+    #: number of hash partitions for id-keyed state tables.
+    id_partitions: int = 16
+    #: number of hash partitions for cell-keyed tables (pages, tiles).
+    cell_partitions: int = 16
+
+    # --- derived-column options (reference ST2: osm2rdf options
+    # discovered from the endpoint decide which derived columns exist;
+    # here they are explicit config, consulted by delete/recompute).
+    with_centroid: bool = True
+    with_envelope: bool = True
+    with_convex_hull: bool = True
+    with_obb: bool = False
+    with_length: bool = True
+    with_area: bool = True
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,179 @@
+"""Pure-numpy planar geometry kernels.
+
+The reference delegates geometry to osm2rdf/GEOS (reference:
+src/osm/Osm2ttl.cpp:91-112 — WKT, centroid, envelope, convex hull,
+length, area per object).  This module re-implements the needed
+kernels from scratch, vectorized, with no native geometry dependency
+(shapely is not available in this environment).
+
+Coordinates are planar (lon, lat) degrees; distances are squared
+planar degree distances unless stated.  All functions operate on
+float64 numpy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (vectorized ray casting, even-odd rule)
+# ---------------------------------------------------------------------------
+def points_in_ring(
+    px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray
+) -> np.ndarray:
+    """Even-odd ray-casting test of N points against ONE ring.
+
+    ``ring_x/ring_y``: polygon ring vertices (closed or open — the
+    closing edge is added implicitly).  Points exactly on an edge are
+    resolved by the half-open rule (consistent, deterministic).
+    Returns a boolean array of length N.  Cost O(N * V) vectorized.
+    """
+    if len(ring_x) >= 2 and ring_x[0] == ring_x[-1] and ring_y[0] == ring_y[-1]:
+        ring_x, ring_y = ring_x[:-1], ring_y[:-1]
+    n = len(ring_x)
+    inside = np.zeros(len(px), dtype=bool)
+    j = n - 1
+    for i in range(n):  # loop over VERTICES (small); points vectorized
+        xi, yi = ring_x[i], ring_y[i]
+        xj, yj = ring_x[j], ring_y[j]
+        crosses = (yi > py) != (yj > py)
+        if crosses.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (xj - xi) * (py - yi) / (yj - yi) + xi
+            inside ^= crosses & (px < t)
+        j = i
+    return inside
+
+
+def points_in_polygon(
+    px: np.ndarray,
+    py: np.ndarray,
+    outer: tuple[np.ndarray, np.ndarray],
+    holes: list[tuple[np.ndarray, np.ndarray]] | None = None,
+) -> np.ndarray:
+    """Point-in-polygon with optional holes (even-odd composition)."""
+    inside = points_in_ring(px, py, outer[0], outer[1])
+    for hx, hy in holes or []:
+        inside &= ~points_in_ring(px, py, hx, hy)
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# scalar polygon / line properties
+# ---------------------------------------------------------------------------
+def ring_area(x: np.ndarray, y: np.ndarray) -> float:
+    """Shoelace area (absolute), planar square degrees."""
+    if len(x) >= 2 and x[0] == x[-1] and y[0] == y[-1]:
+        x, y = x[:-1], y[:-1]
+    if len(x) < 3:
+        return 0.0
+    x2 = np.roll(x, -1)
+    y2 = np.roll(y, -1)
+    return float(abs(np.sum(x * y2 - x2 * y)) * 0.5)
+
+
+def line_length(x: np.ndarray, y: np.ndarray) -> float:
+    """Planar polyline length in degrees."""
+    if len(x) < 2:
+        return 0.0
+    return float(np.sum(np.hypot(np.diff(x), np.diff(y))))
+
+
+def centroid(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Vertex-mean centroid (matches the simple mean the engine
+    standardizes on for derived facts; documented deviation from GEOS'
+    area-weighted centroid)."""
+    return float(np.mean(x)), float(np.mean(y))
+
+
+def envelope(x: np.ndarray, y: np.ndarray) -> tuple[float, float, float, float]:
+    return float(np.min(x)), float(np.min(y)), float(np.max(x)), float(np.max(y))
+
+
+def convex_hull(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Andrew's monotone chain; returns CCW hull (closed not included).
+
+    Deterministic: input sorted by (x, y); collinear points dropped.
+    """
+    pts = np.unique(np.column_stack([x, y]), axis=0)  # sorted lexicographically
+    n = len(pts)
+    if n <= 2:
+        return pts[:, 0], pts[:, 1]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = np.array(lower[:-1] + upper[:-1])
+    return hull[:, 0], hull[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# nearest-neighbour distance kernels
+# ---------------------------------------------------------------------------
+def sq_dist_argmin(
+    px: np.ndarray,
+    py: np.ndarray,
+    qx: np.ndarray,
+    qy: np.ndarray,
+    qid: np.ndarray,
+    chunk: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """For each point (px,py), the candidate (qx,qy) minimizing
+    ``dx*dx + dy*dy`` with ties broken by the SMALLEST ``qid``.
+
+    Memory-bounded: candidates processed in chunks; result is exact.
+    SQL mirror: ``ROW_NUMBER() OVER (PARTITION BY ... ORDER BY
+    (px-qx)*(px-qx)+(py-qy)*(py-qy), qid)``.
+    Returns (best_id, best_sq_dist); ((-1, inf)) when no candidates.
+    """
+    n = len(px)
+    best_d = np.full(n, np.inf)
+    best_id = np.full(n, -1, dtype=np.int64)
+    if len(qx) == 0 or n == 0:
+        return best_id, best_d
+    # candidates sorted by id => within a chunk, argmin picks the first
+    # (smallest id) among equals; across chunks strict < keeps earlier id.
+    order = np.argsort(qid, kind="stable")
+    qx, qy, qid = qx[order], qy[order], qid[order]
+    for s in range(0, len(qx), chunk):
+        cx = qx[s : s + chunk]
+        cy = qy[s : s + chunk]
+        cid = qid[s : s + chunk]
+        dx = px[:, None] - cx[None, :]
+        dy = py[:, None] - cy[None, :]
+        d = dx * dx + dy * dy
+        j = np.argmin(d, axis=1)  # first occurrence of min => smallest id
+        dmin = d[np.arange(n), j]
+        take = dmin < best_d
+        best_d[take] = dmin[take]
+        best_id[take] = cid[j[take]]
+    return best_id, best_d
+
+
+def point_segment_sq_dist(
+    px: float, py: float, x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray
+) -> np.ndarray:
+    """Squared distance from one point to each segment (vectorized over
+    segments).  Used for nearest-way queries."""
+    dx = x2 - x1
+    dy = y2 - y1
+    seg_len2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - x1) * dx + (py - y1) * dy) / seg_len2
+    t = np.where(seg_len2 == 0.0, 0.0, np.clip(t, 0.0, 1.0))
+    cx = x1 + t * dx
+    cy = y1 + t * dy
+    ddx = px - cx
+    ddy = py - cy
+    return ddx * ddx + ddy * ddy
