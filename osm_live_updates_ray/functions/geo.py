@@ -127,12 +127,16 @@ def sq_dist_argmin(
     qx: np.ndarray,
     qy: np.ndarray,
     qid: np.ndarray,
-    chunk: int = 4096,
+    chunk: int = 2048,
+    point_chunk: int = 256,
+    ids_sorted: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """For each point (px,py), the candidate (qx,qy) minimizing
     ``dx*dx + dy*dy`` with ties broken by the SMALLEST ``qid``.
 
-    Memory-bounded: candidates processed in chunks; result is exact.
+    Chunked over BOTH points and candidates so intermediate matrices
+    stay cache-sized; result is exact.  Pass ``ids_sorted=True`` when
+    candidates are already ascending by id to skip the sort.
     SQL mirror: ``ROW_NUMBER() OVER (PARTITION BY ... ORDER BY
     (px-qx)*(px-qx)+(py-qy)*(py-qy), qid)``.
     Returns (best_id, best_sq_dist); ((-1, inf)) when no candidates.
@@ -142,22 +146,28 @@ def sq_dist_argmin(
     best_id = np.full(n, -1, dtype=np.int64)
     if len(qx) == 0 or n == 0:
         return best_id, best_d
-    # candidates sorted by id => within a chunk, argmin picks the first
-    # (smallest id) among equals; across chunks strict < keeps earlier id.
-    order = np.argsort(qid, kind="stable")
-    qx, qy, qid = qx[order], qy[order], qid[order]
-    for s in range(0, len(qx), chunk):
-        cx = qx[s : s + chunk]
-        cy = qy[s : s + chunk]
-        cid = qid[s : s + chunk]
-        dx = px[:, None] - cx[None, :]
-        dy = py[:, None] - cy[None, :]
-        d = dx * dx + dy * dy
-        j = np.argmin(d, axis=1)  # first occurrence of min => smallest id
-        dmin = d[np.arange(n), j]
-        take = dmin < best_d
-        best_d[take] = dmin[take]
-        best_id[take] = cid[j[take]]
+    if not ids_sorted:
+        # candidates ascending by id => within a chunk argmin picks the
+        # smallest id among equals; across chunks strict < keeps it.
+        order = np.argsort(qid, kind="stable")
+        qx, qy, qid = qx[order], qy[order], qid[order]
+    for ps in range(0, n, point_chunk):
+        pe = min(ps + point_chunk, n)
+        ppx = px[ps:pe, None]
+        ppy = py[ps:pe, None]
+        bd = best_d[ps:pe]
+        bi = best_id[ps:pe]
+        for s in range(0, len(qx), chunk):
+            dx = ppx - qx[None, s : s + chunk]
+            dy = ppy - qy[None, s : s + chunk]
+            dx *= dx
+            dy *= dy
+            dx += dy
+            j = np.argmin(dx, axis=1)  # first min => smallest id
+            dmin = dx[np.arange(pe - ps), j]
+            take = dmin < bd
+            bd[take] = dmin[take]
+            bi[take] = qid[s : s + chunk][j[take]]
     return best_id, best_d
 
 

