@@ -22,3 +22,14 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Ray workers import this package by name; make sure any Ray session
+# initialized AFTER this import propagates the package location to its
+# workers (driver-side sys.path edits don't).  No-op when already set.
+import os as _os
+
+_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_pp = _os.environ.get("PYTHONPATH", "")
+if _parent not in _pp.split(":"):
+    _os.environ["PYTHONPATH"] = f"{_parent}:{_pp}" if _pp else _parent
+del _os, _parent, _pp

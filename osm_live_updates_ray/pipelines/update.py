@@ -1,0 +1,377 @@
+"""Incremental update pipeline — the engine's flagship.
+
+Replays one OsmChange window against the state store, recomputing ONLY
+what the delta dirties (the reference's whole program,
+src/osm/OsmUpdater.cpp:90-166 + src/osm/OsmChangeHandler.cpp:60-178):
+
+  dedup (O1) -> classify + J1 (M1/M2) -> dirty cascade (J2/J3)
+  -> closure (J4/J5) -> reconstruction (J6)
+  -> geometry recompute (ST3)
+  -> dirty cells -> re-join pages of dirty cells only
+  -> COW tile replacement + rollups + watermark commit.
+
+The reference's node→way→relation cascade extends here to
+node→way→relation→cell→tile (north_rule): an object's old and new
+envelopes dirty grid cells; only pages in dirty cells are re-joined;
+only tiles containing dirty cells are rewritten.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions import cells as cellfn
+from ..schemas import OSM_NODES, OSM_RELATIONS, OSM_WAYS
+from ..stages import geometry, spatial, tiles
+from ..stages.dedup import dedup_table
+from ..stages.delta import classify, reconstruct
+from ..stages.geometry import REL_POLY_OFFSET
+from ..state.store import (
+    StateStore,
+    explode_rel_members,
+    explode_way_members,
+    pack_gid,
+)
+
+
+def _payload(changes: pa.Table, otype: str, schema: pa.Schema) -> pa.Table:
+    """Non-delete delta rows of one type, projected to the state schema."""
+    t = changes.filter(
+        pc.and_(
+            pc.equal(changes.column("type"), otype),
+            pc.not_equal(changes.column("action"), "delete"),
+        )
+    )
+    return t.select([f.name for f in schema]).cast(schema)
+
+
+def _merge_prefer_last(first: pa.Table, last: pa.Table, key: str = "id") -> pa.Table:
+    """Concat two tables deduping on key, keeping rows of ``last``."""
+    if first.num_rows == 0:
+        return last
+    if last.num_rows == 0:
+        return first
+    drop = pa.array(last.column(key).to_numpy(zero_copy_only=False))
+    keep = pc.invert(pc.is_in(first.column(key), value_set=drop))
+    return pa.concat_tables([first.filter(keep).cast(last.schema), last])
+
+
+def _env_cells(geoms: pa.Table, res: float) -> np.ndarray:
+    """All cells covered by the envelope of each geom row."""
+    out = []
+    for a, b, c, d in zip(
+        geoms.column("env_min_lon").to_pylist(),
+        geoms.column("env_min_lat").to_pylist(),
+        geoms.column("env_max_lon").to_pylist(),
+        geoms.column("env_max_lat").to_pylist(),
+    ):
+        if a is None:
+            continue
+        out.append(cellfn.cells_covering_bbox(a, b, c, d, res))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
+def _knn_dirty_cells(
+    store: StateStore,
+    moved_or_deleted: np.ndarray,
+    new_lon: np.ndarray,
+    new_lat: np.ndarray,
+    cfg: EngineConfig,
+) -> np.ndarray:
+    """Cells whose pages' nearest-node assignment may change.
+
+    kNN dirtiness is NON-LOCAL (a created node can become the nearest
+    for pages many cells away), so geometric envelopes are not enough:
+      * cells containing a page whose current knn is a moved/deleted
+        node are dirty (exact);
+      * for each created/moved-in node position p, a cell is dirty if
+        its stored max knn_dist exceeds the squared lower-bound
+        distance from the cell's rectangle to p (conservative =>
+        superset of affected, never misses one).
+    One column-pruned scan of assignments per window; at cluster scale
+    this runs as a Ray Data partial aggregate over the tile table.
+    """
+    assigns = store.read_tiles(
+        "assignments", columns=["cell_id", "knn_node_id", "knn_dist"]
+    )
+    if assigns.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    cell = assigns.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    kid = assigns.column("knn_node_id").to_numpy(zero_copy_only=False)
+    kd = assigns.column("knn_dist").to_numpy(zero_copy_only=False)
+    out = []
+    if len(moved_or_deleted):
+        hit = np.isin(kid, moved_or_deleted)
+        out.append(np.unique(cell[hit]))
+    if len(new_lon):
+        # per-cell max knn_dist (NaN => +inf: no node was assigned)
+        kd_inf = np.where(np.isnan(kd), np.inf, kd)
+        order = np.argsort(cell, kind="stable")
+        cs, starts = np.unique(cell[order], return_index=True)
+        maxd = np.maximum.reduceat(kd_inf[order], starts)
+        res = cfg.cell_res_deg
+        cx = (cs >> np.int64(32)).astype(np.float64) * res - 180.0
+        cy = (cs & np.int64(0xFFFFFFFF)).astype(np.float64) * res - 90.0
+        dirty = np.zeros(len(cs), dtype=bool)
+        for s in range(0, len(new_lon), 512):
+            plon = new_lon[s : s + 512]
+            plat = new_lat[s : s + 512]
+            # distance from each cell rect [cx,cx+res]x[cy,cy+res] to p
+            dx = np.maximum(
+                np.maximum(cx[:, None] - plon[None, :], plon[None, :] - (cx[:, None] + res)),
+                0.0,
+            )
+            dy = np.maximum(
+                np.maximum(cy[:, None] - plat[None, :], plat[None, :] - (cy[:, None] + res)),
+                0.0,
+            )
+            lb = dx * dx + dy * dy
+            dirty |= (lb < maxd[:, None]).any(axis=1)
+        out.append(cs[dirty])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(out))
+
+
+def apply_changes(
+    store: StateStore,
+    changes: pa.Table,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    enforce_watermark: bool = False,
+) -> dict:
+    """Apply one change window; returns the run's counter/summary dict
+    (the reference's StatisticsHandler analog, ST5)."""
+    if enforce_watermark and store.watermark:
+        # resume semantics: drop rows at or below the committed seq
+        # (reference decideStartSequenceNumber, OsmUpdater.cpp:169-236)
+        keep = pc.greater(changes.column("seq"), store.watermark["seq"])
+        changes = changes.filter(keep)
+
+    ch = dedup_table(changes)
+    plan = classify(ch, store)
+    summary: dict = {
+        "input_rows": changes.num_rows,
+        "deduped_rows": ch.num_rows,
+        **{
+            k: int(len(getattr(plan, k)))
+            for k in (
+                "created_nodes", "modified_nodes", "modified_nodes_loc_changed",
+                "deleted_nodes", "created_ways", "modified_ways", "deleted_ways",
+                "created_relations", "modified_relations", "deleted_relations",
+                "ways_to_update_geometry", "relations_to_update_geometry",
+                "referenced_nodes", "referenced_ways", "referenced_relations",
+            )
+        },
+    }
+    if plan.is_empty():
+        # reference early exit (OsmChangeHandler.cpp:94-97)
+        summary.update(dirty_cells=0, tiles_rewritten=0, empty=True)
+        return summary
+
+    rec = reconstruct(plan, store)
+
+    # --- old payload snapshots (pre-mutation), for edge deletion and
+    # old-extent dirtiness
+    all_ways = plan.all_ways()
+    all_rels = plan.all_relations()
+    old_ways = store.lookup("ways", all_ways)
+    old_rels = store.lookup("relations", all_rels)
+    affected_gids = np.concatenate(
+        [
+            pack_gid("node", plan.all_nodes()),
+            pack_gid("way", np.concatenate([all_ways, plan.ways_to_update_geometry])),
+            pack_gid(
+                "relation",
+                np.concatenate([all_rels, plan.relations_to_update_geometry]),
+            ),
+        ]
+    )
+    old_geoms = store.lookup("geoms", np.unique(affected_gids))
+
+    # --- delta payloads
+    node_upserts = _payload(ch, "node", OSM_NODES)
+    way_upserts = _payload(ch, "way", OSM_WAYS)
+    rel_upserts = _payload(ch, "relation", OSM_RELATIONS)
+
+    # --- geometry recompute universe (the osm2rdf input file analog:
+    # change file + dummies, OsmChangeHandler.cpp:372-385)
+    coord_nodes = _merge_prefer_last(
+        rec["nodes"].select(["id", "lon", "lat"]),
+        node_upserts.select(["id", "lon", "lat"]),
+    )
+    lookup = geometry.NodeCoordLookup.from_table(coord_nodes)
+    dirty_way_rows = rec["ways"].filter(
+        pc.is_in(
+            rec["ways"].column("id"),
+            value_set=pa.array(plan.ways_to_update_geometry),
+        )
+    )
+    ways_recompute = _merge_prefer_last(dirty_way_rows, way_upserts)
+    dirty_rel_rows = rec["relations"].filter(
+        pc.is_in(
+            rec["relations"].column("id"),
+            value_set=pa.array(plan.relations_to_update_geometry),
+        )
+    )
+    rels_recompute = _merge_prefer_last(dirty_rel_rows, rel_upserts)
+    way_universe = _merge_prefer_last(rec["ways"], way_upserts)
+
+    new_geom_parts = [
+        geometry.node_geoms(node_upserts, cfg),
+        geometry.way_geoms(ways_recompute, lookup, cfg),
+        geometry.relation_geoms(rels_recompute, way_universe, lookup, cfg),
+    ]
+    new_geoms = pa.concat_tables([p for p in new_geom_parts if p.num_rows])
+    new_geoms = new_geoms.append_column(
+        "gid",
+        pa.array(
+            pack_gid(
+                new_geoms.column("type").to_pylist(),
+                new_geoms.column("id").to_numpy(zero_copy_only=False),
+            )
+        ),
+    )
+
+    # --- dirty cells: old extent ∪ new extent (node→way→relation→cell)
+    # plus the non-local kNN invalidation set
+    moved_or_deleted = np.unique(
+        np.concatenate([plan.deleted_nodes, plan.modified_nodes_loc_changed])
+    )
+    knn_source_ids = np.unique(
+        np.concatenate([plan.created_nodes, plan.modified_nodes_loc_changed])
+    )
+    knn_new = node_upserts.filter(
+        pc.is_in(node_upserts.column("id"), value_set=pa.array(knn_source_ids))
+    )
+    dirty_cells = np.unique(
+        np.concatenate(
+            [
+                _env_cells(old_geoms, cfg.cell_res_deg),
+                _env_cells(new_geoms, cfg.cell_res_deg),
+                _knn_dirty_cells(
+                    store,
+                    moved_or_deleted,
+                    knn_new.column("lon").to_numpy(zero_copy_only=False),
+                    knn_new.column("lat").to_numpy(zero_copy_only=False),
+                    cfg,
+                ),
+            ]
+        )
+    )
+    summary["dirty_cells"] = int(len(dirty_cells))
+
+    # --- apply state mutations (COW partitions; commit at the end)
+    store.begin()
+    store.apply_upserts_deletes("nodes", node_upserts, plan.deleted_nodes)
+    store.apply_upserts_deletes("ways", way_upserts, plan.deleted_ways)
+    store.apply_upserts_deletes("relations", rel_upserts, plan.deleted_relations)
+
+    old_way_edges = explode_way_members(old_ways)
+    store.apply_owned_edges(
+        "way_members_by_node",
+        explode_way_members(way_upserts),
+        owner_col="way_id",
+        owner_ids=all_ways,
+        touch_keys=old_way_edges.column("node_id").to_numpy(zero_copy_only=False),
+    )
+    old_rel_edges = explode_rel_members(old_rels)
+    store.apply_owned_edges(
+        "rel_members_by_member",
+        explode_rel_members(rel_upserts),
+        owner_col="rel_id",
+        owner_ids=all_rels,
+        touch_keys=old_rel_edges.column("member_id").to_numpy(zero_copy_only=False),
+    )
+
+    deleted_gids = np.concatenate(
+        [
+            pack_gid("node", plan.deleted_nodes),
+            pack_gid("way", plan.deleted_ways),
+            pack_gid("relation", plan.deleted_relations),
+        ]
+    )
+    store.apply_upserts_deletes("geoms", new_geoms, deleted_gids)
+
+    # polygon layer delta: every affected way/relation polygon id is
+    # dropped and re-derived from the recomputed objects
+    affected_poly_ids = np.unique(
+        np.concatenate(
+            [
+                all_ways,
+                plan.ways_to_update_geometry,
+                (all_rels + REL_POLY_OFFSET),
+                (plan.relations_to_update_geometry + REL_POLY_OFFSET),
+            ]
+        )
+    )
+    new_rings = geometry.polygon_rings_from_osm(
+        ways_recompute, rels_recompute, lookup
+    )
+    store.apply_upserts_deletes("polygon_rings", new_rings, affected_poly_ids)
+
+    # --- re-join pages of dirty cells against the NEW layers
+    dirty_tiles = np.unique(
+        cellfn.cell_to_tile(dirty_cells, cfg.cell_res_deg, cfg.tile_res_deg)
+    )
+    existing_tiles = set(store.tile_ids("assignments"))
+    page_tiles = set(store.tile_ids("pages"))
+    touch_tiles = [
+        int(t) for t in dirty_tiles if int(t) in (existing_tiles | page_tiles)
+    ]
+    tiles_rewritten = 0
+    if touch_tiles:
+        rings_all = store.read_all("polygon_rings")
+        nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
+        joiner = spatial.SpatialJoiner(
+            rings_all,
+            {
+                "id": nodes_all.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+                "lon": nodes_all.column("lon").to_numpy(zero_copy_only=False),
+                "lat": nodes_all.column("lat").to_numpy(zero_copy_only=False),
+            },
+            cfg,
+        )
+        pages = store.read_tiles(
+            "pages", touch_tiles, columns=["url", "lon", "lat", "cell_id"]
+        )
+        lon = pages.column("lon").to_numpy(zero_copy_only=False)
+        lat = pages.column("lat").to_numpy(zero_copy_only=False)
+        tile = cellfn.tile_id(lon, lat, cfg.tile_res_deg)
+        pages = pages.append_column("tile_id", pa.array(tile))
+        in_dirty = pc.is_in(pages.column("cell_id"), value_set=pa.array(dirty_cells))
+        recomputed = joiner(pages.filter(in_dirty))
+        old_assign = store.read_tiles("assignments", touch_tiles)
+        keep_old = pc.invert(
+            pc.is_in(old_assign.column("cell_id"), value_set=pa.array(dirty_cells))
+        )
+        merged = pa.concat_tables(
+            [old_assign.filter(keep_old).cast(recomputed.schema), recomputed]
+        )
+        store.replace_tiles("assignments", touch_tiles, merged)
+        # rollups for the rewritten tiles
+        if merged.num_rows:
+            store.replace_tiles(
+                "rollups", touch_tiles, tiles.tile_rollup_table(merged)
+            )
+        else:
+            store.replace_tiles(
+                "rollups", touch_tiles, tiles.TILE_ROLLUP.empty_table()
+            )
+        tiles_rewritten = len(touch_tiles)
+        summary["rejoined_pages"] = int(pc.sum(pc.cast(in_dirty, pa.int64())).as_py() or 0)
+    summary["tiles_rewritten"] = tiles_rewritten
+
+    # --- watermark + atomic commit (updatesCompleteUntil analog)
+    seqs = changes.column("seq")
+    if changes.num_rows:
+        store.set_watermark(
+            int(pc.max(seqs).as_py()), str(pc.max(changes.column("ts")).as_py())
+        )
+    store.commit()
+    summary["empty"] = False
+    return summary

@@ -123,8 +123,14 @@ def way_member_ids(way_id: int, n_nodes: int) -> list[int]:
     ways (way_id % 3 == 0) are CLOSED rings — they become polygons in
     the spatial-join layer."""
     k = 3 + way_id % 6
-    n_groups = max(1, n_nodes // NODES_PER_GROUP)
-    base = ((way_id * 131) % n_groups) * NODES_PER_GROUP
+    # ways only reference EVEN node groups; deletes in gen_changes only
+    # target ODD-group nodes.  This mirrors real OSM (a node still
+    # referenced is never deleted) and keeps fixture conformance exact:
+    # in the reference, deleted nodes do NOT dirty referencing ways
+    # (J2 input is only modified-with-changed-location,
+    # /root/reference/src/osm/OsmChangeHandler.cpp:215-229).
+    n_groups = max(2, n_nodes // NODES_PER_GROUP)
+    base = (((way_id * 131) % (n_groups // 2)) * 2) * NODES_PER_GROUP
     ids = [base + ((way_id + j * 7) % NODES_PER_GROUP) for j in range(k)]
     ids = [i % n_nodes for i in ids]
     # dedup consecutive repeats while preserving order
@@ -160,17 +166,25 @@ def rel_member_list(rel_id: int, n_ways: int, n_nodes: int) -> list[dict]:
     """Deterministic relation members: 2-4 ways (+1 node for every 4th
     relation).  Relation-of-relation membership exists for every 7th
     relation — the cascade must NOT recurse through it (reference
-    cutoff: src/osm/OsmChangeHandler.cpp:270-285)."""
+    cutoff: src/osm/OsmChangeHandler.cpp:270-285).
+
+    Referenced ways come from [0, n_ways//2) and node members from
+    EVEN node groups — the delete actions in gen_changes target the
+    complementary ranges, matching the reference's cascade semantics
+    (deletes never dirty referrers)."""
     k = 2 + rel_id % 3
+    half = max(1, n_ways // 2)
     members = [
-        {"ref": (rel_id * 57 + j * 13) % n_ways, "type": "way",
+        {"ref": (rel_id * 57 + j * 13) % half, "type": "way",
          "role": "outer" if j == 0 else "inner"}
         for j in range(k)
     ]
     if rel_id % 4 == 0:
-        members.append(
-            {"ref": (rel_id * 11) % n_nodes, "type": "node", "role": "admin_centre"}
+        n_groups = max(2, n_nodes // NODES_PER_GROUP)
+        nid = (((rel_id * 11) % (n_groups // 2)) * 2) * NODES_PER_GROUP + (
+            rel_id % NODES_PER_GROUP
         )
+        members.append({"ref": nid, "type": "node", "role": "admin_centre"})
     if rel_id % 7 == 0 and rel_id > 0:
         members.append({"ref": rel_id - 1, "type": "relation", "role": "subarea"})
     return members
@@ -210,19 +224,35 @@ def gen_changes(
     i = np.arange(n, dtype=np.int64) + seed_offset
     tsel = i % 5
     otype = np.where(tsel < 3, "node", np.where(tsel == 3, "way", "relation"))
-    # id spaces 25% larger than the state so some ids are absent
-    oid = np.where(
-        tsel < 3,
-        (i * 7) % max(1, int(n_nodes * 1.25)),
-        np.where(
-            tsel == 3,
-            (i * 11) % max(1, int(n_ways * 1.25)),
-            (i * 13) % max(1, int(n_rels * 1.25)),
-        ),
-    ).astype(np.int64)
     version = (1 + i % 3).astype(np.int32)
     deleted = (i % 11) == 0
     action = np.where(deleted, "delete", np.where(version == 1, "create", "modify"))
+    # id selection per (type, action), conformance-safe (see
+    # way_member_ids / rel_member_list docstrings):
+    #  * creates use ids ABSENT from the state (fresh ids), like real OSM
+    #  * node deletes target odd-group nodes (never referenced)
+    #  * way deletes target [n_ways//2, n_ways) (never in relations)
+    #  * modifies roam 25% past the state range => some are absent,
+    #    exercising modify-of-absent reclassification
+    n_groups = max(2, n_nodes // NODES_PER_GROUP)
+    node_mod = (i * 7) % max(1, int(n_nodes * 1.25))
+    node_new = n_nodes + (i * 7) % max(1, n_nodes // 4)
+    node_del = (
+        (((i * 7) % max(1, n_groups // 2)) * 2 + 1) * NODES_PER_GROUP
+        + (i % NODES_PER_GROUP)
+    ) % n_nodes
+    way_mod = (i * 11) % max(1, int(n_ways * 1.25))
+    way_new = n_ways + (i * 11) % max(1, n_ways // 4)
+    way_del = n_ways // 2 + (i * 11) % max(1, n_ways - n_ways // 2)
+    rel_mod = (i * 13) % max(1, int(n_rels * 1.25))
+    rel_new = n_rels + (i * 13) % max(1, n_rels // 4)
+    rel_del = (i * 13) % max(1, n_rels)
+    node_id_ = np.where(deleted, node_del, np.where(version == 1, node_new, node_mod))
+    way_id_ = np.where(deleted, way_del, np.where(version == 1, way_new, way_mod))
+    rel_id_ = np.where(deleted, rel_del, np.where(version == 1, rel_new, rel_mod))
+    oid = np.where(
+        tsel < 3, node_id_, np.where(tsel == 3, way_id_, rel_id_)
+    ).astype(np.int64)
     # node payloads: every 4th change keeps the state location (no
     # geometry cascade), others move
     slon, slat = node_coords(oid)

@@ -255,12 +255,12 @@ class SpatialJoiner:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
         keep = cell >= 0
         urls = batch.column("url")
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        tile = batch.column("tile_id").to_numpy(zero_copy_only=False)
+        tile = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(cell)
         pid = np.full(n, -1, dtype=np.int64)
         kid = np.full(n, -1, dtype=np.int64)

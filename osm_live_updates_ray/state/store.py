@@ -57,6 +57,43 @@ from ..schemas import (
     WAY_MEMBERS,
 )
 
+#: packed geometry-table key: (type_code << 58) | id
+GEOM_TYPE_CODE = {"node": 0, "way": 1, "relation": 2}
+
+
+def pack_gid(otype, ids: np.ndarray) -> np.ndarray:
+    codes = (
+        np.asarray([GEOM_TYPE_CODE[t] for t in otype], dtype=np.int64)
+        if not isinstance(otype, str)
+        else np.full(len(ids), GEOM_TYPE_CODE[otype], dtype=np.int64)
+    )
+    return (codes << np.int64(58)) | np.asarray(ids, dtype=np.int64)
+
+
+def _geoms_stored_schema():
+    from ..schemas import GEOMS
+
+    return GEOMS.append(pa.field("gid", pa.int64()))
+
+
+def _polygon_rings_schema():
+    from ..stages.geometry import POLYGON_RINGS
+
+    return POLYGON_RINGS
+
+
+def _schema_of(name: str) -> pa.Schema:
+    if name == "geoms":
+        return _geoms_stored_schema()
+    if name == "polygon_rings":
+        return _polygon_rings_schema()
+    if name == "rollups":
+        from ..stages.tiles import TILE_ROLLUP
+
+        return TILE_ROLLUP
+    return _TABLE_SCHEMAS[name]
+
+
 _TABLE_KEYS = {
     "nodes": "id",
     "ways": "id",
@@ -65,6 +102,8 @@ _TABLE_KEYS = {
     "rel_members_by_member": "member_id",
     "pages": "cell_id",
     "assignments": "cell_id",
+    "geoms": "gid",
+    "polygon_rings": "polygon_id",
 }
 
 _TABLE_SCHEMAS = {
@@ -129,6 +168,36 @@ class StateStore:
         self.root = root
         self.config = config or DEFAULT_CONFIG
         self._manifest = self._read_manifest()
+        self._gc()
+
+    def _gc(self) -> None:
+        """Remove tile-table files superseded by the manifest (COW
+        leftovers from completed or CRASHED replacements).  Runs at
+        open so directory scans equal the committed manifest — this is
+        what makes a killed run resumable without corruption."""
+        for key, entry in self._manifest.get("tables", {}).items():
+            if not key.startswith("tile:"):
+                # hash-partitioned table: drop generation leftovers
+                base = os.path.join(self.root, key)
+                if os.path.isdir(base):
+                    keep = set(entry.values())
+                    for f in os.listdir(base):
+                        if f.startswith("part-") and f not in keep:
+                            os.remove(os.path.join(base, f))
+                continue
+            name = key.split(":", 1)[1]
+            base = os.path.join(self.root, name)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if not d.startswith("tile_id="):
+                    continue
+                tid = d.split("=", 1)[1]
+                keep = set(entry.get(tid, []))
+                dpath = os.path.join(base, d)
+                for f in os.listdir(dpath):
+                    if f not in keep:
+                        os.remove(os.path.join(dpath, f))
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -248,7 +317,7 @@ class StateStore:
 
         files = self._files(name)
         if not files:
-            return rd.from_arrow(_TABLE_SCHEMAS[name].empty_table())
+            return rd.from_arrow(_schema_of(name).empty_table())
         return rd.read_parquet(files, columns=columns)
 
     def lookup(
@@ -269,7 +338,7 @@ class StateStore:
         """
         key = key or _TABLE_KEYS[name]
         ids = np.asarray(ids, dtype=np.int64)
-        schema = _TABLE_SCHEMAS[name]
+        schema = _schema_of(name)
         if len(ids) == 0:
             t = schema.empty_table()
             return t.select(columns) if columns else t
@@ -292,6 +361,18 @@ class StateStore:
 
     def count(self, name: str) -> int:
         return sum(pq.read_metadata(f).num_rows for f in self._files(name))
+
+    def read_all(self, name: str, columns: list[str] | None = None) -> pa.Table:
+        """Whole table in memory — ONLY for broadcast-sized layers
+        (polygon rings, kNN node arrays) and tests."""
+        files = self._files(name)
+        schema = _schema_of(name)
+        if not files:
+            t = schema.empty_table()
+            return t.select(columns) if columns else t
+        return pa.concat_tables(
+            [pq.read_table(f, columns=columns) for f in files]
+        ).cast(schema.empty_table().select(columns).schema if columns else schema)
 
     # -- typed lookup helpers (the reference's fetcher interface,
     #    include/osm/OsmDataFetcher.h:49-174, re-expressed) -----------------
@@ -366,7 +447,7 @@ class StateStore:
         """
         key = _TABLE_KEYS[name]
         n_parts = self._n_parts(name)
-        schema = _TABLE_SCHEMAS[name]
+        schema = _schema_of(name)
         os.makedirs(os.path.join(self.root, name), exist_ok=True)
         if upserts is None:
             upserts = schema.empty_table()
@@ -400,6 +481,56 @@ class StateStore:
             )
         self._manifest["tables"][name] = entry
 
+    def apply_owned_edges(
+        self,
+        name: str,
+        upserts: pa.Table,
+        owner_col: str,
+        owner_ids: np.ndarray,
+        touch_keys: np.ndarray,
+    ) -> None:
+        """Update an exploded edge table that is PARTITIONED by member
+        key but OWNED by way/relation id: within the partitions reachable
+        from ``touch_keys`` (old ∪ new member ids of every affected
+        owner), drop rows whose owner is in ``owner_ids`` and append the
+        new edge rows.  Every old edge of an affected owner lives in a
+        partition keyed by one of its old member ids, so passing those
+        as touch_keys guarantees complete deletion without a full scan.
+        """
+        key = _TABLE_KEYS[name]
+        n_parts = self._n_parts(name)
+        schema = _schema_of(name)
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        up_keys = upserts.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        touch = np.unique(
+            np.concatenate([np.asarray(touch_keys, dtype=np.int64), up_keys])
+        )
+        if len(touch) == 0:
+            return
+        touched = np.unique(_part_of(touch, n_parts))
+        up_parts = _part_of(up_keys, n_parts)
+        owner_set = pa.array(np.unique(np.asarray(owner_ids, dtype=np.int64)))
+        gen = self._manifest["generation"] + 1
+        entry = dict(self._manifest["tables"].get(name, {}))
+        for p in touched.tolist():
+            old_file = entry.get(str(p))
+            if old_file:
+                old = pq.read_table(os.path.join(self.root, name, old_file))
+                keep = pc.invert(pc.is_in(old.column(owner_col), value_set=owner_set))
+                old = old.filter(keep).cast(schema)
+            else:
+                old = schema.empty_table()
+            add = upserts.filter(pa.array(up_parts == p)).cast(schema)
+            merged = pa.concat_tables([old, add]).sort_by(key)
+            fname = f"part-{p:04d}-g{gen}.parquet"
+            pq.write_table(merged, os.path.join(self.root, name, fname))
+            entry[str(p)] = fname
+            self._pending_lineage.append(
+                {"table": name, "partition": p, "file": fname,
+                 "rows": merged.num_rows, "op": "edge-delta"}
+            )
+        self._manifest["tables"][name] = entry
+
     _pending_lineage: list[dict]
 
     def begin(self) -> None:
@@ -408,3 +539,107 @@ class StateStore:
     def commit(self) -> None:
         self._commit_manifest(self._pending_lineage)
         self._pending_lineage = []
+
+    # -- tile tables (pages / assignments partitioned by tile_id) ----------
+    # The delta path replaces whole TILES copy-on-write — the engine
+    # analog of the reference's delete+insert against the endpoint
+    # (S7): affected tiles are rewritten, the manifest swap commits.
+    def init_tile_table(self, name: str, ds) -> None:
+        """Bulk-build a tile table from a Ray Dataset (hive-partitioned
+        ``tile_id=N/`` directories), then record per-tile files in the
+        manifest.  Resumable: if the manifest already lists the table,
+        the build is skipped (idempotent bootstrap)."""
+        if self._manifest["tables"].get(f"tile:{name}"):
+            return
+        path = os.path.join(self.root, name)
+        ds.write_parquet(path, partition_cols=["tile_id"])
+        entry: dict[str, list[str]] = {}
+        for d in os.listdir(path):
+            if not d.startswith("tile_id="):
+                continue
+            tid = d.split("=", 1)[1]
+            entry[tid] = sorted(os.listdir(os.path.join(path, d)))
+        self._manifest["tables"][f"tile:{name}"] = entry
+        self.begin()
+        self._pending_lineage = [
+            {"table": name, "tile": t, "files": len(fs), "op": "bootstrap"}
+            for t, fs in entry.items()
+        ]
+        self.commit()
+
+    def tile_ids(self, name: str) -> list[int]:
+        return [int(t) for t in self._manifest["tables"].get(f"tile:{name}", {})]
+
+    def _tile_files(self, name: str, tile_ids) -> list[str]:
+        entry = self._manifest["tables"].get(f"tile:{name}", {})
+        files = []
+        for t in tile_ids:
+            for f in entry.get(str(t), []):
+                files.append(os.path.join(self.root, name, f"tile_id={t}", f))
+        return files
+
+    def read_tiles(self, name: str, tile_ids=None, columns=None) -> pa.Table:
+        """Rows of the listed tiles (driver-sized: delta paths touch few
+        tiles).  The ``tile_id`` column is restored from the partition
+        directory."""
+        entry = self._manifest["tables"].get(f"tile:{name}", {})
+        if tile_ids is None:
+            tile_ids = [int(t) for t in entry]
+        out = []
+        for t in tile_ids:
+            files = self._tile_files(name, [t])
+            if not files:
+                continue
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            if "tile_id" not in tbl.column_names:
+                tbl = tbl.append_column(
+                    "tile_id", pa.array(np.full(tbl.num_rows, int(t), dtype=np.int64))
+                )
+            out.append(tbl.select(columns) if columns else tbl)
+        if not out:
+            empty = _schema_of(name).empty_table()
+            return empty.select(columns) if columns else empty
+        return pa.concat_tables(out)
+
+    def read_tiles_dataset(self, name: str, tile_ids=None, columns=None):
+        """Same, as a streaming Ray Dataset (for wide recomputes).
+
+        Reads the hive-partitioned directory (partition inference
+        restores ``tile_id``); correctness of dir scans is guaranteed
+        by the startup GC, which removes files superseded by the
+        manifest (see :meth:`_gc`)."""
+        import pyarrow.compute as _pc
+        import ray.data as rd
+
+        entry = self._manifest["tables"].get(f"tile:{name}", {})
+        if not entry:
+            return rd.from_arrow(_schema_of(name).empty_table())
+        path = os.path.join(self.root, name)
+        kwargs = {}
+        if tile_ids is not None:
+            kwargs["filter"] = _pc.field("tile_id").isin(
+                [int(t) for t in tile_ids]
+            )
+        if columns is not None:
+            kwargs["columns"] = columns
+        ds = rd.read_parquet(path, **kwargs)
+        return ds
+
+    def replace_tiles(self, name: str, tile_ids, new_rows: pa.Table) -> None:
+        """COW replacement of whole tiles: new per-tile files written,
+        manifest entries repointed (commit() swaps atomically)."""
+        entry = dict(self._manifest["tables"].get(f"tile:{name}", {}))
+        gen = self._manifest["generation"] + 1
+        tids = new_rows.column("tile_id").to_numpy(zero_copy_only=False)
+        for t in tile_ids:
+            sub = new_rows.filter(pa.array(tids == int(t)))
+            d = os.path.join(self.root, name, f"tile_id={t}")
+            os.makedirs(d, exist_ok=True)
+            fname = f"delta-g{gen}.parquet"
+            pq.write_table(sub.drop_columns(["tile_id"]), os.path.join(d, fname))
+            entry[str(t)] = [fname]
+            self._pending_lineage.append(
+                {"table": name, "tile": int(t), "file": fname,
+                 "rows": sub.num_rows, "op": "cow-replace"}
+            )
+        self._manifest["tables"][f"tile:{name}"] = entry
