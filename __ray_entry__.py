@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` happens here or in the library code these
+callables use (only bench.py, CLI entry points and the pytest fixture
+own a Ray session).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps each implemented operator/pipeline from SURVEY.md §2
+to a callable over an sf_dir of driver testdata; ``oracle_sql()`` maps
+the same names to DuckDB-runnable SQL with IDENTICAL column names and
+mirrored float semantics (see osm_live_updates_ray/sources/testdata.py
+for the mirroring contract).
 """
 
 from __future__ import annotations
@@ -20,25 +19,22 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages -> geocode
+    (actor pool, canonical html text/geo extraction) -> cell encode ->
+    spatial join (point-in-polygon + exact grid kNN) -> tile-assignment
+    rows.  Returns the assignments Dataset."""
+    from osm_live_updates_ray import queries as q
+
+    return q.QUERIES["assignments"]("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_live_updates_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_live_updates_ray import queries as q
+
+    return dict(q.ORACLES)

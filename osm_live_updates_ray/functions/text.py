@@ -49,7 +49,9 @@ def render_html(text: str, lon: float | None = None, lat: float | None = None) -
     text byte-exactly through :func:`extract_text`."""
     geo = ""
     if lon is not None and lat is not None:
-        geo = f'<meta name="geo.position" content="{lat:.7f};{lon:.7f}"/>'
+        # 17 fixed decimals: parses back to the EXACT double, so the
+        # geocode round trip is bit-identical to the source coordinate
+        geo = f'<meta name="geo.position" content="{lat:.17f};{lon:.17f}"/>'
     body = xml_escape(text)
     return (
         f"<html><head>{geo}<title>page</title></head>"

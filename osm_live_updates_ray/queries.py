@@ -1,0 +1,855 @@
+"""The correctness-gate query battery.
+
+One entry per operator/pipeline from SURVEY.md §2, each with a DuckDB
+oracle (``ORACLES``) unless the op is not SQL-expressible.  Ray
+implementations are Dataset pipelines; the float-formula mirroring
+contract lives in :mod:`osm_live_updates_ray.sources.testdata`.
+
+Rounding: aggregate float outputs are rounded HALF-AWAY-FROM-ZERO to a
+fixed number of decimals on BOTH sides (DuckDB ROUND semantics) so
+summation-order ulp noise cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions import cells as cellfn
+from .sources import testdata as td
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLES: dict[str, str] = {}
+
+_ADAPTER_VERSION = "v1"  # bump when adapter formulas change (busts /tmp cache)
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _rd():
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    return rd
+
+
+def _round(x: np.ndarray, d: int) -> np.ndarray:
+    """Half-away-from-zero rounding (DuckDB ROUND semantics)."""
+    f = 10.0 ** d
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+# ===========================================================================
+# TPC-H-style relational operators (filters, joins, aggregates, sort/limit)
+# ===========================================================================
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(sf_dir: str):
+    """Filter + grouped aggregation (SURVEY A5-style counters pattern:
+    per-block partial aggregation inside Ray's aggregate)."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        disc = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = _round(out[c].to_numpy(), 2)
+    return out
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(sf_dir: str):
+    """Hash join (Ray Dataset.join) + grouped agg + global top-k."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    cust = td.read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = sorted(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .to_pylist()
+    )
+    # join BEFORE the selective filters: a Ray 2.49 hash join aborts
+    # when a shuffle partition on either side is empty (schema lost),
+    # so keep both sides dense and filter the joined rows instead
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater(t.column("l_shipdate"), pa.scalar(np.datetime64("1995-03-15", "us")))
+        )
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return t.append_column("revenue_part", rev).select(["l_orderkey", "revenue_part"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.less(t.column("o_orderdate"), pa.scalar(np.datetime64("1995-03-15", "us"))),
+                pc.is_in(t.column("o_custkey"), value_set=pa.array(building)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    agg = joined.groupby("l_orderkey").aggregate(Sum("revenue_part", alias_name="revenue"))
+    top = agg.sort([("revenue"), ("l_orderkey")], descending=[True, False]).limit(10)
+    out = top.to_pandas()
+    out["revenue"] = _round(out["revenue"].to_numpy(), 2)
+    return out[["l_orderkey", "revenue"]]
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(sf_dir: str):
+    """Star join via broadcast dimension lookups inside map_batches (the
+    small-side-broadcast pattern; no shuffle except the final agg)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    nation = td.read(sf_dir, "nation")
+    region = td.read(sf_dir, "region")
+    asia = set(
+        region.filter(pc.equal(region.column("r_name"), "ASIA"))
+        .column("r_regionkey").to_pylist()
+    )
+    nk2name = {
+        int(k): v
+        for k, v, rk in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+        if int(rk) in asia
+    }
+    supp = td.read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    s2n = dict(
+        zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist())
+    )
+    cust = td.read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    c2n = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    )
+    orders = td.read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    od = orders.column("o_orderdate").to_numpy(zero_copy_only=False)
+    okeep = (od >= np.datetime64("1996-01-01")) & (od < np.datetime64("1997-01-01"))
+    o2c = {
+        int(k): int(c)
+        for k, c, m in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+            okeep.tolist(),
+        )
+        if m
+    }
+
+    def probe(t: pa.Table) -> pa.Table:
+        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        rev = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        names, revs = [], []
+        for o, s, r in zip(lo.tolist(), ls.tolist(), rev.tolist()):
+            c = o2c.get(o)
+            if c is None:
+                continue
+            sn = s2n.get(s)
+            if sn is None or c2n.get(c) != sn:
+                continue
+            nm = nk2name.get(sn)
+            if nm is None:
+                continue
+            names.append(nm)
+            revs.append(r)
+        return pa.Table.from_pydict(
+            {"n_name": pa.array(names, type=pa.string()),
+             "revenue_part": pa.array(revs, type=pa.float64())}
+        )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_part", alias_name="revenue"))
+        .to_pandas()
+    )
+    if "revenue" not in out.columns:  # empty result at tiny sf
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "revenue": pd.Series(dtype=float)})
+    out["revenue"] = _round(out["revenue"].to_numpy(), 2)
+    return out
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = (
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(
+                        t.column("l_shipdate"), pa.scalar(np.datetime64("1994-01-01", "us"))
+                    ),
+                    pc.less(t.column("l_shipdate"), pa.scalar(np.datetime64("1995-01-01", "us"))),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+                        pc.less_equal(t.column("l_discount"), pa.scalar(0.07)),
+                    ),
+                    pc.less(t.column("l_quantity"), pa.scalar(24.0)),
+                ),
+            )
+        )
+        t = t.filter(m)
+        return t.append_column(
+            "rev", pc.multiply(t.column("l_extendedprice"), t.column("l_discount"))
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    total = ds.sum("rev")  # None when the filter leaves no rows (SQL NULL)
+    if total is None:
+        return pd.DataFrame({"revenue": [np.nan]})
+    return pd.DataFrame({"revenue": [float(_round(np.array([total]), 2)[0])]})
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l_shipmode, COUNT(*) AS n,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count
+    FROM (SELECT l_orderkey, l_returnflag AS l_shipmode FROM lineitem) l
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_shipmode
+    """,
+)
+def tpch_q12(sf_dir: str):
+    """Broadcast join (orders dict) + conditional aggregation.  The
+    testdata lineitem has no shipmode column; l_returnflag stands in,
+    mirrored in the oracle."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    orders = td.read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    high = {
+        int(k)
+        for k, p in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_orderpriority").to_pylist(),
+        )
+        if p in ("1-URGENT", "2-HIGH")
+    }
+    all_orders = set(orders.column("o_orderkey").to_pylist())
+
+    def probe(t: pa.Table) -> pa.Table:
+        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        inset = np.fromiter((o in all_orders for o in lo.tolist()), bool, len(lo))
+        t = t.filter(pa.array(inset))
+        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        h = np.fromiter((o in high for o in lo.tolist()), np.int64, len(lo))
+        return pa.Table.from_pydict(
+            {"l_shipmode": t.column("l_returnflag"), "is_high": pa.array(h)}
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
+        .map_batches(probe, batch_format="pyarrow")
+        .groupby("l_shipmode")
+        .aggregate(Count(alias_name="n"), Sum("is_high", alias_name="high_line_count"))
+        .to_pandas()
+    )
+    return out
+
+
+# ===========================================================================
+# Geospatial pipeline over the adapter world (the engine's core surface)
+# ===========================================================================
+def _pages_geo_ds(sf_dir: str):
+    """pages Dataset -> geocoded pages_geo Dataset (REAL extractor path:
+    lon/lat parsed back from the rendered html, exercising the
+    7-decimal round trip)."""
+    rd = _rd()
+    from .stages import spatial
+
+    return spatial.geocode(rd.from_arrow(td.pages_table(sf_dir)))
+
+
+@register(
+    "extract_text",
+    "WITH " + td.SQL_PAGES.strip() + "\nSELECT url, text FROM pages",
+)
+def extract_text(sf_dir: str):
+    """The input_hint invariant: extracted text byte-identical per url.
+    Runs html -> canonical extractor inside map_batches; the oracle is
+    the source text itself."""
+    rd = _rd()
+    from .functions import text as textfn
+
+    def ex(t: pa.Table) -> pa.Table:
+        texts = [textfn.extract_text(h) for h in t.column("html").to_pylist()]
+        return pa.Table.from_pydict(
+            {"url": t.column("url"), "text": pa.array(texts, type=pa.string())}
+        )
+
+    return rd.from_arrow(td.pages_table(sf_dir)).map_batches(ex, batch_format="pyarrow")
+
+
+@register(
+    "pages_cells",
+    "WITH " + td.SQL_PAGES.strip()
+    + f"\nSELECT url, lon, lat, {td.SQL_CELL} AS cell_id, {td.SQL_TILE} AS tile_id FROM pages",
+)
+def pages_cells(sf_dir: str):
+    """Vectorized batched cell encoding over zero-copy Arrow (north_rule
+    core stage)."""
+    return _pages_geo_ds(sf_dir).map_batches(
+        lambda t: t.select(["url", "lon", "lat", "cell_id", "tile_id"]),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "cell_histogram",
+    "WITH " + td.SQL_PAGES.strip()
+    + f"\nSELECT {td.SQL_CELL} AS cell_id, COUNT(*) AS n_pages FROM pages GROUP BY 1",
+)
+def cell_histogram(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _pages_geo_ds(sf_dir)
+        .groupby("cell_id")
+        .aggregate(Count(alias_name="n_pages"))
+    )
+
+
+def _nation_joiner(sf_dir: str, with_nodes: bool):
+    from .stages import spatial
+
+    rings = td.nation_rings(sf_dir)
+    if with_nodes:
+        nt = td.nodes_table(sf_dir)
+        na = {
+            "id": nt.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+            "lon": nt.column("lon").to_numpy(zero_copy_only=False),
+            "lat": nt.column("lat").to_numpy(zero_copy_only=False),
+        }
+    else:
+        na = {
+            "id": np.empty(0, dtype=np.int64),
+            "lon": np.empty(0),
+            "lat": np.empty(0),
+        }
+    return spatial.SpatialJoiner(rings, na)
+
+
+@register(
+    "pip_nation",
+    "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_NATION_RECTS.strip()
+    + """
+    SELECT p.url, COALESCE(r.polygon_id, -1) AS polygon_id
+    FROM pages p LEFT JOIN nation_rects r
+      ON p.lon BETWEEN r.min_lon AND r.max_lon
+     AND p.lat BETWEEN r.min_lat AND r.max_lat
+    """,
+)
+def pip_nation(sf_dir: str):
+    """Point-in-polygon via the per-cell polygon index (ray-cast kernel);
+    nation rects are boundary-safe so BETWEEN == ray-cast exactly."""
+    joiner = _nation_joiner(sf_dir, with_nodes=False)
+    return _pages_geo_ds(sf_dir).map_batches(
+        lambda t, j=joiner: j(t).select(["url", "polygon_id"]),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "knn_part",
+    "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_STATE_NODES.strip()
+    + """
+    SELECT url, knn_node_id, knn_dist FROM (
+      SELECT p.url, s.id AS knn_node_id,
+             (p.lon - s.lon) * (p.lon - s.lon) + (p.lat - s.lat) * (p.lat - s.lat)
+               AS knn_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.url
+               ORDER BY (p.lon - s.lon) * (p.lon - s.lon)
+                      + (p.lat - s.lat) * (p.lat - s.lat), s.id
+             ) AS rn
+      FROM pages p CROSS JOIN state_nodes s
+    ) WHERE rn = 1
+    """,
+)
+def knn_part(sf_dir: str):
+    """Exact nearest-node via the grid ring-search index (identical
+    (dx*dx+dy*dy, id) ordering as the SQL window)."""
+    joiner = _nation_joiner(sf_dir, with_nodes=True)
+    return _pages_geo_ds(sf_dir).map_batches(
+        lambda t, j=joiner: j(t).select(["url", "knn_node_id", "knn_dist"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_ASSIGN = (
+    "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_NATION_RECTS.strip()
+    + ",\n" + td.SQL_STATE_NODES.strip()
+    + f"""
+    , pg AS (
+      SELECT url, lon, lat, {td.SQL_CELL} AS cell_id, {td.SQL_TILE} AS tile_id
+      FROM pages
+    ), pip AS (
+      SELECT p.url, COALESCE(r.polygon_id, -1) AS polygon_id
+      FROM pg p LEFT JOIN nation_rects r
+        ON p.lon BETWEEN r.min_lon AND r.max_lon
+       AND p.lat BETWEEN r.min_lat AND r.max_lat
+    ), knn AS (
+      SELECT url, knn_node_id, knn_dist FROM (
+        SELECT p.url, s.id AS knn_node_id,
+               (p.lon - s.lon) * (p.lon - s.lon) + (p.lat - s.lat) * (p.lat - s.lat)
+                 AS knn_dist,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.url
+                 ORDER BY (p.lon - s.lon) * (p.lon - s.lon)
+                        + (p.lat - s.lat) * (p.lat - s.lat), s.id
+               ) AS rn
+        FROM pg p CROSS JOIN state_nodes s
+      ) WHERE rn = 1
+    )
+    SELECT pg.url, pg.cell_id, pip.polygon_id, knn.knn_node_id, knn.knn_dist,
+           pg.tile_id
+    FROM pg JOIN pip ON pg.url = pip.url JOIN knn ON pg.url = knn.url
+    """
+)
+
+
+@register("assignments", _SQL_ASSIGN)
+def assignments(sf_dir: str):
+    """The flagship static spatial join: page -> (cell, polygon, kNN,
+    tile) — SURVEY J8 / the PAGE_TILE_ASSIGNMENTS output."""
+    joiner = _nation_joiner(sf_dir, with_nodes=True)
+    return _pages_geo_ds(sf_dir).map_batches(
+        lambda t, j=joiner: j(t), batch_format="pyarrow"
+    )
+
+
+@register(
+    "tile_rollup",
+    _SQL_ASSIGN.replace(
+        """
+    SELECT pg.url, pg.cell_id, pip.polygon_id, knn.knn_node_id, knn.knn_dist,
+           pg.tile_id
+    FROM pg JOIN pip ON pg.url = pip.url JOIN knn ON pg.url = knn.url
+    """,
+        """
+    , a AS (
+      SELECT pg.url, pg.cell_id, pip.polygon_id, knn.knn_node_id, knn.knn_dist,
+             pg.tile_id
+      FROM pg JOIN pip ON pg.url = pip.url JOIN knn ON pg.url = knn.url
+    )
+    SELECT tile_id, COUNT(*) AS n_pages,
+           SUM(CASE WHEN polygon_id >= 0 THEN 1 ELSE 0 END) AS n_in_polygon,
+           COUNT(DISTINCT cell_id) AS n_cells,
+           ROUND(AVG(knn_dist), 4) AS mean_knn_dist
+    FROM a GROUP BY tile_id
+    """,
+    ),
+)
+def tile_rollup(sf_dir: str):
+    """Raster<->vector tile rollup (A6): partial-agg + small shuffle."""
+    from .stages import tiles as tilestage
+
+    ds = assignments(sf_dir)
+    out = tilestage.tile_rollup(ds).to_pandas()
+    out["mean_knn_dist"] = _round(out["mean_knn_dist"].to_numpy(), 4)
+    return out
+
+
+# ===========================================================================
+# Delta semantics over the adapter world (O1, M1/M2, J1-J6)
+# ===========================================================================
+_ADAPTER_STORE_CACHE: dict[str, Any] = {}
+
+
+def adapter_changes_full(sf_dir: str) -> pa.Table:
+    """Adapter change window incl. payload list columns (members of
+    changed ways/relations) in the OSM_CHANGES column layout."""
+    ch = td.changes_table(sf_dir)
+    n_node = td.read(sf_dir, "part", ["p_partkey"]).num_rows
+    n_way = td.read(sf_dir, "orders", ["o_orderkey"]).num_rows
+    ids = ch.column("id").to_numpy(zero_copy_only=False)
+    types = np.asarray(ch.column("type").to_pylist(), dtype=object)
+    actions = np.asarray(ch.column("action").to_pylist(), dtype=object)
+    node_ids: list = [None] * len(ids)
+    members: list = [None] * len(ids)
+    for i in np.flatnonzero((types == "way") & (actions != "delete")).tolist():
+        w = int(ids[i])
+        node_ids[i] = [(w * 3 + j * 17) % n_node for j in range(w % 4 + 3)]
+    for i in np.flatnonzero((types == "relation") & (actions != "delete")).tolist():
+        r = int(ids[i])
+        members[i] = [
+            {"ref": (r * 5 + j * 23) % n_way, "type": "way", "role": ""}
+            for j in range(r % 3 + 2)
+        ]
+    from .schemas import MEMBER, TAGS
+
+    return (
+        ch.append_column("node_ids", pa.array(node_ids, type=pa.list_(pa.int64())))
+        .append_column("members", pa.array(members, type=pa.list_(MEMBER)))
+        .append_column(
+            "tags", pa.array([[("type", "route")]] * len(ids), type=TAGS)
+        )
+    )
+
+
+def adapter_store(sf_dir: str):
+    """Adapter OSM layers as a StateStore (cached on disk per sf tier +
+    adapter version; reused across queries and driver calls)."""
+    key = os.path.abspath(sf_dir)
+    if key in _ADAPTER_STORE_CACHE:
+        return _ADAPTER_STORE_CACHE[key]
+    from .schemas import OSM_NODES, OSM_RELATIONS, OSM_WAYS
+    from .state.store import StateStore
+
+    root = f"/tmp/olu_ray_adapter_{_ADAPTER_VERSION}/{os.path.basename(key)}"
+    if os.path.exists(os.path.join(root, "manifest.json")):
+        store = StateStore(root)
+        _ADAPTER_STORE_CACHE[key] = store
+        return store
+
+    nt = td.nodes_table(sf_dir)
+    n = nt.num_rows
+    ts = pa.array(np.full(n, np.int64(1700000000)).astype("datetime64[s]"))
+    nodes = pa.Table.from_pydict(
+        {
+            "id": nt.column("id"),
+            "lon": nt.column("lon"),
+            "lat": nt.column("lat"),
+            "tags": pa.array([[]] * n, type=OSM_NODES.field("tags").type),
+            "version": pa.array(np.ones(n, dtype=np.int32)),
+            "ts": ts,
+        },
+        schema=OSM_NODES,
+    )
+
+    we = td.way_edges(sf_dir).sort_by(
+        [("way_id", "ascending"), ("pos", "ascending")]
+    )
+    wid = we.column("way_id").to_numpy(zero_copy_only=False)
+    nid = we.column("node_id").to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(np.diff(wid)) + 1
+    uway = wid[np.concatenate([[0], bounds])] if len(wid) else np.empty(0, np.int64)
+    lists = [x.tolist() for x in np.split(nid, bounds)] if len(wid) else []
+    nw = len(uway)
+    ways = pa.Table.from_pydict(
+        {
+            "id": uway,
+            "node_ids": pa.array(lists, type=pa.list_(pa.int64())),
+            "tags": pa.array([[]] * nw, type=OSM_WAYS.field("tags").type),
+            "version": pa.array(np.ones(nw, dtype=np.int32)),
+            "ts": pa.array(np.full(nw, np.int64(1700100000)).astype("datetime64[s]")),
+        },
+        schema=OSM_WAYS,
+    )
+
+    re_ = td.rel_edges(sf_dir).sort_by(
+        [("rel_id", "ascending"), ("pos", "ascending")]
+    )
+    rid = re_.column("rel_id").to_numpy(zero_copy_only=False)
+    mid = re_.column("member_id").to_numpy(zero_copy_only=False)
+    rbounds = np.flatnonzero(np.diff(rid)) + 1
+    urel = rid[np.concatenate([[0], rbounds])] if len(rid) else np.empty(0, np.int64)
+    rlists = (
+        [
+            [{"ref": int(m), "type": "way", "role": ""} for m in x]
+            for x in np.split(mid, rbounds)
+        ]
+        if len(rid)
+        else []
+    )
+    nr = len(urel)
+    from .schemas import MEMBER
+
+    rels = pa.Table.from_pydict(
+        {
+            "id": urel,
+            "members": pa.array(rlists, type=pa.list_(MEMBER)),
+            "tags": pa.array(
+                [[("type", "route")]] * nr, type=OSM_RELATIONS.field("tags").type
+            ),
+            "version": pa.array(np.ones(nr, dtype=np.int32)),
+            "ts": pa.array(np.full(nr, np.int64(1700200000)).astype("datetime64[s]")),
+        },
+        schema=OSM_RELATIONS,
+    )
+    store = StateStore.build(root, nodes=nodes, ways=ways, relations=rels)
+    _ADAPTER_STORE_CACHE[key] = store
+    return store
+
+
+def _adapter_plan(sf_dir: str):
+    from .stages.dedup import dedup_table
+    from .stages.delta import classify
+
+    ch = dedup_table(adapter_changes_full(sf_dir))
+    return classify(ch, adapter_store(sf_dir)), ch
+
+
+@register(
+    "changes_dedup",
+    td.sql_prelude()
+    + "\nSELECT seq, type, id, version, action FROM deduped",
+)
+def changes_dedup(sf_dir: str):
+    """Last-version-wins dedup of the change window (O1)."""
+    from .stages.dedup import dedup_table
+
+    out = dedup_table(td.changes_table(sf_dir))
+    return out.select(["seq", "type", "id", "version", "action"])
+
+
+@register(
+    "classify_changes",
+    td.sql_prelude()
+    + """
+    SELECT d.type, d.id,
+      CASE
+        WHEN d.action = 'delete' THEN 'deleted'
+        WHEN d.action = 'create' THEN 'created'
+        WHEN d.type = 'node' AND s.id IS NULL THEN 'created'
+        WHEN d.type = 'node' AND (d.lon <> s.lon OR d.lat <> s.lat)
+          THEN 'modified_loc_changed'
+        ELSE 'modified'
+      END AS bucket
+    FROM deduped d
+    LEFT JOIN state_nodes s ON d.type = 'node' AND d.id = s.id
+    """,
+)
+def classify_changes(sf_dir: str):
+    """M1/M2 + J1: change-action classification with the location-change
+    split and modify-of-absent reclassification."""
+    plan, _ = _adapter_plan(sf_dir)
+    t = plan.dirty_sets_table()
+    keep = pc.is_in(
+        t.column("bucket"),
+        value_set=pa.array(["created", "modified", "modified_loc_changed", "deleted"]),
+    )
+    return t.filter(keep)
+
+
+_SQL_DIRTY_WAYS_CTES = """
+loc_changed AS (
+  SELECT d.id FROM deduped d JOIN state_nodes s ON d.id = s.id
+  WHERE d.type = 'node' AND d.action = 'modify'
+    AND (d.lon <> s.lon OR d.lat <> s.lat)
+),
+cf_ways AS (SELECT DISTINCT id FROM deduped WHERE type = 'way'),
+cf_rels AS (SELECT DISTINCT id FROM deduped WHERE type = 'relation'),
+cf_nodes AS (SELECT DISTINCT id FROM deduped WHERE type = 'node'),
+dirty_ways AS (
+  SELECT DISTINCT e.way_id AS id
+  FROM way_edges e JOIN loc_changed l ON e.node_id = l.id
+  WHERE e.way_id NOT IN (SELECT id FROM cf_ways)
+),
+mod_ways AS (SELECT id FROM deduped WHERE type = 'way' AND action = 'modify'),
+upd_ways AS (SELECT id FROM mod_ways UNION SELECT id FROM dirty_ways),
+dirty_rels AS (
+  SELECT DISTINCT e.rel_id AS id
+  FROM rel_edges e JOIN upd_ways u ON e.member_id = u.id AND e.member_type = 'way'
+  WHERE e.rel_id NOT IN (SELECT id FROM cf_rels)
+)"""
+
+
+@register(
+    "dirty_ways",
+    td.sql_prelude(_SQL_DIRTY_WAYS_CTES.strip().lstrip(",").strip())
+    + "\nSELECT id FROM dirty_ways",
+)
+def dirty_ways(sf_dir: str):
+    """J2: ways whose geometry is dirtied by moved nodes, minus ways in
+    the change file."""
+    plan, _ = _adapter_plan(sf_dir)
+    return pa.Table.from_pydict({"id": plan.ways_to_update_geometry})
+
+
+@register(
+    "dirty_relations",
+    td.sql_prelude(_SQL_DIRTY_WAYS_CTES.strip().lstrip(",").strip())
+    + "\nSELECT id FROM dirty_rels",
+)
+def dirty_relations(sf_dir: str):
+    """J3: relations referencing moved nodes or updated ways, minus
+    relations in the change file (rel-of-rel hop intentionally absent)."""
+    plan, _ = _adapter_plan(sf_dir)
+    return pa.Table.from_pydict({"id": plan.relations_to_update_geometry})
+
+
+_SQL_CLOSURE_CTES = (
+    _SQL_DIRTY_WAYS_CTES
+    + """,
+ref_ways_cf AS (
+  SELECT DISTINCT member_id AS id FROM changed_rel_members
+  WHERE member_id NOT IN (SELECT id FROM cf_ways)
+),
+rel_closure AS (SELECT id FROM dirty_rels),
+ref_ways AS (
+  SELECT id FROM ref_ways_cf
+  UNION
+  SELECT DISTINCT e.member_id AS id
+  FROM rel_edges e JOIN rel_closure rc ON e.rel_id = rc.id
+  WHERE e.member_type = 'way'
+    AND e.member_id NOT IN (SELECT id FROM cf_ways)
+),
+way_closure AS (SELECT id FROM ref_ways UNION SELECT id FROM dirty_ways),
+ref_nodes AS (
+  SELECT DISTINCT node_id AS id FROM changed_way_members
+  WHERE node_id NOT IN (SELECT id FROM cf_nodes)
+  UNION
+  SELECT DISTINCT e.node_id AS id
+  FROM way_edges e JOIN way_closure wc ON e.way_id = wc.id
+  WHERE e.node_id NOT IN (SELECT id FROM cf_nodes)
+)"""
+)
+
+
+@register(
+    "referenced_ways",
+    td.sql_prelude(_SQL_CLOSURE_CTES.strip().lstrip(",").strip())
+    + "\nSELECT id FROM ref_ways",
+)
+def referenced_ways(sf_dir: str):
+    """Closure: ways referenced by change-file relations + members of
+    dirty relations (J5), minus ways in the change file."""
+    plan, _ = _adapter_plan(sf_dir)
+    return pa.Table.from_pydict({"id": plan.referenced_ways})
+
+
+@register(
+    "referenced_nodes",
+    td.sql_prelude(_SQL_CLOSURE_CTES.strip().lstrip(",").strip())
+    + "\nSELECT id FROM ref_nodes",
+)
+def referenced_nodes(sf_dir: str):
+    """Closure: nodes referenced by change-file ways + members of
+    (referenced ∪ dirty) ways (J4), minus nodes in the change file."""
+    plan, _ = _adapter_plan(sf_dir)
+    return pa.Table.from_pydict({"id": plan.referenced_nodes})
+
+
+@register(
+    "reconstruct_nodes",
+    td.sql_prelude(_SQL_CLOSURE_CTES.strip().lstrip(",").strip())
+    + """
+    SELECT s.id, s.lon, s.lat
+    FROM ref_nodes r JOIN state_nodes s ON r.id = s.id
+    """,
+)
+def reconstruct_nodes(sf_dir: str):
+    """J6: reconstruction fetch of referenced node payloads (missing
+    rows tolerated — left-semi, the regional-extract semantics)."""
+    plan, _ = _adapter_plan(sf_dir)
+    t = adapter_store(sf_dir).lookup(
+        "nodes", plan.referenced_nodes, columns=["id", "lon", "lat"]
+    )
+    return t
