@@ -49,9 +49,11 @@ def render_html(text: str, lon: float | None = None, lat: float | None = None) -
     text byte-exactly through :func:`extract_text`."""
     geo = ""
     if lon is not None and lat is not None:
-        # 17 fixed decimals: parses back to the EXACT double, so the
-        # geocode round trip is bit-identical to the source coordinate
-        geo = f'<meta name="geo.position" content="{lat:.17f};{lon:.17f}"/>'
+        # shortest round-trip repr: parses back to the EXACT double, so
+        # geocoding is bit-identical to the source coordinate (repr
+        # stays positional for |v| >= 1e-4, which covers the coordinate
+        # domain; 0.0 prints as "0.0")
+        geo = f'<meta name="geo.position" content="{lat!r};{lon!r}"/>'
     body = xml_escape(text)
     return (
         f"<html><head>{geo}<title>page</title></head>"

@@ -1,0 +1,120 @@
+"""Spatial join vs single-process brute-force oracles (FIXTURES.md §5
+layer 3) — kNN and PIP must be EXACT."""
+
+import numpy as np
+import pytest
+
+from osm_live_updates_ray.sources import synthetic
+from osm_live_updates_ray.stages import geometry, spatial
+
+
+@pytest.fixture(scope="module")
+def joined(t1_world):
+    w = t1_world
+    lookup = geometry.NodeCoordLookup.from_table(w["osm_nodes"])
+    rings = geometry.polygon_rings_from_osm(w["osm_ways"], w["osm_relations"], lookup)
+    pg = spatial.Geocoder()(w["pages"])
+    na = {
+        "id": w["osm_nodes"].column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+        "lon": w["osm_nodes"].column("lon").to_numpy(zero_copy_only=False),
+        "lat": w["osm_nodes"].column("lat").to_numpy(zero_copy_only=False),
+    }
+    out = spatial.SpatialJoiner(rings, na)(pg)
+    return w, rings, pg, na, out
+
+
+class TestGeocoder:
+    def test_roundtrip_exact(self, t1_world):
+        pg = spatial.Geocoder()(t1_world["pages"])
+        lon = pg.column("lon").to_numpy(zero_copy_only=False)
+        lat = pg.column("lat").to_numpy(zero_copy_only=False)
+        elon, elat = synthetic.page_coords(np.arange(pg.num_rows, dtype=np.int64))
+        assert (lon == elon).all() and (lat == elat).all()
+
+    def test_no_geo_page_dropped(self):
+        import pyarrow as pa
+
+        from osm_live_updates_ray.schemas import PAGES
+
+        t = pa.Table.from_pydict(
+            {
+                "url": ["u1"],
+                "warc_ts": pa.array([np.datetime64("2024-01-01", "s")]),
+                "html": pa.array([b"<html><body>no geo</body></html>"], pa.binary()),
+                "text": ["x"],
+                "lang": ["en"],
+            },
+            schema=PAGES,
+        )
+        g = spatial.Geocoder()
+        out = g(t)
+        assert out.column("cell_id")[0].as_py() == -1
+        assert g.n_nogeo == 1
+
+
+class TestKnnExact:
+    def test_vs_bruteforce(self, joined):
+        w, rings, pg, na, out = joined
+        d = out.to_pydict()
+        lon = pg.column("lon").to_numpy(zero_copy_only=False)
+        lat = pg.column("lat").to_numpy(zero_copy_only=False)
+        ids, nl, nt = na["id"], na["lon"], na["lat"]
+        for i in range(0, len(lon), 17):
+            dd = (lon[i] - nl) ** 2 + (lat[i] - nt) ** 2
+            o = np.lexsort((ids, dd))
+            assert ids[o[0]] == d["knn_node_id"][i]
+            assert dd[o[0]] == d["knn_dist"][i]
+
+    def test_empty_node_layer(self, t1_world):
+        from osm_live_updates_ray.stages.geometry import POLYGON_RINGS
+
+        na = {"id": np.empty(0, dtype=np.int64), "lon": np.empty(0), "lat": np.empty(0)}
+        j = spatial.SpatialJoiner(POLYGON_RINGS.empty_table(), na)
+        pg = spatial.Geocoder()(t1_world["pages"])
+        out = j(pg)
+        assert set(out.column("knn_node_id").to_pylist()) == {-1}
+
+
+class TestPipExact:
+    def test_vs_bruteforce(self, joined):
+        import collections
+
+        from osm_live_updates_ray.functions import geo as geofn
+
+        w, rings, pg, na, out = joined
+        d = out.to_pydict()
+        lon = pg.column("lon").to_numpy(zero_copy_only=False)
+        lat = pg.column("lat").to_numpy(zero_copy_only=False)
+        outer = collections.defaultdict(list)
+        inner = collections.defaultdict(list)
+        areas: dict = {}
+        for p, role, lx, ly, a in zip(
+            rings.column("polygon_id").to_pylist(),
+            rings.column("role").to_pylist(),
+            rings.column("lons").to_pylist(),
+            rings.column("lats").to_pylist(),
+            rings.column("area").to_pylist(),
+        ):
+            (outer if role == "outer" else inner)[p].append((np.array(lx), np.array(ly)))
+            areas[p] = areas.get(p, 0.0) + (a if role == "outer" else -a)
+        for i in range(0, len(lon), 13):
+            best = (np.inf, -1)
+            for p in outer:
+                px, py = np.array([lon[i]]), np.array([lat[i]])
+                ins = any(geofn.points_in_ring(px, py, x, y)[0] for x, y in outer[p])
+                if ins and not any(
+                    geofn.points_in_ring(px, py, x, y)[0] for x, y in inner.get(p, [])
+                ):
+                    if (areas[p], p) < best:
+                        best = (areas[p], p)
+            assert best[1] == d["polygon_id"][i], f"page {i}"
+
+
+class TestPartitionedVariantAgreesWithBroadcast:
+    def test_tiles_rollup_table(self, joined):
+        from osm_live_updates_ray.stages import tiles
+
+        _, _, _, _, out = joined
+        r = tiles.tile_rollup_table(out)
+        assert r.num_rows == len(set(out.column("tile_id").to_pylist()))
+        assert sum(r.column("n_pages").to_pylist()) == out.num_rows

@@ -1,0 +1,115 @@
+"""StateStore: partitioned lookups, COW commits, GC, crash resume."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_live_updates_ray.state.store import StateStore, explode_way_members
+
+
+@pytest.fixture()
+def store(tmp_path, t1_world):
+    return StateStore.build(
+        str(tmp_path / "st"),
+        nodes=t1_world["osm_nodes"],
+        ways=t1_world["osm_ways"],
+        relations=t1_world["osm_relations"],
+    )
+
+
+class TestLookups:
+    def test_semi_join_missing_tolerated(self, store):
+        t = store.node_locations(np.array([1, 2, 10**9]))
+        assert set(t.column("id").to_pylist()) == {1, 2}
+
+    def test_empty_ids(self, store):
+        assert store.node_locations(np.empty(0, dtype=np.int64)).num_rows == 0
+
+    def test_reverse_edges_match_forward(self, store, t1_world):
+        # J2 via the exploded table == scanning way lists directly
+        target = np.array([17], dtype=np.int64)
+        expect = {
+            w["id"]
+            for w in t1_world["osm_ways"].to_pylist()
+            if 17 in w["node_ids"]
+        }
+        got = set(store.ways_referencing_nodes(target).tolist())
+        assert got == expect
+
+    def test_relation_member_split(self, store, t1_world):
+        rel = t1_world["osm_relations"].to_pylist()[0]
+        n, w, r = store.relation_member_ids(np.array([rel["id"]]))
+        expect_w = {m["ref"] for m in rel["members"] if m["type"] == "way"}
+        assert set(w.tolist()) == expect_w
+
+
+class TestCow:
+    def test_upsert_delete_and_reopen(self, store, t1_world):
+        up = t1_world["osm_nodes"].slice(0, 1)
+        store.begin()
+        store.apply_upserts_deletes("nodes", up, np.array([5, 6]))
+        store.commit()
+        re = StateStore(store.root)
+        assert re.node_locations(np.array([5, 6])).num_rows == 0
+        assert re.node_locations(np.array([0])).num_rows == 1
+        assert re._manifest["generation"] == store._manifest["generation"]
+
+    def test_owned_edge_update_preserves_other_ways(self, store, t1_world):
+        ways = t1_world["osm_ways"].to_pylist()
+        w0 = ways[0]
+        shared = w0["node_ids"][0]
+        others_before = set(store.ways_referencing_nodes(np.array([shared])).tolist())
+        # delete way 0's edges; other ways touching the same node survive
+        store.begin()
+        store.apply_owned_edges(
+            "way_members_by_node",
+            explode_way_members(t1_world["osm_ways"].slice(0, 0)),
+            owner_col="way_id",
+            owner_ids=np.array([w0["id"]], dtype=np.int64),
+            touch_keys=np.asarray(w0["node_ids"], dtype=np.int64),
+        )
+        store.commit()
+        after = set(store.ways_referencing_nodes(np.array([shared])).tolist())
+        assert after == others_before - {w0["id"]}
+
+    def test_gc_removes_stale_partitions(self, store, t1_world):
+        store.begin()
+        store.apply_upserts_deletes("nodes", t1_world["osm_nodes"].slice(0, 1),
+                                    np.empty(0, dtype=np.int64))
+        store.commit()
+        ndir = os.path.join(store.root, "nodes")
+        n_files_before = len(os.listdir(ndir))
+        StateStore(store.root)  # open triggers GC
+        n_files_after = len(os.listdir(ndir))
+        assert n_files_after < n_files_before  # superseded g1 file removed
+        assert n_files_after == store.config.id_partitions
+
+    def test_crash_before_commit_invisible(self, store, t1_world):
+        # mutate partitions but DON'T commit; a reopened store sees the
+        # old generation and GC removes the orphans
+        store.begin()
+        store.apply_upserts_deletes("nodes", t1_world["osm_nodes"].slice(0, 2),
+                                    np.array([7], dtype=np.int64))
+        # no commit -> manifest on disk still points at old files
+        re = StateStore(store.root)
+        assert re.node_locations(np.array([7])).num_rows == 1  # not deleted
+
+    def test_lineage_log_written(self, store):
+        log = os.path.join(store.root, "lineage.log")
+        assert os.path.exists(log)
+        recs = [json.loads(line) for line in open(log)]
+        assert all("table" in r and "rows" in r and "generation" in r for r in recs)
+        assert {r["table"] for r in recs} >= {"nodes", "ways", "relations"}
+
+
+class TestWatermark:
+    def test_watermark_roundtrip(self, store):
+        assert store.watermark is None
+        store.begin()
+        store.set_watermark(42, "2024-01-01T00:00:00Z")
+        store.commit()
+        re = StateStore(store.root)
+        assert re.watermark == {"seq": 42, "ts": "2024-01-01T00:00:00Z"}
