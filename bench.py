@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Headline: the flagship spatial-join + tile-assignment pipeline over the
+synthetic bench world (1M pages, 200k nodes, 40k ways, 5k relations —
+FIXTURES.md bench tier, ~20% of pages in one mega-cell), plus the
+incremental delta replay, plus a subset of the oracle-checked query
+battery over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "spatial_join_tile_assignment", "value": <headline sec>,
+   "unit": "sec", "pages_per_sec": ..., "queries": {...}, "sf": ...,
+   "num_cpus": N}
+
+``--scaling`` runs the headline in two FRESH processes (num_cpus=8 and
+32) on the same cached input and reports both throughputs and the
+scaling efficiency (pages_per_sec_32 / pages_per_sec_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+BENCH_CACHE = "/tmp/olu_ray_bench_v2"
+SCRATCH = "/tmp/olu_ray_bench_scratch"
+
+
+def build_bench_world(rd):
+    """Deterministic bench inputs, cached across runs (untimed)."""
+    from osm_live_updates_ray.sources import synthetic
+
+    os.makedirs(BENCH_CACHE, exist_ok=True)
+    done = os.path.join(BENCH_CACHE, "WORLD_DONE")
+    if os.path.exists(done):
+        return
+    t = synthetic.TIERS["bench"]
+
+    def gen(batch):
+        return synthetic.gen_pages_idx(batch["id"])
+
+    (
+        rd.range(t["pages"], override_num_blocks=128)
+        .map_batches(gen, batch_format="numpy", batch_size=16384)
+        .write_parquet(os.path.join(BENCH_CACHE, "pages"))
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        synthetic.gen_osm_nodes(t["nodes"]), os.path.join(BENCH_CACHE, "nodes.parquet")
+    )
+    pq.write_table(
+        synthetic.gen_osm_ways(t["ways"], t["nodes"]),
+        os.path.join(BENCH_CACHE, "ways.parquet"),
+    )
+    pq.write_table(
+        synthetic.gen_osm_relations(t["rels"], t["ways"], t["nodes"]),
+        os.path.join(BENCH_CACHE, "relations.parquet"),
+    )
+    pq.write_table(
+        synthetic.gen_changes(t["delta"], t["nodes"], t["ways"], t["rels"]),
+        os.path.join(BENCH_CACHE, "changes.parquet"),
+    )
+    open(done, "w").write("ok")
+
+
+def headline_spatial_join(rd, num_cpus: int) -> dict:
+    """pages -> geocode -> PIP + kNN -> assignments parquet (timed)."""
+    import pyarrow.parquet as pq
+
+    from osm_live_updates_ray.config import EngineConfig
+    from osm_live_updates_ray.sources import synthetic
+    from osm_live_updates_ray.stages import geometry, spatial
+
+    cfg = EngineConfig()
+    nodes = pq.read_table(os.path.join(BENCH_CACHE, "nodes.parquet"))
+    ways = pq.read_table(os.path.join(BENCH_CACHE, "ways.parquet"))
+    rels = pq.read_table(os.path.join(BENCH_CACHE, "relations.parquet"))
+    lookup = geometry.NodeCoordLookup.from_table(nodes)
+    rings = geometry.polygon_rings_from_osm(ways, rels, lookup)
+    out_dir = os.path.join(SCRATCH, "assignments")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    pages = rd.read_parquet(os.path.join(BENCH_CACHE, "pages"))
+    n_pages = pages.count()
+
+    t0 = time.time()
+    pages = rd.read_parquet(os.path.join(BENCH_CACHE, "pages"))
+    geo = spatial.geocode(pages, cfg).select_columns(
+        ["url", "lon", "lat", "cell_id", "tile_id"]
+    )  # drop html/text before the join: only join keys cross the wire
+    joined = spatial.spatial_join(
+        geo, rings, nodes.select(["id", "lon", "lat"]), cfg,
+        concurrency=max(2, num_cpus - 4),
+    )
+    joined.write_parquet(out_dir)
+    sec = time.time() - t0
+    return {"sec": sec, "pages": n_pages, "pages_per_sec": n_pages / sec}
+
+
+def delta_replay(num_cpus: int) -> dict:
+    """Bootstrap once (cached), then timed incremental replay on a COW
+    copy of the state."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm_live_updates_ray.pipelines import static_join, update
+    from osm_live_updates_ray.state.store import StateStore
+
+    state_cache = os.path.join(BENCH_CACHE, "state")
+    if not os.path.exists(os.path.join(state_cache, "manifest.json")):
+        nodes = pq.read_table(os.path.join(BENCH_CACHE, "nodes.parquet"))
+        ways = pq.read_table(os.path.join(BENCH_CACHE, "ways.parquet"))
+        rels = pq.read_table(os.path.join(BENCH_CACHE, "relations.parquet"))
+        pages = rd.read_parquet(os.path.join(BENCH_CACHE, "pages"))
+        static_join.build_state(state_cache, pages, nodes, ways, rels)
+    work = os.path.join(SCRATCH, "state")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(state_cache, work)
+    changes = pq.read_table(os.path.join(BENCH_CACHE, "changes.parquet"))
+    store = StateStore(work)
+    t0 = time.time()
+    summary = update.apply_changes(store, changes)
+    sec = time.time() - t0
+    return {"sec": sec, "changes": changes.num_rows,
+            "changes_per_sec": changes.num_rows / sec,
+            "dirty_cells": summary["dirty_cells"],
+            "tiles_rewritten": summary["tiles_rewritten"]}
+
+
+def battery(sf_dir: str) -> dict:
+    from osm_live_updates_ray import queries as Q
+
+    times = {}
+    for name in ("tpch_q1", "tpch_q3", "assignments", "tile_rollup",
+                 "classify_changes", "dirty_ways"):
+        t0 = time.time()
+        res = Q.QUERIES[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()  # consume the Dataset
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_once() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    build_bench_world(rd)
+    head = headline_spatial_join(rd, num_cpus)
+    delta = delta_replay(num_cpus)
+    qtimes = battery(sf_dir)
+    result = {
+        "metric": "spatial_join_tile_assignment",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "pages": head["pages"],
+        "pages_per_sec": round(head["pages_per_sec"], 1),
+        "delta_replay_sec": round(delta["sec"], 3),
+        "delta_changes_per_sec": round(delta["changes_per_sec"], 1),
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    out = {}
+    for n in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO,
+        )
+        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    pps8 = out[8]["pages_per_sec"]
+    pps32 = out[32]["pages_per_sec"]
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "pages_per_sec_8": pps8,
+        "pages_per_sec_32": pps32,
+        "speedup": round(pps32 / pps8, 3),
+        "scaling_efficiency": round((pps32 / pps8) / 4.0, 3),
+        "sec_8": out[8]["value"],
+        "sec_32": out[32]["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

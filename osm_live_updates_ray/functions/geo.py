@@ -34,15 +34,15 @@ def points_in_ring(
     n = len(ring_x)
     inside = np.zeros(len(px), dtype=bool)
     j = n - 1
-    for i in range(n):  # loop over VERTICES (small); points vectorized
-        xi, yi = ring_x[i], ring_y[i]
-        xj, yj = ring_x[j], ring_y[j]
-        crosses = (yi > py) != (yj > py)
-        if crosses.any():
-            with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(n):  # loop over VERTICES (small); points vectorized
+            xi, yi = ring_x[i], ring_y[i]
+            xj, yj = ring_x[j], ring_y[j]
+            crosses = (yi > py) != (yj > py)
+            if crosses.any():
                 t = (xj - xi) * (py - yi) / (yj - yi) + xi
-            inside ^= crosses & (px < t)
-        j = i
+                inside ^= crosses & (px < t)
+            j = i
     return inside
 
 
@@ -143,14 +143,9 @@ def sq_dist_argmin(
     """
     n = len(px)
     best_d = np.full(n, np.inf)
-    best_id = np.full(n, -1, dtype=np.int64)
+    best_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
     if len(qx) == 0 or n == 0:
-        return best_id, best_d
-    if not ids_sorted:
-        # candidates ascending by id => within a chunk argmin picks the
-        # smallest id among equals; across chunks strict < keeps it.
-        order = np.argsort(qid, kind="stable")
-        qx, qy, qid = qx[order], qy[order], qid[order]
+        return np.full(n, -1, dtype=np.int64), best_d
     for ps in range(0, n, point_chunk):
         pe = min(ps + point_chunk, n)
         ppx = px[ps:pe, None]
@@ -158,16 +153,20 @@ def sq_dist_argmin(
         bd = best_d[ps:pe]
         bi = best_id[ps:pe]
         for s in range(0, len(qx), chunk):
+            cid = qid[s : s + chunk]
             dx = ppx - qx[None, s : s + chunk]
             dy = ppy - qy[None, s : s + chunk]
             dx *= dx
             dy *= dy
             dx += dy
-            j = np.argmin(dx, axis=1)  # first min => smallest id
-            dmin = dx[np.arange(pe - ps), j]
-            take = dmin < bd
+            dmin = dx.min(axis=1)
+            # smallest id among ties — sortless: mask non-minima to +inf id
+            idmin = np.where(dx == dmin[:, None], cid[None, :],
+                             np.iinfo(np.int64).max).min(axis=1)
+            take = (dmin < bd) | ((dmin == bd) & (idmin < bi))
             bd[take] = dmin[take]
-            bi[take] = qid[s : s + chunk][j[take]]
+            bi[take] = idmin[take]
+    best_id = np.where(np.isinf(best_d), -1, best_id)
     return best_id, best_d
 
 

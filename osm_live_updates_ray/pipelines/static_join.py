@@ -96,7 +96,9 @@ def build_state(
     pages_back = store.read_tiles_dataset(
         "pages", columns=["url", "lon", "lat", "cell_id", "tile_id"]
     )
-    assignments = spatial.spatial_join(pages_back, rings, node_tbl, cfg)
+    assignments = spatial.spatial_join(
+        pages_back, rings, node_tbl, cfg, keep_lonlat=True
+    )
     store.init_tile_table("assignments", assignments)
 
     # tile rollups (A6) over the committed assignments

@@ -76,66 +76,72 @@ def _env_cells(geoms: pa.Table, res: float) -> np.ndarray:
     return np.unique(np.concatenate(out))
 
 
-def _knn_dirty_cells(
+def _dirty_assignment_rows(
     store: StateStore,
     moved_or_deleted: np.ndarray,
     new_lon: np.ndarray,
     new_lat: np.ndarray,
+    env_dirty_cells: np.ndarray,
     cfg: EngineConfig,
-) -> np.ndarray:
-    """Cells whose pages' nearest-node assignment may change.
+) -> pa.Table:
+    """EXACT set of page-assignment rows that must be recomputed.
 
-    kNN dirtiness is NON-LOCAL (a created node can become the nearest
-    for pages many cells away), so geometric envelopes are not enough:
-      * cells containing a page whose current knn is a moved/deleted
-        node are dirty (exact);
-      * for each created/moved-in node position p, a cell is dirty if
-        its stored max knn_dist exceeds the squared lower-bound
-        distance from the cell's rectangle to p (conservative =>
-        superset of affected, never misses one).
-    One column-pruned scan of assignments per window; at cluster scale
-    this runs as a Ray Data partial aggregate over the tile table.
+    A row needs recomputation iff:
+      * its cell is in ``env_dirty_cells`` (an object's old/new extent
+        touches it — PIP/geometry dirtiness, strictly local), or
+      * its current nearest node was moved/deleted, or
+      * some created/moved-in node is CLOSER than its stored knn_dist
+        (kNN dirtiness is NON-LOCAL; the state rows carry lon/lat so
+        the distance test is exact per page, not a cell bound).
+
+    Runs as a Ray Data scan over the assignments tile table with the
+    small sets broadcast — returns only the dirty rows (delta-sized).
     """
-    assigns = store.read_tiles(
-        "assignments", columns=["cell_id", "knn_node_id", "knn_dist"]
-    )
-    if assigns.num_rows == 0:
-        return np.empty(0, dtype=np.int64)
-    cell = assigns.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    kid = assigns.column("knn_node_id").to_numpy(zero_copy_only=False)
-    kd = assigns.column("knn_dist").to_numpy(zero_copy_only=False)
-    out = []
-    if len(moved_or_deleted):
-        hit = np.isin(kid, moved_or_deleted)
-        out.append(np.unique(cell[hit]))
-    if len(new_lon):
-        # per-cell max knn_dist (NaN => +inf: no node was assigned)
-        kd_inf = np.where(np.isnan(kd), np.inf, kd)
-        order = np.argsort(cell, kind="stable")
-        cs, starts = np.unique(cell[order], return_index=True)
-        maxd = np.maximum.reduceat(kd_inf[order], starts)
-        res = cfg.cell_res_deg
-        cx = (cs >> np.int64(32)).astype(np.float64) * res - 180.0
-        cy = (cs & np.int64(0xFFFFFFFF)).astype(np.float64) * res - 90.0
-        dirty = np.zeros(len(cs), dtype=bool)
-        for s in range(0, len(new_lon), 512):
-            plon = new_lon[s : s + 512]
-            plat = new_lat[s : s + 512]
-            # distance from each cell rect [cx,cx+res]x[cy,cy+res] to p
-            dx = np.maximum(
-                np.maximum(cx[:, None] - plon[None, :], plon[None, :] - (cx[:, None] + res)),
-                0.0,
-            )
-            dy = np.maximum(
-                np.maximum(cy[:, None] - plat[None, :], plat[None, :] - (cy[:, None] + res)),
-                0.0,
-            )
-            lb = dx * dx + dy * dy
-            dirty |= (lb < maxd[:, None]).any(axis=1)
-        out.append(cs[dirty])
-    if not out:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(out))
+    ds = store.read_tiles_dataset("assignments")
+    moved = moved_or_deleted.copy()
+    nl = new_lon.copy()
+    nt = new_lat.copy()
+    env = env_dirty_cells.copy()
+
+    def dirty_rows(t: pa.Table) -> pa.Table:
+        cell = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(cell, env)
+        if len(moved):
+            kid = t.column("knn_node_id").to_numpy(zero_copy_only=False)
+            mask |= np.isin(kid, moved)
+        if len(nl):
+            kd = t.column("knn_dist").to_numpy(zero_copy_only=False)
+            kd = np.where(np.isnan(kd), np.inf, kd)
+            px = t.column("lon").to_numpy(zero_copy_only=False)
+            py = t.column("lat").to_numpy(zero_copy_only=False)
+            todo = ~mask
+            for s in range(0, len(nl), 256):
+                idx = np.flatnonzero(todo)
+                if not len(idx):
+                    break
+                dx = px[idx, None] - nl[None, s : s + 256]
+                dy = py[idx, None] - nt[None, s : s + 256]
+                # <= : a new node at EXACTLY the stored distance can
+                # still win the (dist, id) tie-break
+                beat = ((dx * dx + dy * dy) <= kd[idx, None]).any(axis=1)
+                mask[idx[beat]] = True
+                todo[idx[beat]] = False
+            # restore tile_id from hive partition when projected away
+        return t.filter(pa.array(mask))
+
+    from ..schemas import ASSIGNMENTS_STATE
+
+    batches = [
+        b
+        for b in ds.map_batches(dirty_rows, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    if not batches:
+        return ASSIGNMENTS_STATE.empty_table()
+    cols = [f.name for f in ASSIGNMENTS_STATE]
+    return pa.concat_tables([b.select(cols) for b in batches]).cast(ASSIGNMENTS_STATE)
 
 
 def apply_changes(
@@ -248,22 +254,26 @@ def apply_changes(
     knn_new = node_upserts.filter(
         pc.is_in(node_upserts.column("id"), value_set=pa.array(knn_source_ids))
     )
-    dirty_cells = np.unique(
+    env_dirty_cells = np.unique(
         np.concatenate(
             [
                 _env_cells(old_geoms, cfg.cell_res_deg),
                 _env_cells(new_geoms, cfg.cell_res_deg),
-                _knn_dirty_cells(
-                    store,
-                    moved_or_deleted,
-                    knn_new.column("lon").to_numpy(zero_copy_only=False),
-                    knn_new.column("lat").to_numpy(zero_copy_only=False),
-                    cfg,
-                ),
             ]
         )
     )
-    summary["dirty_cells"] = int(len(dirty_cells))
+    dirty_rows = _dirty_assignment_rows(
+        store,
+        moved_or_deleted,
+        knn_new.column("lon").to_numpy(zero_copy_only=False),
+        knn_new.column("lat").to_numpy(zero_copy_only=False),
+        env_dirty_cells,
+        cfg,
+    )
+    summary["dirty_cells"] = int(
+        len(np.unique(dirty_rows.column("cell_id").to_numpy(zero_copy_only=False)))
+    )
+    summary["rejoined_pages"] = int(dirty_rows.num_rows)
 
     # --- apply state mutations (COW partitions; commit at the end)
     store.begin()
@@ -314,46 +324,61 @@ def apply_changes(
     )
     store.apply_upserts_deletes("polygon_rings", new_rings, affected_poly_ids)
 
-    # --- re-join pages of dirty cells against the NEW layers
-    dirty_tiles = np.unique(
-        cellfn.cell_to_tile(dirty_cells, cfg.cell_res_deg, cfg.tile_res_deg)
-    )
-    existing_tiles = set(store.tile_ids("assignments"))
-    page_tiles = set(store.tile_ids("pages"))
-    touch_tiles = [
-        int(t) for t in dirty_tiles if int(t) in (existing_tiles | page_tiles)
-    ]
+    # --- re-join EXACTLY the dirty rows against the NEW layers, then
+    # per-url COW merge into the affected tiles
     tiles_rewritten = 0
-    if touch_tiles:
+    if dirty_rows.num_rows:
         rings_all = store.read_all("polygon_rings")
         nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
-        joiner = spatial.SpatialJoiner(
-            rings_all,
-            {
-                "id": nodes_all.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
-                "lon": nodes_all.column("lon").to_numpy(zero_copy_only=False),
-                "lat": nodes_all.column("lat").to_numpy(zero_copy_only=False),
-            },
-            cfg,
+        rejoin_input = dirty_rows.select(
+            ["url", "lon", "lat", "cell_id", "tile_id"]
         )
-        pages = store.read_tiles(
-            "pages", touch_tiles, columns=["url", "lon", "lat", "cell_id"]
-        )
-        lon = pages.column("lon").to_numpy(zero_copy_only=False)
-        lat = pages.column("lat").to_numpy(zero_copy_only=False)
-        tile = cellfn.tile_id(lon, lat, cfg.tile_res_deg)
-        pages = pages.append_column("tile_id", pa.array(tile))
-        in_dirty = pc.is_in(pages.column("cell_id"), value_set=pa.array(dirty_cells))
-        recomputed = joiner(pages.filter(in_dirty))
+        if dirty_rows.num_rows > 200_000:
+            # distributed re-join (big invalidation => Ray pipeline)
+            import ray.data as rd
+
+            ds = spatial.spatial_join(
+                rd.from_arrow(rejoin_input), rings_all, nodes_all, cfg,
+                keep_lonlat=True,
+            )
+            recomputed = pa.concat_tables(
+                list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+            )
+        else:
+            joiner = spatial.SpatialJoiner(
+                spatial.PolygonIndex(rings_all, cfg.cell_res_deg),
+                spatial.GridNodeIndex(
+                    nodes_all.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+                    nodes_all.column("lon").to_numpy(zero_copy_only=False),
+                    nodes_all.column("lat").to_numpy(zero_copy_only=False),
+                    cfg.cell_res_deg,
+                ),
+                cfg,
+                keep_lonlat=True,
+            )
+            recomputed = joiner(rejoin_input)
+        recomputed = recomputed.cast(dirty_rows.schema)
+        touch_tiles = np.unique(
+            np.concatenate(
+                [
+                    recomputed.column("tile_id").to_numpy(zero_copy_only=False),
+                    dirty_rows.column("tile_id").to_numpy(zero_copy_only=False),
+                ]
+            )
+        ).tolist()
+        existing = set(store.tile_ids("assignments"))
+        touch_tiles = [int(t) for t in touch_tiles if int(t) in existing]
         old_assign = store.read_tiles("assignments", touch_tiles)
         keep_old = pc.invert(
-            pc.is_in(old_assign.column("cell_id"), value_set=pa.array(dirty_cells))
+            pc.is_in(
+                old_assign.column("url"),
+                value_set=dirty_rows.column("url").combine_chunks(),
+            )
         )
         merged = pa.concat_tables(
             [old_assign.filter(keep_old).cast(recomputed.schema), recomputed]
         )
         store.replace_tiles("assignments", touch_tiles, merged)
-        # rollups for the rewritten tiles
         if merged.num_rows:
             store.replace_tiles(
                 "rollups", touch_tiles, tiles.tile_rollup_table(merged)
@@ -363,7 +388,6 @@ def apply_changes(
                 "rollups", touch_tiles, tiles.TILE_ROLLUP.empty_table()
             )
         tiles_rewritten = len(touch_tiles)
-        summary["rejoined_pages"] = int(pc.sum(pc.cast(in_dirty, pa.int64())).as_py() or 0)
     summary["tiles_rewritten"] = tiles_rewritten
 
     # --- watermark + atomic commit (updatesCompleteUntil analog)

@@ -149,6 +149,13 @@ PAGE_TILE_ASSIGNMENTS = pa.schema(
     ]
 )
 
+#: the STATE variant additionally stores the page position so the delta
+#: path can compute EXACT per-page kNN invalidation (dist to each new
+#: node vs the stored knn_dist) without re-reading the pages table.
+ASSIGNMENTS_STATE = PAGE_TILE_ASSIGNMENTS.append(
+    pa.field("lon", pa.float64())
+).append(pa.field("lat", pa.float64()))
+
 DIRTY_SETS = pa.schema(
     [
         ("type", pa.string()),

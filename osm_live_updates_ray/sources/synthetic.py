@@ -57,10 +57,10 @@ def page_coords(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
-def gen_pages(start: int, count: int) -> pa.Table:
-    """Pages [start, start+count) in the PAGES schema.  Pure function of
-    the index range — callable from parallel Ray tasks."""
-    idx = np.arange(start, start + count, dtype=np.int64)
+def gen_pages_idx(idx: np.ndarray) -> pa.Table:
+    """Pages for an arbitrary index array (pure; used by parallel Ray
+    generation in bench.py)."""
+    idx = np.asarray(idx, dtype=np.int64)
     lon, lat = page_coords(idx)
     n_words = 20 + (idx % 80)
     texts = _rng_words(idx, n_words)
@@ -83,20 +83,35 @@ def gen_pages(start: int, count: int) -> pa.Table:
     )
 
 
+def gen_pages(start: int, count: int) -> pa.Table:
+    """Pages [start, start+count) in the PAGES schema."""
+    return gen_pages_idx(np.arange(start, start + count, dtype=np.int64))
+
+
 NODES_PER_GROUP = 16
 
 
 def node_coords(node_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Locality-aware node coordinates: nodes come in groups of 16
-    sharing an anchor (~1 cell), so ways built from one group form
-    SMALL geometries like real OSM data; 20% of groups anchor in the
-    hotspot mega-cell."""
+    sharing a ~0.02-degree anchor neighbourhood (building/block scale,
+    like real OSM features), so ways built from one group form SMALL
+    geometries; 20% of groups anchor inside the hotspot mega-cell."""
     g = node_id // NODES_PER_GROUP
     hot = g % 5 == 0
-    anchor_lon = np.where(hot, HOTSPOT_LON, -180.0 + ((g * 6151) % 35900) / 100.0)
-    anchor_lat = np.where(hot, HOTSPOT_LAT, -90.0 + ((g * 4423) % 17900) / 100.0)
-    lon = anchor_lon + ((node_id * 29) % 900) / 1000.0
-    lat = anchor_lat + ((node_id * 31) % 900) / 1000.0
+    # per-group anchor: spread WITHIN the hotspot cell for hot groups
+    anchor_lon = np.where(
+        hot,
+        HOTSPOT_LON + ((g * 7919) % 900) / 1000.0,
+        -180.0 + ((g * 6151) % 35900) / 100.0,
+    )
+    anchor_lat = np.where(
+        hot,
+        HOTSPOT_LAT + ((g * 6151) % 900) / 1000.0,
+        -90.0 + ((g * 4423) % 17900) / 100.0,
+    )
+    # per-node jitter: feature-scale (~0.02 deg)
+    lon = anchor_lon + ((node_id * 29) % 20) / 1000.0
+    lat = anchor_lat + ((node_id * 31) % 20) / 1000.0
     return lon, lat
 
 

@@ -102,13 +102,66 @@ class PolygonIndex:
                     if int(c) not in seen:
                         seen.add(int(c))
                         self.by_cell.setdefault(int(c), []).append(pid)
+        # dense-cell subdivision (mega-cell skew): cells with many
+        # candidate polygons get an NxN sub-bucket map so each point
+        # only tests polygons whose rings touch its sub-bucket
+        self.SUB_N = 16
+        self.dense_poly_threshold = 64
+        self._sub: dict[int, dict[int, list[int]]] = {}
+        for c, pids_ in self.by_cell.items():
+            if len(pids_) <= self.dense_poly_threshold:
+                continue
+            n = self.SUB_N
+            sub_res = cell_res / n
+            cx0 = (c >> 32) * cell_res - 180.0
+            cy0 = (c & 0xFFFFFFFF) * cell_res - 90.0
+            buckets: dict[int, list[int]] = {}
+            for pid in pids_:
+                e = self.rings_by_poly[pid]
+                seen_k: set[int] = set()
+                for _x, _y, b in e["outer"]:
+                    bx0 = max(int((b[0] - cx0) / sub_res), 0)
+                    bx1 = min(int((b[2] - cx0) / sub_res), n - 1)
+                    by0 = max(int((b[1] - cy0) / sub_res), 0)
+                    by1 = min(int((b[3] - cy0) / sub_res), n - 1)
+                    for sx in range(bx0, bx1 + 1):
+                        for sy in range(by0, by1 + 1):
+                            k = sx * n + sy
+                            if k not in seen_k:
+                                seen_k.add(k)
+                                buckets.setdefault(k, []).append(pid)
+            self._sub[c] = buckets
 
     def assign(self, cell: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Winning polygon_id per point (smallest area, then id); -1 none."""
+        sub = self._sub.get(int(cell))
+        if sub is not None:
+            n = self.SUB_N
+            sub_res = self.cell_res / n
+            cx0 = (int(cell) >> 32) * self.cell_res - 180.0
+            cy0 = (int(cell) & 0xFFFFFFFF) * self.cell_res - 90.0
+            bx = np.clip(((px - cx0) / sub_res).astype(np.int64), 0, n - 1)
+            by = np.clip(((py - cy0) / sub_res).astype(np.int64), 0, n - 1)
+            key = bx * n + by
+            out = np.full(len(px), -1, dtype=np.int64)
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            runs = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1, [len(ks)]])
+            for s, e_ in zip(runs[:-1], runs[1:]):
+                g = order[s:e_]
+                out[g] = self._assign_candidates(
+                    sub.get(int(ks[s]), ()), px[g], py[g]
+                )
+            return out
+        return self._assign_candidates(self.by_cell.get(int(cell), ()), px, py)
+
+    def _assign_candidates(
+        self, pids, px: np.ndarray, py: np.ndarray
+    ) -> np.ndarray:
         n = len(px)
         best_pid = np.full(n, -1, dtype=np.int64)
         best_area = np.full(n, np.inf)
-        for pid in self.by_cell.get(int(cell), ()):
+        for pid in pids:
             e = self.rings_by_poly[pid]
             inside = np.zeros(n, dtype=bool)
             for x, y, b in e["outer"]:
@@ -134,6 +187,104 @@ class PolygonIndex:
             best_pid[upd] = pid
             best_area[upd] = a
         return best_pid
+
+
+class _DenseCellSub:
+    """Fine sub-grid over ONE dense cell's nodes (mega-cell skew: a
+    20%-of-the-world hotspot cell would otherwise brute-force every
+    page against every hotspot node).  NxN local buckets + a local
+    radius table, same candidate-radius guarantee as the outer grid."""
+
+    N = 24
+
+    def __init__(self, ids: np.ndarray, lons: np.ndarray, lats: np.ndarray,
+                 x0: float, y0: float, res: float):
+        n = self.N
+        self.x0, self.y0 = x0, y0
+        self.sub = res / n
+        bx = np.clip(((lons - x0) / self.sub).astype(np.int64), 0, n - 1)
+        by = np.clip(((lats - y0) / self.sub).astype(np.int64), 0, n - 1)
+        key = bx * n + by
+        order = np.lexsort((ids, key))
+        self.ids = ids[order]
+        self.lons = lons[order]
+        self.lats = lats[order]
+        ks = key[order]
+        self.ukeys, starts = np.unique(ks, return_index=True)
+        self.offsets = np.append(starts, len(ks))
+        # local radius table via the same summed-area ladder
+        occ = np.zeros((n, n), dtype=np.int32)
+        occ[self.ukeys // n, self.ukeys % n] = 1
+        P = np.zeros((n + 1, n + 1), dtype=np.int64)
+        np.cumsum(occ, axis=0, out=P[1:, 1:])
+        np.cumsum(P[1:, 1:], axis=1, out=P[1:, 1:])
+        gx = np.arange(n)[:, None]
+        gy = np.arange(n)[None, :]
+        r_found = np.full((n, n), -1, dtype=np.int32)
+        for r in (0, 1, 2, 3, 4, 6, 8, 12, 16, 24, n):
+            x0i = np.clip(gx - r, 0, n); x1i = np.clip(gx + r + 1, 0, n)
+            y0i = np.clip(gy - r, 0, n); y1i = np.clip(gy + r + 1, 0, n)
+            s = P[x1i, y1i] - P[x0i, y1i] - P[x1i, y0i] + P[x0i, y0i]
+            m = (r_found < 0) & (s > 0)
+            r_found[m] = r
+            if (r_found >= 0).all():
+                break
+        r_found[r_found < 0] = n
+        self.R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 2
+        self._memo: dict[int, np.ndarray] = {}
+
+    def _cands(self, kb: int) -> np.ndarray:
+        got = self._memo.get(kb)
+        if got is not None:
+            return got
+        n = self.N
+        bx, by = kb // n, kb % n
+        R = int(self.R[bx, by])
+        x0, x1 = max(bx - R, 0), min(bx + R, n - 1)
+        y0, y1 = max(by - R, 0), min(by + R, n - 1)
+        keys = (
+            np.arange(x0, x1 + 1, dtype=np.int64)[:, None] * n
+            + np.arange(y0, y1 + 1, dtype=np.int64)[None, :]
+        ).ravel()
+        pos = np.searchsorted(self.ukeys, keys)
+        ok = pos < len(self.ukeys)
+        pos = pos[ok]
+        hits = pos[self.ukeys[pos] == keys[ok]]
+        if not len(hits):
+            out = np.empty(0, dtype=np.int64)
+        else:
+            starts = self.offsets[hits]
+            lens = self.offsets[hits + 1] - starts
+            out = np.ones(int(lens.sum()), dtype=np.int64)
+            out[0] = starts[0]
+            jumps = np.cumsum(lens)[:-1]
+            out[jumps] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+            np.cumsum(out, out=out)
+        self._memo[kb] = out
+        return out
+
+    def knn(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact nearest WITHIN this cell's nodes."""
+        n = self.N
+        bx = np.clip(((px - self.x0) / self.sub).astype(np.int64), 0, n - 1)
+        by = np.clip(((py - self.y0) / self.sub).astype(np.int64), 0, n - 1)
+        key = bx * n + by
+        out_id = np.full(len(px), -1, dtype=np.int64)
+        out_d = np.full(len(px), np.inf)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        runs = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1, [len(ks)]])
+        for s, e in zip(runs[:-1], runs[1:]):
+            g = order[s:e]
+            cand = self._cands(int(ks[s]))
+            if not len(cand):
+                continue
+            bid, bd = geo.sq_dist_argmin(
+                px[g], py[g], self.lons[cand], self.lats[cand], self.ids[cand]
+            )
+            out_id[g] = bid
+            out_d[g] = bd
+        return out_id, out_d
 
 
 class GridNodeIndex:
@@ -166,6 +317,61 @@ class GridNodeIndex:
         self.ny = int(np.floor(180.0 / cell_res))
         self.max_r = max(self.nx, self.ny)
         self._memo: dict[int, np.ndarray] = {}
+        self._radius_grid = self._build_radius_grid()
+        # adaptive sub-grids for DENSE cells (mega-cell skew handling):
+        # a cell holding > dense_threshold nodes gets an NxN sub-index
+        self.dense_threshold = 2000
+        self._dense: dict[int, _DenseCellSub] = {}
+        counts = np.diff(self.offsets)
+        for k in np.flatnonzero(counts > self.dense_threshold).tolist():
+            cell = int(self.ucells[k])
+            s, e = int(self.offsets[k]), int(self.offsets[k + 1])
+            ix, iy = cell >> 32, cell & 0xFFFFFFFF
+            self._dense[cell] = _DenseCellSub(
+                self.ids[s:e], self.lons[s:e], self.lats[s:e],
+                ix * cell_res - 180.0, iy * cell_res - 90.0, cell_res,
+            )
+
+    def _build_radius_grid(self) -> np.ndarray | None:
+        """Per-cell candidate radius R, precomputed for the WHOLE grid
+        with a summed-area table (vectorized; ~0.3s for a 2880x1440
+        grid) so queries need a single square gather, no probing.
+
+        For each cell, find an upper bound r on the distance to the
+        nearest occupied cell (ladder search), then
+        R = ceil(sqrt(2)*(r+1)) + 2 guarantees the candidate square
+        contains the true nearest node (see class docstring).
+        """
+        if len(self.ucells) == 0:
+            return None
+        occ = np.zeros((self.nx, self.ny), dtype=np.int32)
+        occ[self.ucells >> np.int64(32), self.ucells & np.int64(0xFFFFFFFF)] = 1
+        P = np.zeros((self.nx + 1, self.ny + 1), dtype=np.int64)
+        np.cumsum(occ, axis=0, out=P[1:, 1:])
+        np.cumsum(P[1:, 1:], axis=1, out=P[1:, 1:])
+
+        ix = np.arange(self.nx)[:, None]
+        iy = np.arange(self.ny)[None, :]
+        r_found = np.full((self.nx, self.ny), -1, dtype=np.int32)
+
+        def hits(r: int) -> np.ndarray:
+            x0 = np.clip(ix - r, 0, self.nx)
+            x1 = np.clip(ix + r + 1, 0, self.nx)
+            y0 = np.clip(iy - r, 0, self.ny)
+            y1 = np.clip(iy + r + 1, 0, self.ny)
+            s = P[x1, y1] - P[x0, y1] - P[x1, y0] + P[x0, y0]
+            return s > 0
+
+        ladder = [0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
+                  192, 256, 384, self.max_r]
+        for r in ladder:
+            m = (r_found < 0) & hits(r)
+            r_found[m] = r
+            if (r_found >= 0).all():
+                break
+        r_found[r_found < 0] = self.max_r
+        R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 2
+        return R
 
     def _occupied_in_square(self, ix: int, iy: int, r: int) -> np.ndarray:
         """Positions (into ucells) of occupied cells within Chebyshev
@@ -176,8 +382,9 @@ class GridNodeIndex:
         ys = np.arange(y0, y1 + 1, dtype=np.int64)
         keys = ((xs[:, None] << np.int64(32)) | ys[None, :]).ravel()
         pos = np.searchsorted(self.ucells, keys)
-        pos = pos[pos < len(self.ucells)]
-        return pos[np.isin(self.ucells[pos], keys)]
+        ok = pos < len(self.ucells)
+        pos = pos[ok]
+        return pos[self.ucells[pos] == keys[ok]]
 
     def candidates(self, cell: int) -> np.ndarray:
         """Memoized candidate node positions for queries inside ``cell``."""
@@ -185,36 +392,22 @@ class GridNodeIndex:
         if got is not None:
             return got
         ix, iy = int(cell >> 32), int(cell & 0xFFFFFFFF)
-        r = 0
-        hits = np.empty(0, dtype=np.int64)
-        # doubling probe for the first non-empty square...
-        while r <= self.max_r:
-            hits = self._occupied_in_square(ix, iy, r)
-            if len(hits):
-                break
-            r = 1 if r == 0 else r * 2
-        if not len(hits):
+        if self._radius_grid is None:
             out = np.empty(0, dtype=np.int64)
         else:
-            # ...then binary-search the exact first-hit radius so the
-            # final candidate square stays tight
-            lo, hi = (r // 2 + 1, r) if r > 1 else (0, r)
-            while lo < hi:
-                mid = (lo + hi) // 2
-                if len(self._occupied_in_square(ix, iy, mid)):
-                    hi = mid
-                else:
-                    lo = mid + 1
-            R = int(np.ceil(np.sqrt(2.0) * (hi + 1))) + 2
+            R = int(self._radius_grid[ix, iy])
             hits = self._occupied_in_square(ix, iy, R)
-            out = np.concatenate(
-                [
-                    np.arange(self.offsets[p], self.offsets[p + 1])
-                    for p in hits.tolist()
-                ]
-            )
-            # pre-sort by node id so knn1 can skip its per-call sort
-            out = out[np.argsort(self.ids[out], kind="stable")]
+            if not len(hits):
+                out = np.empty(0, dtype=np.int64)
+            else:
+                # vectorized multi-range concat (no per-hit arange):
+                starts = self.offsets[hits]
+                lens = self.offsets[hits + 1] - starts
+                out = np.ones(int(lens.sum()), dtype=np.int64)
+                out[0] = starts[0]
+                jumps = np.cumsum(lens)[:-1]
+                out[jumps] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+                np.cumsum(out, out=out)
         if len(self._memo) > 100_000:  # bound actor memory
             self._memo.clear()
         self._memo[cell] = out
@@ -226,12 +419,37 @@ class GridNodeIndex:
         n = len(px)
         if len(self.ids) == 0:
             return np.full(n, -1, dtype=np.int64), np.full(n, np.nan)
+        sub = self._dense.get(cell)
+        if sub is not None:
+            # dense-cell fast path: search the sub-grid (cell-local
+            # nodes), then prove global optimality per page: any node
+            # OUTSIDE the cell is at least border-distance away, so
+            # bd <= db^2 certifies the answer; the rare uncertain pages
+            # (near the border) fall back to the full candidate set.
+            bid, bd = sub.knn(px, py)
+            res = self.cell_res
+            ix, iy = cell >> 32, cell & 0xFFFFFFFF
+            cx0 = ix * res - 180.0
+            cy0 = iy * res - 90.0
+            db = np.minimum(
+                np.minimum(px - cx0, cx0 + res - px),
+                np.minimum(py - cy0, cy0 + res - py),
+            )
+            unsafe = (bid == -1) | (bd > db * db)
+            if unsafe.any():
+                cand = self.candidates(cell)
+                u = np.flatnonzero(unsafe)
+                fid, fd = geo.sq_dist_argmin(
+                    px[u], py[u], self.lons[cand], self.lats[cand], self.ids[cand]
+                )
+                bid[u] = fid
+                bd[u] = fd
+            return bid, bd
         cand = self.candidates(cell)
         if not len(cand):
             return np.full(n, -1, dtype=np.int64), np.full(n, np.nan)
         return geo.sq_dist_argmin(
-            px, py, self.lons[cand], self.lats[cand], self.ids[cand],
-            ids_sorted=True,
+            px, py, self.lons[cand], self.lats[cand], self.ids[cand]
         )
 
 
@@ -243,15 +461,25 @@ class SpatialJoiner:
     ONCE per actor in ``__init__``.
     """
 
-    def __init__(self, poly_ref, node_ref, config: EngineConfig = DEFAULT_CONFIG):
+    def __init__(self, poly_ref, node_ref, config: EngineConfig = DEFAULT_CONFIG,
+                 keep_lonlat: bool = False):
         import ray
 
         polys = ray.get(poly_ref) if hasattr(poly_ref, "hex") else poly_ref
         nodes = ray.get(node_ref) if hasattr(node_ref, "hex") else node_ref
         self.config = config
-        self.pindex = PolygonIndex(polys, config.cell_res_deg)
-        self.nindex = GridNodeIndex(
-            nodes["id"], nodes["lon"], nodes["lat"], config.cell_res_deg
+        self.keep_lonlat = keep_lonlat
+        # accept prebuilt indexes (built ONCE on the driver and shared
+        # via ray.put) or raw layer tables (tests / small runs)
+        self.pindex = (
+            polys if isinstance(polys, PolygonIndex)
+            else PolygonIndex(polys, config.cell_res_deg)
+        )
+        self.nindex = (
+            nodes if isinstance(nodes, GridNodeIndex)
+            else GridNodeIndex(
+                nodes["id"], nodes["lon"], nodes["lat"], config.cell_res_deg
+            )
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -281,30 +509,40 @@ class SpatialJoiner:
             bid, bd = self.nindex.knn1(c, lon[g], lat[g])
             kid[g] = bid
             kd[g] = bd
-        out = pa.Table.from_arrays(
-            [
-                urls.combine_chunks(),
-                pa.array(cell),
-                pa.array(pid),
-                pa.array(kid),
-                pa.array(kd),
-                pa.array(tile),
-            ],
-            schema=PAGE_TILE_ASSIGNMENTS,
-        )
+        arrays = [
+            urls.combine_chunks(),
+            pa.array(cell),
+            pa.array(pid),
+            pa.array(kid),
+            pa.array(kd),
+            pa.array(tile),
+        ]
+        if self.keep_lonlat:
+            from ..schemas import ASSIGNMENTS_STATE
+
+            out = pa.Table.from_arrays(
+                arrays + [pa.array(lon), pa.array(lat)], schema=ASSIGNMENTS_STATE
+            )
+        else:
+            out = pa.Table.from_arrays(arrays, schema=PAGE_TILE_ASSIGNMENTS)
         return out.filter(pa.array(keep))
 
 
-def broadcast_layers(polygons: pa.Table, nodes: pa.Table):
-    """``ray.put`` the small sides once; returns (poly_ref, node_ref)."""
+def broadcast_layers(polygons: pa.Table, nodes: pa.Table,
+                     config: EngineConfig = DEFAULT_CONFIG):
+    """Build both indexes ONCE on the driver and ``ray.put`` them;
+    actors deserialize ready-to-query structures instead of re-building
+    per actor."""
     import ray
 
-    node_arrays = {
-        "id": nodes.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
-        "lon": nodes.column("lon").to_numpy(zero_copy_only=False),
-        "lat": nodes.column("lat").to_numpy(zero_copy_only=False),
-    }
-    return ray.put(polygons), ray.put(node_arrays)
+    pindex = PolygonIndex(polygons, config.cell_res_deg)
+    nindex = GridNodeIndex(
+        nodes.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+        nodes.column("lon").to_numpy(zero_copy_only=False),
+        nodes.column("lat").to_numpy(zero_copy_only=False),
+        config.cell_res_deg,
+    )
+    return ray.put(pindex), ray.put(nindex)
 
 
 def spatial_join(
@@ -313,11 +551,25 @@ def spatial_join(
     nodes: pa.Table,
     config: EngineConfig = DEFAULT_CONFIG,
     concurrency=None,
+    presort: bool = False,
+    keep_lonlat: bool = False,
 ):
-    """pages_geo Dataset -> assignments Dataset (broadcast join path)."""
-    poly_ref, node_ref = broadcast_layers(polygons, nodes)
+    """pages_geo Dataset -> assignments Dataset (broadcast join path).
+
+    ``presort`` hash-partitions the (projected, tiny) pages by
+    ``tile_id`` first so all pages of a tile land in one block — the
+    per-cell candidate structures are then built ONCE per cell overall
+    instead of once per (actor, batch).  The shuffled columns are a few
+    dozen bytes/row, so this exchange is cheap relative to the join.
+    """
+    if presort:
+        # requires DataContext.shuffle_strategy = HASH_SHUFFLE, set at
+        # session setup (see bench.py) — keyed repartition is only
+        # implemented by the hash-shuffle backend
+        pages_geo_ds = pages_geo_ds.repartition(64, keys=["tile_id"])
+    poly_ref, node_ref = broadcast_layers(polygons, nodes, config)
     kwargs = dict(
-        fn_constructor_args=(poly_ref, node_ref, config),
+        fn_constructor_args=(poly_ref, node_ref, config, keep_lonlat),
         batch_format="pyarrow",
         batch_size=config.map_batch_size,
     )

@@ -83,6 +83,10 @@ def _polygon_rings_schema():
 
 
 def _schema_of(name: str) -> pa.Schema:
+    if name == "assignments":
+        from ..schemas import ASSIGNMENTS_STATE
+
+        return ASSIGNMENTS_STATE
     if name == "geoms":
         return _geoms_stored_schema()
     if name == "polygon_rings":
@@ -539,6 +543,9 @@ class StateStore:
     def commit(self) -> None:
         self._commit_manifest(self._pending_lineage)
         self._pending_lineage = []
+        # drop superseded files immediately so directory scans
+        # (read_tiles_dataset) match the new manifest without reopening
+        self._gc()
 
     # -- tile tables (pages / assignments partitioned by tile_id) ----------
     # The delta path replaces whole TILES copy-on-write — the engine
@@ -553,10 +560,37 @@ class StateStore:
             return
         path = os.path.join(self.root, name)
         ds.write_parquet(path, partition_cols=["tile_id"])
+        # COMPACT: the partitioned write produces one file per (write
+        # task x tile); merge each tile dir to a single file in parallel
+        # so reads see one well-sized file per tile, not thousands of
+        # shards (small-files problem).
+        tile_dirs = [d for d in os.listdir(path) if d.startswith("tile_id=")]
+        import ray.data as rd
+
+        def compact(batch: pa.Table) -> pa.Table:
+            for d in batch.column("dir").to_pylist():
+                dpath = os.path.join(path, d)
+                files = sorted(os.listdir(dpath))
+                if len(files) <= 1 and files and files[0] == "data.parquet":
+                    continue
+                merged = pa.concat_tables(
+                    [pq.read_table(os.path.join(dpath, f)) for f in files]
+                )
+                tmp = os.path.join(dpath, ".data.parquet.tmp")
+                pq.write_table(merged, tmp)
+                for f in files:
+                    os.remove(os.path.join(dpath, f))
+                os.replace(tmp, os.path.join(dpath, "data.parquet"))
+            return pa.Table.from_pydict({"n": [batch.num_rows]})
+
+        if tile_dirs:
+            (
+                rd.from_arrow(pa.Table.from_pydict({"dir": tile_dirs}))
+                .map_batches(compact, batch_format="pyarrow", batch_size=4)
+                .count()
+            )
         entry: dict[str, list[str]] = {}
-        for d in os.listdir(path):
-            if not d.startswith("tile_id="):
-                continue
+        for d in tile_dirs:
             tid = d.split("=", 1)[1]
             entry[tid] = sorted(os.listdir(os.path.join(path, d)))
         self._manifest["tables"][f"tile:{name}"] = entry
@@ -595,7 +629,15 @@ class StateStore:
                 tbl = tbl.append_column(
                     "tile_id", pa.array(np.full(tbl.num_rows, int(t), dtype=np.int64))
                 )
-            out.append(tbl.select(columns) if columns else tbl)
+            if columns:
+                tbl = tbl.select(columns)
+            else:
+                # canonical column order (hive write drops tile_id from
+                # files; restore the schema's order)
+                want = [f.name for f in _schema_of(name)]
+                if set(want) == set(tbl.column_names):
+                    tbl = tbl.select(want)
+            out.append(tbl)
         if not out:
             empty = _schema_of(name).empty_table()
             return empty.select(columns) if columns else empty

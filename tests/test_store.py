@@ -76,16 +76,16 @@ class TestCow:
         assert after == others_before - {w0["id"]}
 
     def test_gc_removes_stale_partitions(self, store, t1_world):
+        # commit GCs superseded generation files immediately, so the
+        # directory always equals the manifest (dir scans stay correct)
         store.begin()
         store.apply_upserts_deletes("nodes", t1_world["osm_nodes"].slice(0, 1),
                                     np.empty(0, dtype=np.int64))
         store.commit()
         ndir = os.path.join(store.root, "nodes")
-        n_files_before = len(os.listdir(ndir))
-        StateStore(store.root)  # open triggers GC
-        n_files_after = len(os.listdir(ndir))
-        assert n_files_after < n_files_before  # superseded g1 file removed
-        assert n_files_after == store.config.id_partitions
+        assert len(os.listdir(ndir)) == store.config.id_partitions
+        manifest_files = set(store._manifest["tables"]["nodes"].values())
+        assert set(os.listdir(ndir)) == manifest_files
 
     def test_crash_before_commit_invisible(self, store, t1_world):
         # mutate partitions but DON'T commit; a reopened store sees the
