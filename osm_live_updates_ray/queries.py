@@ -853,3 +853,349 @@ def reconstruct_nodes(sf_dir: str):
         "nodes", plan.referenced_nodes, columns=["id", "lon", "lat"]
     )
     return t
+
+
+# ===========================================================================
+# Text analysis / dedup / similarity / events / multimodal
+# ===========================================================================
+@register(
+    "doc_stats",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def doc_stats(sf_dir: str):
+    """Token counting + length stats (vectorized pandas str kernels)."""
+    rd = _rd()
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(stats, batch_format="pandas")
+
+
+@register(
+    "doc_quality",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 4) AS mean_token_len
+    FROM documents
+    """,
+)
+def doc_quality(sf_dir: str):
+    """Quality-scoring features (single-space-token world; richer
+    whitespace/stopword/punct features live in functions/text.py and
+    are covered by unit tests)."""
+    rd = _rd()
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split(" ").str.len().astype("int64")
+        nonspace = df["text"].str.replace(" ", "", regex=False).str.len()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "n_tokens": n_tok,
+                "mean_token_len": _round(
+                    (nonspace.astype("float64") / n_tok).to_numpy(), 4
+                ),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(q, batch_format="pandas")
+
+
+@register(
+    "lang_counts",
+    "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+)
+def lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_q(sf_dir: str):
+    """Exact dedup = hash-partition + per-group first (the canonical
+    shuffle-dedup); output = one surviving row per distinct text."""
+    from ray.data.aggregate import Count, Min
+
+    from .stages.dedup_docs import add_content_hash
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(add_content_hash, batch_format="pyarrow")
+
+    def per_text(g: pd.DataFrame) -> pd.DataFrame:
+        # within a hash bucket, group by the actual text (collision-safe)
+        out = g.groupby("text", sort=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby("content_hash").map_groups(per_text, batch_format="pandas")
+
+
+@register("minhash_near_dups")  # not SQL-expressible -> rows-only check
+def minhash_near_dups(sf_dir: str):
+    """MinHash+LSH candidate pairs, Jaccard-verified, with connected
+    components (shingle->minhash->band->bucket groupby)."""
+    from .stages import dedup_docs
+
+    rd = _rd()
+    docs = td.read(sf_dir, "documents", ["doc_id", "text"])
+    ds = rd.from_arrow(docs)
+    cand = dedup_docs.minhash_candidate_pairs(ds).to_pandas()
+    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    verified = dedup_docs.verify_pairs(cand, texts, threshold=0.8)
+    comp = dedup_docs.connected_components(verified)
+    return pa.Table.from_pandas(comp, preserve_index=False)
+
+
+@register("simhash_near_dups")  # rows-only
+def simhash_near_dups_q(sf_dir: str):
+    from .stages import dedup_docs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_docs.simhash_near_dups(ds)
+
+
+@register("doc_fingerprints")  # rows-only (rolling hash not SQL-expressible)
+def doc_fingerprints(sf_dir: str):
+    from .functions import text as textfn
+
+    rd = _rd()
+
+    def fp(t: pa.Table) -> pa.Table:
+        vals = [textfn.fingerprint64(s) for s in t.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "fingerprint": pa.array(vals, type=pa.int64())}
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fp, batch_format="pyarrow")
+
+
+@register("doc_langid")  # rows-only (heuristic language id)
+def doc_langid(sf_dir: str):
+    from .functions import text as textfn
+
+    rd = _rd()
+
+    def lid(t: pa.Table) -> pa.Table:
+        vals = [textfn.lang_id(s) for s in t.column("text").to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "pred_lang": pa.array(vals)}
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lid, batch_format="pyarrow")
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           ROUND(SQRT(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))), 4) AS l2
+    FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+    GROUP BY vec_id
+    """,
+)
+def embedding_norms(sf_dir: str):
+    rd = _rd()
+
+    def norms(t: pa.Table) -> pa.Table:
+        from .stages.similarity import _stack
+
+        X = _stack(t, "embedding")
+        l2 = _round(np.sqrt((X * X).sum(axis=1)), 4)
+        return pa.Table.from_pydict(
+            {"vec_id": t.column("vec_id"), "l2": pa.array(l2, type=pa.float64())}
+        )
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        norms, batch_format="pyarrow"
+    )
+
+
+@register(
+    "ann_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qe, CAST(e.embedding AS DOUBLE[])) AS score
+      FROM q CROSS JOIN embeddings e
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk(sf_dir: str):
+    """Brute-force exact top-k over the embedding column (broadcast
+    query matrix, per-batch matmul partials)."""
+    from .stages.similarity import _stack, brute_force_topk
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    qmask = pc.less(emb.column("vec_id"), pa.scalar(5))
+    q = emb.filter(qmask)
+    out = brute_force_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        q.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(q, "embedding"),
+        k=10,
+        metric="dot",
+    )
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+@register("ann_topk_lsh")  # rows-only (approximate; recall tested in pytest)
+def ann_topk_lsh(sf_dir: str):
+    from .stages.similarity import _stack, lsh_bucketed_topk
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
+    return lsh_bucketed_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        q.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(q, "embedding"),
+        k=10,
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT event_type,
+           CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, hour_bucket
+    """,
+)
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (partial agg in
+    map_batches + small groupby — the streaming-shaped op)."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = us // 3_600_000_000  # exact integer hour bucket
+        return t.append_column("hour_bucket", pa.array(bucket))
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = _round(out["sum_value"].to_numpy(), 2)
+    return out
+
+
+@register(
+    "user_sessions",
+    """
+    SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def user_sessions(sf_dir: str):
+    """Sessionization (30-min gap) — per-user ordered map_groups, the
+    stream-log windowing pattern."""
+    rd = _rd()
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        gaps = g["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(1 + gaps.sum())]}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+@register("image_features")  # rows-only (stubbed decode; plumbing real)
+def image_features(sf_dir: str):
+    from .stages import multimodal
+
+    rd = _rd()
+    media = multimodal.gen_media(200)
+    ds = rd.from_arrow(
+        media.filter(pc.equal(media.column("kind"), "image"))
+    )
+    feats = multimodal.featurize_images(ds)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        from .stages.similarity import _stack
+
+        X = _stack(t.select(["media_id", "feat"]).rename_columns(
+            ["vec_id", "embedding"]), "embedding")
+        return pa.Table.from_pydict(
+            {
+                "media_id": t.column("media_id"),
+                "feat_dim": pa.array([X.shape[1]] * t.num_rows, type=pa.int32()),
+                "feat_l2": pa.array(
+                    _round(np.sqrt((X * X).sum(axis=1)), 4), type=pa.float64()
+                ),
+                "decoder_version": t.column("decoder_version"),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")

@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata; decode / feature-extract / resize / frame-sample as
+actor-pool map_batches stages.
+
+The decode kernels are STUBBED (no image/audio libraries in this
+container — clearly marked below); the Ray-side plumbing is real and
+tested: schemas, actor signature, per-actor "model" initialization,
+batch sizing for large binary payloads, output layout.  Swapping the
+stub for Pillow/torchaudio is a one-function change per stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),  # opaque encoded bytes
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # nullable typed metadata
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+IMAGE_FEATURES = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("feat", pa.list_(pa.float32())),  # embedding-shaped output
+        ("out_width", pa.int32()),
+        ("out_height", pa.int32()),
+        ("decoder_version", pa.int32()),
+    ]
+)
+
+
+def _deterministic_fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
+    """STUB decode: deterministic pseudo-features from the payload bytes.
+
+    Replace with a real decoder (PIL.Image.open + resize + model) when
+    the imaging stack is available; everything around this function —
+    batching, actor lifecycle, schema — is production-shaped.
+    """
+    h = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float32)
+    if len(h) == 0:
+        return np.zeros(out_dim, dtype=np.float32)
+    reps = int(np.ceil(out_dim / len(h)))
+    return np.tile(h, reps)[:out_dim] / 255.0
+
+
+class ImageFeaturizer:
+    """Actor-pool stage: decode+resize+featurize images.
+
+    ``__init__`` is the once-per-actor model load (here: dimensions
+    and a seed-derived projection standing in for weights); batches
+    should be SMALL for large payloads (see :func:`featurize_images`).
+    """
+
+    VERSION = 1
+
+    def __init__(self, out_dim: int = 64, resize: tuple[int, int] = (224, 224)):
+        self.out_dim = out_dim
+        self.resize = resize
+        rng = np.random.RandomState(7)
+        self.proj = rng.standard_normal((out_dim, out_dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, w, h = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                raw = _deterministic_fake_decode(payload or b"", self.out_dim)
+            except Exception:
+                # decode failures yield a null row, never a crash
+                feats.append(None)
+                w.append(None)
+                h.append(None)
+                continue
+            feats.append((self.proj @ raw).tolist())
+            w.append(self.resize[0])
+            h.append(self.resize[1])
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "feat": pa.array(feats, type=pa.list_(pa.float32())),
+                "out_width": pa.array(w, type=pa.int32()),
+                "out_height": pa.array(h, type=pa.int32()),
+                "decoder_version": pa.array(
+                    [self.VERSION] * batch.num_rows, type=pa.int32()
+                ),
+            }
+        )
+
+
+def featurize_images(media_ds, out_dim: int = 64, concurrency=(1, 8)):
+    """media Dataset -> IMAGE_FEATURES Dataset.
+
+    batch_size is deliberately SMALL: payloads are large binaries, and
+    batch_size x concurrency x payload must fit each worker's heap.
+    """
+    return media_ds.map_batches(
+        ImageFeaturizer,
+        fn_constructor_args=(out_dim,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Video frame-sampling stage (STUB decode): emits one row per
+    sampled frame with deterministic frame offsets — the flat_map-shaped
+    expansion a real pipeline uses for per-frame inference."""
+
+    def __init__(self, every_ms: int = 1000):
+        self.every_ms = every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, offs, frames = [], [], []
+        for mid, dur, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            dur = dur or 0
+            for t in range(0, max(dur, 1), self.every_ms):
+                ids.append(mid)
+                offs.append(t)
+                # STUB: a real implementation decodes the frame at t
+                frames.append((payload or b"")[:16])
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "frame_ms": pa.array(offs, type=pa.int32()),
+                "frame_stub": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def gen_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {
+        "media_id": list(range(n)),
+        "kind": [kinds[i % 3] for i in range(n)],
+        "payload": [rng.bytes(256 + (i % 512)) for i in range(n)],
+        "mime": ["application/octet-stream"] * n,
+        "width": [640 if i % 3 == 0 else None for i in range(n)],
+        "height": [480 if i % 3 == 0 else None for i in range(n)],
+        "duration_ms": [3000 if i % 3 == 2 else None for i in range(n)],
+    }
+    return pa.Table.from_pydict(rows, schema=MEDIA)

@@ -591,3 +591,153 @@ def geocode(pages_ds, config: EngineConfig = DEFAULT_CONFIG):
         batch_size=config.map_batch_size,
         concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# partitioned join variant (both sides large): explicit hash-partition
+# shuffle keyed on cell_id with SALTED repartitioning for mega-cells
+# ---------------------------------------------------------------------------
+def explode_rings_by_cell(rings: pa.Table, cell_res: float = 1.0) -> pa.Table:
+    """Polygon rings -> one row per (covering cell, ring) — the
+    co-partitioned representation of the polygon layer for the
+    shuffle-based join (no broadcast)."""
+    rows = {k: [] for k in ("cell_id", "polygon_id", "ring_idx", "role",
+                            "lons", "lats", "area")}
+    for i in range(rings.num_rows):
+        b = (
+            rings.column("min_lon")[i].as_py(), rings.column("min_lat")[i].as_py(),
+            rings.column("max_lon")[i].as_py(), rings.column("max_lat")[i].as_py(),
+        )
+        for c in cellfn.cells_covering_bbox(b[0], b[1], b[2], b[3], cell_res):
+            rows["cell_id"].append(int(c))
+            rows["polygon_id"].append(rings.column("polygon_id")[i].as_py())
+            rows["ring_idx"].append(rings.column("ring_idx")[i].as_py())
+            rows["role"].append(rings.column("role")[i].as_py())
+            rows["lons"].append(rings.column("lons")[i].as_py())
+            rows["lats"].append(rings.column("lats")[i].as_py())
+            rows["area"].append(rings.column("area")[i].as_py())
+    return pa.Table.from_pydict(rows)
+
+
+def spatial_join_partitioned(
+    pages_geo_ds,
+    rings: pa.Table,
+    config: EngineConfig = DEFAULT_CONFIG,
+    salt_factor: int | None = None,
+    mega_cell_threshold: int | None = None,
+):
+    """Point-in-polygon via an EXPLICIT cell-keyed shuffle (no broadcast
+    side): rings are exploded per covering cell, pages and rings are
+    co-grouped on (cell_id, salt), and each group runs the PIP kernel.
+
+    Skew handling (north_rule): cells whose page count exceeds
+    ``mega_cell_threshold`` are SALTED — pages split into
+    ``salt_factor`` sub-partitions by url hash, the cell's rings
+    replicated into every salt — so one mega-cell cannot serialize the
+    shuffle.  kNN is NOT computed here (it is non-local; the broadcast
+    grid index path owns it) — output is (url, cell_id, polygon_id,
+    tile_id).
+    """
+    from ..functions.hashing import hash_strings
+
+    salt_factor = salt_factor or config.salt_factor
+    threshold = mega_cell_threshold or config.mega_cell_threshold
+
+    # 1) page counts per cell -> hot-cell list (small driver-side result)
+    from ray.data.aggregate import Count
+
+    counts = (
+        pages_geo_ds.groupby("cell_id").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    hot = set(counts.loc[counts["n"] > threshold, "cell_id"].astype(int).tolist())
+
+    # 2) explode + salt the ring side
+    ring_rows = explode_rings_by_cell(rings, config.cell_res_deg)
+    ring_pd = ring_rows.to_pandas()
+    if hot:
+        hot_rings = ring_pd[ring_pd["cell_id"].isin(hot)]
+        replicated = [ring_pd.assign(salt=0)]
+        for s in range(1, salt_factor):
+            replicated.append(hot_rings.assign(salt=s))
+        ring_pd = __import__("pandas").concat(replicated, ignore_index=True)
+    else:
+        ring_pd = ring_pd.assign(salt=0)
+
+    import ray
+    import ray.data as rd
+
+    # polygon TOTAL areas (winner selection must use the full area even
+    # when only some rings cover a group's cell)
+    _pd = __import__("pandas")
+    signed = ring_rows.to_pandas()
+    signed["signed_area"] = signed["area"] * _pd.Series(
+        [1.0 if r != "inner" else -1.0 for r in signed["role"]]
+    )
+    poly_area = (
+        signed.drop_duplicates(subset=["polygon_id", "ring_idx"])
+        .groupby("polygon_id")["signed_area"].sum().to_dict()
+    )
+    ring_ref = ray.put((ring_pd, poly_area))
+
+    # 3) salt the page side and co-group
+    def add_salt(t: pa.Table) -> pa.Table:
+        cell = t.column("cell_id").to_numpy(zero_copy_only=False)
+        salt = np.zeros(len(cell), dtype=np.int64)
+        if hot:
+            is_hot = np.isin(cell, list(hot))
+            if is_hot.any():
+                h = hash_strings(
+                    np.asarray(t.column("url").to_pylist(), dtype=object)[is_hot]
+                )
+                salt[is_hot] = (h.view(np.uint64) % np.uint64(salt_factor)).astype(
+                    np.int64
+                )
+        return t.append_column("salt", pa.array(salt))
+
+    def assign_group(g) -> "pa.Table":
+        import pandas as pd
+
+        cell = int(g["cell_id"].iloc[0])
+        salt = int(g["salt"].iloc[0])
+        rp, poly_area_ = ray.get(ring_ref)
+        local = rp[(rp["cell_id"] == cell) & (rp["salt"] == salt)]
+        sub_rings = pa.Table.from_pandas(
+            local[["polygon_id", "ring_idx", "role", "lons", "lats", "area"]]
+            .assign(
+                min_lon=[min(x) for x in local["lons"]],
+                min_lat=[min(x) for x in local["lats"]],
+                max_lon=[max(x) for x in local["lons"]],
+                max_lat=[max(x) for x in local["lats"]],
+            ),
+            preserve_index=False,
+        ) if len(local) else None
+        px = g["lon"].to_numpy()
+        py = g["lat"].to_numpy()
+        if sub_rings is not None and sub_rings.num_rows:
+            from ..stages.geometry import POLYGON_RINGS
+
+            pidx = PolygonIndex(
+                sub_rings.select([f.name for f in POLYGON_RINGS]).cast(
+                    POLYGON_RINGS
+                ),
+                config.cell_res_deg,
+            )
+            for pp, ee in pidx.rings_by_poly.items():
+                ee["area"] = poly_area_[pp]
+            pid = pidx.assign(cell, px, py)
+        else:
+            pid = np.full(len(g), -1, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "url": g["url"].to_numpy(),
+                "cell_id": g["cell_id"].to_numpy(),
+                "polygon_id": pid,
+                "tile_id": g["tile_id"].to_numpy(),
+            }
+        )
+
+    return (
+        pages_geo_ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["cell_id", "salt"])
+        .map_groups(assign_group, batch_format="pandas")
+    )

@@ -1,0 +1,134 @@
+"""Dedup / similarity / multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_live_updates_ray.stages import dedup_docs, multimodal, similarity
+
+
+def docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "the quick brown fox jumps over the lazy dog and runs away quick",  # near-dup of 0
+        "completely different content about databases and query engines",
+        "the quick brown fox jumps over the lazy dog and runs away fast",  # exact dup of 0
+        "yet another unrelated string holding no similarity whatsoever",
+        "completely different content about databases and query planners",  # near-dup of 2
+    ]
+    return pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    )
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, ray_session):
+        import ray.data as rd
+
+        out = dedup_docs.dedup_exact(rd.from_arrow(docs_table())).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2, 4, 5]  # doc 3 deduped into 0
+
+
+class TestMinhashLsh:
+    def test_near_dups_found_and_verified(self, ray_session):
+        import ray.data as rd
+
+        docs = docs_table()
+        cand = dedup_docs.minhash_candidate_pairs(rd.from_arrow(docs)).to_pandas()
+        texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+        verified = dedup_docs.verify_pairs(cand, texts, threshold=0.7)
+        pairs = {tuple(sorted((a, b))) for a, b in zip(verified["id_a"], verified["id_b"])}
+        assert (0, 3) in pairs  # exact dup
+        assert (0, 1) in pairs  # near dup
+        assert (2, 5) in pairs
+        assert not any({p[0], p[1]} == {0, 2} for p in pairs)
+
+    def test_connected_components(self):
+        import pandas as pd
+
+        pairs = pd.DataFrame({"id_a": [0, 1, 2, 7], "id_b": [1, 3, 5, 8]})
+        comp = dedup_docs.connected_components(pairs)
+        c = dict(zip(comp["doc_id"], comp["component"]))
+        assert c[0] == c[1] == c[3]
+        assert c[2] == c[5]
+        assert c[7] == c[8] and c[7] != c[0]
+
+
+class TestSimhash:
+    def test_near_dups(self, ray_session):
+        import ray.data as rd
+
+        out = dedup_docs.simhash_near_dups(rd.from_arrow(docs_table())).to_pandas()
+        pairs = {tuple(sorted((a, b))) for a, b in zip(out["id_a"], out["id_b"])}
+        assert (0, 3) in pairs  # identical text => hamming 0
+
+
+class TestSimilarity:
+    def vecs(self, n=50, d=16, seed=3):
+        rng = np.random.RandomState(seed)
+        X = rng.standard_normal((n, d)).astype(np.float32)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [row.tolist() for row in X],
+            },
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        )
+
+    def test_brute_force_exact(self, ray_session):
+        import ray.data as rd
+
+        t = self.vecs()
+        from osm_live_updates_ray.stages.similarity import _stack
+
+        Q = _stack(t.slice(0, 2), "embedding")
+        out = similarity.brute_force_topk(
+            rd.from_arrow(t), np.array([0, 1]), Q, k=5
+        )
+        # oracle: numpy full matmul
+        X = _stack(t, "embedding")
+        for qi in (0, 1):
+            s = X[qi] @ X.T
+            order = np.lexsort((np.arange(len(s)), -s))[:5]
+            got = out[out["query_id"] == qi]["neighbor_id"].tolist()
+            assert got == order.tolist()
+            assert out[out["query_id"] == qi]["rank"].tolist() == [1, 2, 3, 4, 5]
+
+    def test_lsh_subset_of_bruteforce_domain(self, ray_session):
+        import ray.data as rd
+
+        t = self.vecs()
+        from osm_live_updates_ray.stages.similarity import _stack
+
+        Q = _stack(t.slice(0, 2), "embedding")
+        out = similarity.lsh_bucketed_topk(
+            rd.from_arrow(t), np.array([0, 1]), Q, k=5, n_planes=4
+        )
+        # each query at least finds itself (same bucket by definition)
+        for qi in (0, 1):
+            assert qi in out[out["query_id"] == qi]["neighbor_id"].tolist()
+
+
+class TestMultimodal:
+    def test_featurize_plumbing(self, ray_session):
+        import ray.data as rd
+
+        media = multimodal.gen_media(30)
+        imgs = media.filter(pa.compute.equal(media.column("kind"), "image"))
+        out = multimodal.featurize_images(rd.from_arrow(imgs)).to_pandas()
+        assert len(out) == imgs.num_rows
+        assert all(len(f) == 64 for f in out["feat"])
+        assert (out["decoder_version"] == multimodal.ImageFeaturizer.VERSION).all()
+        # determinism: same payload -> same features
+        out2 = multimodal.featurize_images(rd.from_arrow(imgs)).to_pandas()
+        a = np.array([np.array(f) for f in out.sort_values("media_id")["feat"]])
+        b = np.array([np.array(f) for f in out2.sort_values("media_id")["feat"]])
+        assert (a == b).all()
+
+    def test_frame_sampler(self):
+        media = multimodal.gen_media(9)
+        vids = media.filter(pa.compute.equal(media.column("kind"), "video"))
+        out = multimodal.FrameSampler(every_ms=1000)(vids)
+        assert out.num_rows == vids.num_rows * 3  # 3000ms / 1000ms

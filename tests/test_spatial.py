@@ -118,3 +118,35 @@ class TestPartitionedVariantAgreesWithBroadcast:
         r = tiles.tile_rollup_table(out)
         assert r.num_rows == len(set(out.column("tile_id").to_pylist()))
         assert sum(r.column("n_pages").to_pylist()) == out.num_rows
+
+
+class TestPartitionedJoinEqualsBroadcast:
+    def test_pip_identical(self, ray_session, t1_world):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osm_live_updates_ray.config import EngineConfig
+
+        w = t1_world
+        lookup = geometry.NodeCoordLookup.from_table(w["osm_nodes"])
+        rings = geometry.polygon_rings_from_osm(
+            w["osm_ways"], w["osm_relations"], lookup
+        )
+        pg = spatial.Geocoder()(w["pages"]).select(
+            ["url", "lon", "lat", "cell_id", "tile_id"]
+        )
+        # broadcast reference result
+        na = {"id": np.empty(0, dtype=np.int64), "lon": np.empty(0),
+              "lat": np.empty(0)}
+        ref = spatial.SpatialJoiner(rings, na)(pg)
+        ref_map = dict(zip(ref.column("url").to_pylist(),
+                           ref.column("polygon_id").to_pylist()))
+        # partitioned + salted result (tiny threshold forces salting)
+        cfg = EngineConfig(mega_cell_threshold=50, salt_factor=4)
+        out = spatial.spatial_join_partitioned(
+            rd.from_arrow(pg), rings, cfg
+        ).to_pandas()
+        assert len(out) == len(ref_map)
+        got = dict(zip(out["url"], out["polygon_id"]))
+        diff = {u for u in got if got[u] != ref_map[u]}
+        assert not diff, f"{len(diff)} mismatches, e.g. {list(diff)[:3]}"
