@@ -59,17 +59,21 @@ def _merge_prefer_last(first: pa.Table, last: pa.Table, key: str = "id") -> pa.T
     return pa.concat_tables([first.filter(keep).cast(last.schema), last])
 
 
-def _env_cells(geoms: pa.Table, res: float) -> np.ndarray:
-    """All cells covered by the envelope of each geom row."""
+def _ring_cells(rings: pa.Table, res: float) -> np.ndarray:
+    """Cells covered by each ring's bbox.
+
+    Assignment dirtiness is driven by POLYGON RINGS (PIP) and nodes
+    (kNN) only — never by whole-object envelopes, which for
+    continent-spanning relations would enumerate most of the grid.
+    Ring bboxes are feature-sized by construction.
+    """
     out = []
     for a, b, c, d in zip(
-        geoms.column("env_min_lon").to_pylist(),
-        geoms.column("env_min_lat").to_pylist(),
-        geoms.column("env_max_lon").to_pylist(),
-        geoms.column("env_max_lat").to_pylist(),
+        rings.column("min_lon").to_pylist(),
+        rings.column("min_lat").to_pylist(),
+        rings.column("max_lon").to_pylist(),
+        rings.column("max_lat").to_pylist(),
     ):
-        if a is None:
-            continue
         out.append(cellfn.cells_covering_bbox(a, b, c, d, res))
     if not out:
         return np.empty(0, dtype=np.int64)
@@ -158,8 +162,15 @@ def apply_changes(
         keep = pc.greater(changes.column("seq"), store.watermark["seq"])
         changes = changes.filter(keep)
 
+    import time as _time
+
+    timers: dict[str, float] = {}
+    _t0 = _time.time()
     ch = dedup_table(changes)
+    timers["dedup"] = _time.time() - _t0
+    _t0 = _time.time()
     plan = classify(ch, store)
+    timers["classify_cascade"] = _time.time() - _t0
     summary: dict = {
         "input_rows": changes.num_rows,
         "deduped_rows": ch.num_rows,
@@ -179,7 +190,9 @@ def apply_changes(
         summary.update(dirty_cells=0, tiles_rewritten=0, empty=True)
         return summary
 
+    _t0 = _time.time()
     rec = reconstruct(plan, store)
+    timers["reconstruct"] = _time.time() - _t0
 
     # --- old payload snapshots (pre-mutation), for edge deletion and
     # old-extent dirtiness
@@ -187,17 +200,20 @@ def apply_changes(
     all_rels = plan.all_relations()
     old_ways = store.lookup("ways", all_ways)
     old_rels = store.lookup("relations", all_rels)
-    affected_gids = np.concatenate(
-        [
-            pack_gid("node", plan.all_nodes()),
-            pack_gid("way", np.concatenate([all_ways, plan.ways_to_update_geometry])),
-            pack_gid(
-                "relation",
-                np.concatenate([all_rels, plan.relations_to_update_geometry]),
-            ),
-        ]
+    # polygon ids whose rings may change (ways + offset relations)
+    affected_poly_ids = np.unique(
+        np.concatenate(
+            [
+                all_ways,
+                plan.ways_to_update_geometry,
+                (all_rels + REL_POLY_OFFSET),
+                (plan.relations_to_update_geometry + REL_POLY_OFFSET),
+            ]
+        )
     )
-    old_geoms = store.lookup("geoms", np.unique(affected_gids))
+    # old rings BEFORE mutation: their bbox cells are where PIP results
+    # can change for removed/moved geometry
+    old_rings = store.lookup("polygon_rings", affected_poly_ids)
 
     # --- delta payloads
     node_upserts = _payload(ch, "node", OSM_NODES)
@@ -227,6 +243,7 @@ def apply_changes(
     rels_recompute = _merge_prefer_last(dirty_rel_rows, rel_upserts)
     way_universe = _merge_prefer_last(rec["ways"], way_upserts)
 
+    _t0 = _time.time()
     new_geom_parts = [
         geometry.node_geoms(node_upserts, cfg),
         geometry.way_geoms(ways_recompute, lookup, cfg),
@@ -243,8 +260,13 @@ def apply_changes(
         ),
     )
 
+    new_rings = geometry.polygon_rings_from_osm(
+        ways_recompute, rels_recompute, lookup
+    )
+    timers["geometry_recompute"] = _time.time() - _t0
     # --- dirty cells: old extent ∪ new extent (node→way→relation→cell)
     # plus the non-local kNN invalidation set
+    _t0 = _time.time()
     moved_or_deleted = np.unique(
         np.concatenate([plan.deleted_nodes, plan.modified_nodes_loc_changed])
     )
@@ -257,8 +279,8 @@ def apply_changes(
     env_dirty_cells = np.unique(
         np.concatenate(
             [
-                _env_cells(old_geoms, cfg.cell_res_deg),
-                _env_cells(new_geoms, cfg.cell_res_deg),
+                _ring_cells(old_rings, cfg.cell_res_deg),
+                _ring_cells(new_rings, cfg.cell_res_deg),
             ]
         )
     )
@@ -274,8 +296,10 @@ def apply_changes(
         len(np.unique(dirty_rows.column("cell_id").to_numpy(zero_copy_only=False)))
     )
     summary["rejoined_pages"] = int(dirty_rows.num_rows)
+    timers["invalidation_scan"] = _time.time() - _t0
 
     # --- apply state mutations (COW partitions; commit at the end)
+    _t0 = _time.time()
     store.begin()
     store.apply_upserts_deletes("nodes", node_upserts, plan.deleted_nodes)
     store.apply_upserts_deletes("ways", way_upserts, plan.deleted_ways)
@@ -307,25 +331,14 @@ def apply_changes(
     )
     store.apply_upserts_deletes("geoms", new_geoms, deleted_gids)
 
-    # polygon layer delta: every affected way/relation polygon id is
-    # dropped and re-derived from the recomputed objects
-    affected_poly_ids = np.unique(
-        np.concatenate(
-            [
-                all_ways,
-                plan.ways_to_update_geometry,
-                (all_rels + REL_POLY_OFFSET),
-                (plan.relations_to_update_geometry + REL_POLY_OFFSET),
-            ]
-        )
-    )
-    new_rings = geometry.polygon_rings_from_osm(
-        ways_recompute, rels_recompute, lookup
-    )
+    # polygon layer delta: every affected polygon id is dropped and
+    # re-derived from the recomputed objects
     store.apply_upserts_deletes("polygon_rings", new_rings, affected_poly_ids)
 
+    timers["state_mutation"] = _time.time() - _t0
     # --- re-join EXACTLY the dirty rows against the NEW layers, then
     # per-url COW merge into the affected tiles
+    _t0 = _time.time()
     tiles_rewritten = 0
     if dirty_rows.num_rows:
         rings_all = store.read_all("polygon_rings")
@@ -333,7 +346,7 @@ def apply_changes(
         rejoin_input = dirty_rows.select(
             ["url", "lon", "lat", "cell_id", "tile_id"]
         )
-        if dirty_rows.num_rows > 200_000:
+        if dirty_rows.num_rows > 50_000:
             # distributed re-join (big invalidation => Ray pipeline)
             import ray.data as rd
 
@@ -388,6 +401,7 @@ def apply_changes(
                 "rollups", touch_tiles, tiles.TILE_ROLLUP.empty_table()
             )
         tiles_rewritten = len(touch_tiles)
+    timers["rejoin_and_cow"] = _time.time() - _t0
     summary["tiles_rewritten"] = tiles_rewritten
 
     # --- watermark + atomic commit (updatesCompleteUntil analog)
@@ -396,6 +410,9 @@ def apply_changes(
         store.set_watermark(
             int(pc.max(seqs).as_py()), str(pc.max(changes.column("ts")).as_py())
         )
+    _t0 = _time.time()
     store.commit()
+    timers["commit"] = _time.time() - _t0
     summary["empty"] = False
+    summary["timers"] = {k: round(v, 3) for k, v in timers.items()}
     return summary
