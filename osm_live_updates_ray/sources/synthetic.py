@@ -269,9 +269,11 @@ def gen_changes(
         tsel < 3, node_id_, np.where(tsel == 3, way_id_, rel_id_)
     ).astype(np.int64)
     # node payloads: every 4th change keeps the state location (no
-    # geometry cascade), others move
+    # geometry cascade); the rest move LOCALLY (~0.01 deg, like real
+    # OSM edits — a node never teleports across the planet)
     slon, slat = node_coords(oid)
-    mlon, mlat = node_coords(oid + i + 1)
+    mlon = slon + ((i % 21) - 10) / 1000.0
+    mlat = slat + ((i % 17) - 8) / 1000.0
     keep = (i % 4) == 0
     lon = np.where(keep, slon, mlon)
     lat = np.where(keep, slat, mlat)

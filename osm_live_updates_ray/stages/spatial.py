@@ -95,7 +95,21 @@ class PolygonIndex:
         # (a multipolygon's union bbox can span the world; a point can
         # only be inside it within some outer ring's own bbox)
         self.by_cell: dict[int, list[int]] = {}
+        #: polygons with continent-scale rings are NOT exploded per cell
+        #: (that would enumerate much of the grid); they are checked for
+        #: every query group instead — rare in practice, bounded cost.
+        self.global_pids: list[int] = []
+        MAX_COVER_CELLS = 4096
         for pid, e in self.rings_by_poly.items():
+            cover = 0
+            for _x, _y, b in e["outer"]:
+                cover += (
+                    (int(b[2] / cell_res) - int(b[0] / cell_res) + 2)
+                    * (int(b[3] / cell_res) - int(b[1] / cell_res) + 2)
+                )
+            if cover > MAX_COVER_CELLS:
+                self.global_pids.append(pid)
+                continue
             seen: set[int] = set()
             for _x, _y, b in e["outer"]:
                 for c in cellfn.cells_covering_bbox(b[0], b[1], b[2], b[3], cell_res):
@@ -149,11 +163,15 @@ class PolygonIndex:
             runs = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1, [len(ks)]])
             for s, e_ in zip(runs[:-1], runs[1:]):
                 g = order[s:e_]
-                out[g] = self._assign_candidates(
-                    sub.get(int(ks[s]), ()), px[g], py[g]
-                )
+                cands = list(sub.get(int(ks[s]), ()))
+                if self.global_pids:
+                    cands.extend(self.global_pids)
+                out[g] = self._assign_candidates(cands, px[g], py[g])
             return out
-        return self._assign_candidates(self.by_cell.get(int(cell), ()), px, py)
+        cands = list(self.by_cell.get(int(cell), ()))
+        if self.global_pids:
+            cands.extend(self.global_pids)
+        return self._assign_candidates(cands, px, py)
 
     def _assign_candidates(
         self, pids, px: np.ndarray, py: np.ndarray
