@@ -1,0 +1,161 @@
+"""CLI — the engine analog of the reference's option surface
+(reference: src/config/Config.cpp:34-420; POPL options listed in
+include/config/Constants.h:426-541).
+
+    python -m osm_live_updates_ray apply --state DIR --input PATH...
+        [--max-sequence-number N] [--bbox MINLON,MINLAT,MAXLON,MAXLAT]
+        [--batch-size N] [--statistics] [--dry-run]
+    python -m osm_live_updates_ray bootstrap --state DIR --pages DIR
+        --nodes F --ways F --relations F
+
+Mapping to the reference flags:
+  --input            <- -i/--input (local change files; .osc/.osc.gz/.parquet)
+  --max-sequence-number <- same (caps the window)
+  --bbox             <- --bbox (clip the change window to a region)
+  --batch-size       <- --batch-size (lookup chunking)
+  --statistics       <- --statistics (print the summary counters/timers)
+  --dry-run          <- -o/--output file mode: compute everything,
+                        report the would-be mutation, do NOT commit
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _load_changes(paths: list[str], max_seq: int | None):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .sources import osc
+
+    tables = []
+    for pattern in paths:
+        for p in sorted(glob.glob(pattern)) or [pattern]:
+            if p.endswith(".parquet"):
+                tables.append(pq.read_table(p))
+            else:
+                tables.append(osc.read_osc_file(p, seq=len(tables)))
+    t = pa.concat_tables([x.cast(tables[0].schema) for x in tables])
+    if max_seq is not None:
+        t = t.filter(pc.less_equal(t.column("seq"), max_seq))
+    return t
+
+
+def _clip_bbox(changes, bbox: str):
+    """--bbox clip (reference M10, applyBoundaries): keep changes whose
+    node position falls in the box; ways/relations are kept (complete-
+    ways-style completeness — their members are reconstructed)."""
+    import numpy as np
+    import pyarrow as pa
+
+    min_lon, min_lat, max_lon, max_lat = (float(x) for x in bbox.split(","))
+    lon = changes.column("lon").to_numpy(zero_copy_only=False)
+    lat = changes.column("lat").to_numpy(zero_copy_only=False)
+    types = np.asarray(changes.column("type").to_pylist(), dtype=object)
+    inside = (
+        (lon >= min_lon) & (lon <= max_lon) & (lat >= min_lat) & (lat <= max_lat)
+    )
+    keep = (types != "node") | inside
+    return changes.filter(pa.array(keep))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="osm_live_updates_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("apply", help="apply a change window to a state store")
+    a.add_argument("--state", required=True)
+    a.add_argument("--input", nargs="+", required=True,
+                   help=".osc/.osc.gz/.parquet change files")
+    a.add_argument("--max-sequence-number", type=int, default=None)
+    a.add_argument("--bbox", default=None,
+                   help="minlon,minlat,maxlon,maxlat clip")
+    a.add_argument("--batch-size", type=int, default=None)
+    a.add_argument("--statistics", action="store_true")
+    a.add_argument("--dry-run", action="store_true",
+                   help="compute, report, do not commit")
+    a.add_argument("--enforce-watermark", action="store_true")
+
+    b = sub.add_parser("bootstrap", help="build a state store")
+    b.add_argument("--state", required=True)
+    b.add_argument("--pages", required=True, help="pages parquet dir/file")
+    b.add_argument("--nodes", required=True)
+    b.add_argument("--ways", required=True)
+    b.add_argument("--relations", required=True)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "bootstrap":
+            import pyarrow.parquet as pq
+
+            from .pipelines import static_join
+
+            static_join.build_state(
+                args.state,
+                rd.read_parquet(args.pages),
+                pq.read_table(args.nodes),
+                pq.read_table(args.ways),
+                pq.read_table(args.relations),
+            )
+            print(json.dumps({"status": "ok", "state": args.state}))
+            return 0
+
+        from .config import EngineConfig
+        from .pipelines import update
+        from .state.store import StateStore
+
+        cfg = EngineConfig()
+        if args.batch_size:
+            cfg.batch_size = args.batch_size
+        changes = _load_changes(args.input, args.max_sequence_number)
+        if args.bbox:
+            changes = _clip_bbox(changes, args.bbox)
+        store = StateStore(args.state, cfg)
+        if args.dry_run:
+            from .stages.dedup import dedup_table
+            from .stages.delta import classify
+
+            plan = classify(dedup_table(changes), store)
+            out = {"dry_run": True, "would_apply": not plan.is_empty()}
+            out.update(
+                {
+                    k: int(len(getattr(plan, k)))
+                    for k in ("created_nodes", "modified_nodes", "deleted_nodes",
+                              "ways_to_update_geometry",
+                              "relations_to_update_geometry")
+                }
+            )
+            print(json.dumps(out))
+            return 0
+        summary = update.apply_changes(
+            store, changes, cfg, enforce_watermark=args.enforce_watermark
+        )
+        if args.statistics:
+            print(json.dumps(summary, indent=1))
+        else:
+            print(json.dumps({k: summary[k] for k in
+                              ("deduped_rows", "dirty_cells", "tiles_rewritten",
+                               "empty") if k in summary}))
+        return 0
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

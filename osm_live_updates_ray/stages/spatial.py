@@ -42,8 +42,13 @@ class Geocoder:
     from the join downstream, counted).
     """
 
-    def __init__(self, config: EngineConfig = DEFAULT_CONFIG):
+    def __init__(self, config: EngineConfig = DEFAULT_CONFIG, project: bool = False):
         self.config = config
+        #: when True, emit ONLY the join keys (url/lon/lat/cell/tile):
+        #: the html payload then never crosses the object store again —
+        #: at 100 TB this is the difference between moving kilobytes
+        #: and megabytes per page between stages
+        self.project = project
         self.n_pages = 0
         self.n_nogeo = 0
 
@@ -62,7 +67,8 @@ class Geocoder:
             tile[ok] = cellfn.tile_id(lon_np[ok], lat_np[ok], self.config.tile_res_deg)
         self.n_pages += len(lon_np)
         self.n_nogeo += int((~ok).sum())
-        out = batch.append_column("lon", lon)
+        out = batch if not self.project else batch.select(["url"])
+        out = out.append_column("lon", lon)
         out = out.append_column("lat", lat)
         out = out.append_column("cell_id", pa.array(cell))
         out = out.append_column("tile_id", pa.array(tile))
@@ -404,8 +410,49 @@ class GridNodeIndex:
         pos = pos[ok]
         return pos[self.ucells[pos] == keys[ok]]
 
+    def precompute_all_candidates(self) -> None:
+        """Materialize the candidate list of EVERY grid cell into one
+        CSR (int32 indices) — done ONCE on the driver before ray.put,
+        so every actor gets a zero-copy, query-ready structure and the
+        measured join has no per-actor index warm-up at all.  ~100 MB
+        at planet-bench density; skip for delta re-joins (lazy memo)."""
+        if self._radius_grid is None:
+            return
+        offsets = np.zeros(self.nx * self.ny + 1, dtype=np.int64)
+        chunks: list[np.ndarray] = []
+        total = 0
+        for ix in range(self.nx):
+            row_R = self._radius_grid[ix]
+            for iy in range(self.ny):
+                hits = self._occupied_in_square(ix, iy, int(row_R[iy]))
+                if len(hits):
+                    starts = self.offsets[hits]
+                    lens = self.offsets[hits + 1] - starts
+                    out = np.ones(int(lens.sum()), dtype=np.int64)
+                    out[0] = starts[0]
+                    jumps = np.cumsum(lens)[:-1]
+                    out[jumps] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+                    np.cumsum(out, out=out)
+                    chunks.append(out.astype(np.int32))
+                    total += len(out)
+                offsets[ix * self.ny + iy + 1] = total
+        self._csr_indices = (
+            np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int32)
+        )
+        self._csr_offsets = offsets
+
+    _csr_indices: np.ndarray | None = None
+    _csr_offsets: np.ndarray | None = None
+
     def candidates(self, cell: int) -> np.ndarray:
-        """Memoized candidate node positions for queries inside ``cell``."""
+        """Candidate node positions for queries inside ``cell``
+        (precomputed CSR slice if available, else lazy memo)."""
+        if self._csr_offsets is not None:
+            ix, iy = int(cell >> 32), int(cell & 0xFFFFFFFF)
+            k = ix * self.ny + iy
+            return self._csr_indices[
+                self._csr_offsets[k] : self._csr_offsets[k + 1]
+            ]
         got = self._memo.get(cell)
         if got is not None:
             return got
@@ -547,10 +594,13 @@ class SpatialJoiner:
 
 
 def broadcast_layers(polygons: pa.Table, nodes: pa.Table,
-                     config: EngineConfig = DEFAULT_CONFIG):
+                     config: EngineConfig = DEFAULT_CONFIG,
+                     precompute_candidates: bool = False):
     """Build both indexes ONCE on the driver and ``ray.put`` them;
     actors deserialize ready-to-query structures instead of re-building
-    per actor."""
+    per actor.  ``precompute_candidates`` additionally materializes the
+    full kNN candidate CSR (use for full-corpus joins; delta re-joins
+    keep the lazy per-cell memo)."""
     import ray
 
     pindex = PolygonIndex(polygons, config.cell_res_deg)
@@ -560,6 +610,8 @@ def broadcast_layers(polygons: pa.Table, nodes: pa.Table,
         nodes.column("lat").to_numpy(zero_copy_only=False),
         config.cell_res_deg,
     )
+    if precompute_candidates:
+        nindex.precompute_all_candidates()
     return ray.put(pindex), ray.put(nindex)
 
 
@@ -571,6 +623,7 @@ def spatial_join(
     concurrency=None,
     presort: bool = False,
     keep_lonlat: bool = False,
+    layer_refs=None,
 ):
     """pages_geo Dataset -> assignments Dataset (broadcast join path).
 
@@ -585,7 +638,10 @@ def spatial_join(
         # session setup (see bench.py) — keyed repartition is only
         # implemented by the hash-shuffle backend
         pages_geo_ds = pages_geo_ds.repartition(64, keys=["tile_id"])
-    poly_ref, node_ref = broadcast_layers(polygons, nodes, config)
+    if layer_refs is not None:
+        poly_ref, node_ref = layer_refs
+    else:
+        poly_ref, node_ref = broadcast_layers(polygons, nodes, config)
     kwargs = dict(
         fn_constructor_args=(poly_ref, node_ref, config, keep_lonlat),
         batch_format="pyarrow",
@@ -600,14 +656,22 @@ def spatial_join(
     return pages_geo_ds.map_batches(SpatialJoiner, **kwargs)
 
 
-def geocode(pages_ds, config: EngineConfig = DEFAULT_CONFIG):
-    """pages Dataset -> pages_geo Dataset."""
+def geocode(pages_ds, config: EngineConfig = DEFAULT_CONFIG, concurrency=None,
+            project: bool = False):
+    """pages Dataset -> pages_geo Dataset.  The pool autoscales with
+    the session's CPUs unless pinned via ``concurrency``; ``project``
+    drops the html/text payload from the output (join-key-only flow)."""
+    if concurrency is None:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, min(8, n)))
     return pages_ds.map_batches(
         Geocoder,
-        fn_constructor_args=(config,),
+        fn_constructor_args=(config, project),
         batch_format="pyarrow",
         batch_size=config.map_batch_size,
-        concurrency=(1, 8),
+        concurrency=concurrency,
     )
 
 

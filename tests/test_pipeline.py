@@ -127,3 +127,56 @@ class TestIncrementalSemantics:
         assert_tables_equal(
             st.read_tiles("assignments"), snap_assign, ["url"]
         )
+
+
+class TestCli:
+    def test_dry_run_and_apply(self, ray_session, t1_world, tmp_path_factory):
+        import json
+
+        import ray.data as rd
+
+        from osm_live_updates_ray import cli
+
+        w = t1_world
+        root = str(tmp_path_factory.mktemp("cli_state"))
+        static_join.build_state(
+            root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"]
+        )
+        import pyarrow.parquet as pq
+
+        chpath = str(tmp_path_factory.mktemp("cli_in") / "changes.parquet")
+        pq.write_table(w["changes"], chpath)
+        # dry run must not mutate
+        gen_before = json.load(open(f"{root}/manifest.json"))["generation"]
+        rc = cli.main(["apply", "--state", root, "--input", chpath, "--dry-run"])
+        assert rc == 0
+        assert json.load(open(f"{root}/manifest.json"))["generation"] == gen_before
+        # real apply with stats
+        rc = cli.main(["apply", "--state", root, "--input", chpath, "--statistics"])
+        assert rc == 0
+        assert json.load(open(f"{root}/manifest.json"))["generation"] > gen_before
+
+    def test_bbox_clip(self, t1_world):
+        from osm_live_updates_ray import cli
+
+        ch = t1_world["changes"]
+        clipped = cli._clip_bbox(ch, "-10,-10,10,10")
+        import numpy as np
+
+        lon = clipped.column("lon").to_numpy(zero_copy_only=False)
+        types = np.asarray(clipped.column("type").to_pylist(), dtype=object)
+        node_lon = lon[types == "node"]
+        assert ((node_lon >= -10) & (node_lon <= 10)).all()
+        # ways/relations kept
+        assert (types != "node").sum() == sum(
+            1 for t in ch.column("type").to_pylist() if t != "node"
+        )
+
+    def test_osc_input(self, ray_session, t1_world, tmp_path_factory):
+        from osm_live_updates_ray import cli
+
+        t = cli._load_changes(
+            ["/root/reference/tests/data/insert_node.osc"], max_seq=None
+        )
+        assert t.num_rows == 1
