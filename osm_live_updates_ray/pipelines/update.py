@@ -249,14 +249,19 @@ def apply_changes(
         geometry.way_geoms(ways_recompute, lookup, cfg),
         geometry.relation_geoms(rels_recompute, way_universe, lookup, cfg),
     ]
-    new_geoms = pa.concat_tables([p for p in new_geom_parts if p.num_rows])
+    nonempty = [p for p in new_geom_parts if p.num_rows]
+    from ..schemas import GEOMS
+
+    new_geoms = pa.concat_tables(nonempty) if nonempty else GEOMS.empty_table()
+    # delete-only windows legitimately recompute nothing
     new_geoms = new_geoms.append_column(
         "gid",
         pa.array(
             pack_gid(
                 new_geoms.column("type").to_pylist(),
                 new_geoms.column("id").to_numpy(zero_copy_only=False),
-            )
+            ),
+            type=pa.int64(),
         ),
     )
 

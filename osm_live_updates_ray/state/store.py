@@ -233,6 +233,12 @@ class StateStore:
         return self._manifest.get("watermark")
 
     def set_watermark(self, seq: int, ts: str) -> None:
+        """Advance-only, like the reference's updatesCompleteUntil —
+        replaying an older window must never move the watermark back
+        (ordered by timestamp, OsmDatabaseState.h:40-45)."""
+        cur = self._manifest.get("watermark")
+        if cur is not None and (cur["ts"], cur["seq"]) >= (ts, seq):
+            return
         self._manifest["watermark"] = {"seq": seq, "ts": ts}
 
     # -- build -------------------------------------------------------------

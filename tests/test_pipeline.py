@@ -180,3 +180,26 @@ class TestCli:
             ["/root/reference/tests/data/insert_node.osc"], max_seq=None
         )
         assert t.num_rows == 1
+
+
+class TestDeleteOnlyWindow:
+    def test_delete_only_window_applies(self, replayed):
+        # a window containing ONLY deletes must not crash (no upserts,
+        # no geometry recompute) and must remove the rows
+        from osm_live_updates_ray.schemas import OSM_CHANGES
+
+        A, _, _ = replayed
+        existing = A.read_all("nodes").column("id").to_pylist()
+        target = existing[0]
+        t = pa.Table.from_pylist(
+            [{
+                "seq": 99, "action": "delete", "type": "node", "id": target,
+                "version": 99, "ts": np.datetime64("2026-01-01", "s").item(),
+                "lon": None, "lat": None, "node_ids": None, "members": None,
+                "tags": [],
+            }],
+            schema=OSM_CHANGES,
+        )
+        s = update.apply_changes(A, t)
+        assert not s["empty"]
+        assert target not in A.read_all("nodes").column("id").to_pylist()

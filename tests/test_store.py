@@ -113,3 +113,12 @@ class TestWatermark:
         store.commit()
         re = StateStore(store.root)
         assert re.watermark == {"seq": 42, "ts": "2024-01-01T00:00:00Z"}
+
+    def test_watermark_monotonic(self, store):
+        store.begin()
+        store.set_watermark(5, "2024-02-01T00:00:00Z")
+        store.commit()
+        store.begin()
+        store.set_watermark(1, "2024-01-01T00:00:00Z")  # older window replay
+        store.commit()
+        assert store.watermark["seq"] == 5  # never moves backward
