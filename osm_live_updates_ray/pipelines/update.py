@@ -352,12 +352,17 @@ def apply_changes(
             ["url", "lon", "lat", "cell_id", "tile_id"]
         )
         if dirty_rows.num_rows > 50_000:
-            # distributed re-join (big invalidation => Ray pipeline)
+            # distributed re-join (big invalidation => Ray pipeline);
+            # from_arrow yields ONE block — split it or a single actor
+            # would process every batch serially
+            import ray
             import ray.data as rd
 
+            n_cpu = int(ray.cluster_resources().get("CPU", 8))
             ds = spatial.spatial_join(
-                rd.from_arrow(rejoin_input), rings_all, nodes_all, cfg,
-                keep_lonlat=True,
+                rd.from_arrow(rejoin_input).repartition(max(16, n_cpu * 2)),
+                rings_all, nodes_all, cfg,
+                keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
             )
             recomputed = pa.concat_tables(
                 list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))

@@ -622,15 +622,21 @@ class StateStore:
         """Rows of the listed tiles (driver-sized: delta paths touch few
         tiles).  The ``tile_id`` column is restored from the partition
         directory."""
+        from concurrent.futures import ThreadPoolExecutor
+
         entry = self._manifest["tables"].get(f"tile:{name}", {})
         if tile_ids is None:
             tile_ids = [int(t) for t in entry]
+        per_tile_files = {t: self._tile_files(name, [t]) for t in tile_ids}
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            all_files = [f for fs in per_tile_files.values() for f in fs]
+            tables = dict(zip(all_files, ex.map(pq.read_table, all_files)))
         out = []
         for t in tile_ids:
-            files = self._tile_files(name, [t])
+            files = per_tile_files[t]
             if not files:
                 continue
-            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            tbl = pa.concat_tables([tables[f] for f in files])
             if "tile_id" not in tbl.column_names:
                 tbl = tbl.append_column(
                     "tile_id", pa.array(np.full(tbl.num_rows, int(t), dtype=np.int64))
@@ -675,19 +681,43 @@ class StateStore:
 
     def replace_tiles(self, name: str, tile_ids, new_rows: pa.Table) -> None:
         """COW replacement of whole tiles: new per-tile files written,
-        manifest entries repointed (commit() swaps atomically)."""
+        manifest entries repointed (commit() swaps atomically).
+
+        One sort + per-tile zero-copy slices (not N full-table
+        filters); parquet encoding parallelized across threads (the
+        encoder releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         entry = dict(self._manifest["tables"].get(f"tile:{name}", {}))
         gen = self._manifest["generation"] + 1
-        tids = new_rows.column("tile_id").to_numpy(zero_copy_only=False)
-        for t in tile_ids:
-            sub = new_rows.filter(pa.array(tids == int(t)))
+        srt = new_rows.sort_by("tile_id")
+        tids = srt.column("tile_id").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(tids)) + 1
+        starts = np.concatenate([[0], bounds, [len(tids)]])
+        slice_of = {
+            int(tids[s]): (int(s), int(e))
+            for s, e in zip(starts[:-1], starts[1:])
+            if e > s
+        }
+        fname = f"delta-g{gen}.parquet"
+
+        def write_one(t: int):
             d = os.path.join(self.root, name, f"tile_id={t}")
             os.makedirs(d, exist_ok=True)
-            fname = f"delta-g{gen}.parquet"
-            pq.write_table(sub.drop_columns(["tile_id"]), os.path.join(d, fname))
-            entry[str(t)] = [fname]
-            self._pending_lineage.append(
-                {"table": name, "tile": int(t), "file": fname,
-                 "rows": sub.num_rows, "op": "cow-replace"}
+            se = slice_of.get(int(t))
+            sub = (
+                srt.slice(se[0], se[1] - se[0])
+                if se is not None
+                else srt.schema.empty_table()
             )
+            pq.write_table(sub.drop_columns(["tile_id"]), os.path.join(d, fname))
+            return int(t), sub.num_rows
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for t, nrows in ex.map(write_one, [int(t) for t in tile_ids]):
+                entry[str(t)] = [fname]
+                self._pending_lineage.append(
+                    {"table": name, "tile": t, "file": fname,
+                     "rows": nrows, "op": "cow-replace"}
+                )
         self._manifest["tables"][f"tile:{name}"] = entry
