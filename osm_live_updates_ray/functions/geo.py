@@ -186,3 +186,74 @@ def point_segment_sq_dist(
     ddx = px - cx
     ddy = py - cy
     return ddx * ddx + ddy * ddy
+
+
+def seg_dist_argmin(
+    px: np.ndarray,
+    py: np.ndarray,
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    way_id: np.ndarray,
+    pos: np.ndarray,
+    chunk: int = 1024,
+    point_chunk: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest SEGMENT per point under (dist², way_id, pos) ordering.
+
+    The distance expression mirrors its SQL oracle token-for-token:
+      dx = x2-x1; dy = y2-y1; len2 = dx*dx + dy*dy
+      t  = CASE WHEN len2 = 0 THEN 0 ELSE ((px-x1)*dx + (py-y1)*dy)/len2 END
+      tc = LEAST(GREATEST(t, 0), 1)
+      cx = x1 + tc*dx; cy = y1 + tc*dy
+      d  = (px-cx)*(px-cx) + (py-cy)*(py-cy)
+    Returns (best_way_id, best_d); (-1, inf) with no candidates.
+    """
+    n = len(px)
+    best_d = np.full(n, np.inf)
+    best_w = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    best_p = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    if len(x1) == 0 or n == 0:
+        return np.full(n, -1, dtype=np.int64), best_d
+    dx_all = x2 - x1
+    dy_all = y2 - y1
+    len2_all = dx_all * dx_all + dy_all * dy_all
+    MAXI = np.iinfo(np.int64).max
+    for ps in range(0, n, point_chunk):
+        pe = min(ps + point_chunk, n)
+        ppx = px[ps:pe, None]
+        ppy = py[ps:pe, None]
+        bd = best_d[ps:pe]
+        bw = best_w[ps:pe]
+        bp = best_p[ps:pe]
+        for s in range(0, len(x1), chunk):
+            sl = slice(s, s + chunk)
+            dx = dx_all[None, sl]
+            dy = dy_all[None, sl]
+            len2 = len2_all[None, sl]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = ((ppx - x1[None, sl]) * dx + (ppy - y1[None, sl]) * dy) / len2
+            t = np.where(len2 == 0.0, 0.0, t)
+            tc = np.minimum(np.maximum(t, 0.0), 1.0)
+            cx = x1[None, sl] + tc * dx
+            cy = y1[None, sl] + tc * dy
+            ddx = ppx - cx
+            ddy = ppy - cy
+            d = ddx * ddx + ddy * ddy
+            dmin = d.min(axis=1)
+            ties = d == dmin[:, None]
+            wmin = np.where(ties, way_id[None, sl], MAXI).min(axis=1)
+            pmin = np.where(
+                ties & (way_id[None, sl] == wmin[:, None]), pos[None, sl], MAXI
+            ).min(axis=1)
+            take = (
+                (dmin < bd)
+                | ((dmin == bd) & (wmin < bw))
+                | ((dmin == bd) & (wmin == bw) & (pmin < bp))
+            )
+            bd[take] = dmin[take]
+            bw[take] = wmin[take]
+            bp[take] = pmin[take]
+    best_w = np.where(np.isinf(best_d), -1, best_w)
+    return best_w, best_d

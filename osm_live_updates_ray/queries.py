@@ -1199,3 +1199,95 @@ def image_features(sf_dir: str):
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+_SQL_KNN_WAY = (
+    "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_STATE_NODES.strip()
+    + ",\n" + td.SQL_WAY_EDGES.strip()
+    + """
+    , ordered AS (
+      SELECT way_id, pos, node_id,
+             LEAD(node_id) OVER (PARTITION BY way_id ORDER BY pos, node_id)
+               AS next_id
+      FROM way_edges
+    ), segs AS (
+      SELECT o.way_id, o.pos,
+             a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+      FROM ordered o
+      JOIN state_nodes a ON o.node_id = a.id
+      JOIN state_nodes b ON o.next_id = b.id
+      WHERE o.next_id IS NOT NULL
+    ), dists AS (
+      SELECT p.url, s.way_id, s.pos,
+        (p.lon - (s.x1 + LEAST(GREATEST(
+            CASE WHEN (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1) = 0
+                 THEN 0
+                 ELSE ((p.lon-s.x1)*(s.x2-s.x1) + (p.lat-s.y1)*(s.y2-s.y1))
+                      / ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))
+            END, 0), 1) * (s.x2-s.x1)))
+        * (p.lon - (s.x1 + LEAST(GREATEST(
+            CASE WHEN (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1) = 0
+                 THEN 0
+                 ELSE ((p.lon-s.x1)*(s.x2-s.x1) + (p.lat-s.y1)*(s.y2-s.y1))
+                      / ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))
+            END, 0), 1) * (s.x2-s.x1)))
+        +
+        (p.lat - (s.y1 + LEAST(GREATEST(
+            CASE WHEN (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1) = 0
+                 THEN 0
+                 ELSE ((p.lon-s.x1)*(s.x2-s.x1) + (p.lat-s.y1)*(s.y2-s.y1))
+                      / ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))
+            END, 0), 1) * (s.y2-s.y1)))
+        * (p.lat - (s.y1 + LEAST(GREATEST(
+            CASE WHEN (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1) = 0
+                 THEN 0
+                 ELSE ((p.lon-s.x1)*(s.x2-s.x1) + (p.lat-s.y1)*(s.y2-s.y1))
+                      / ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))
+            END, 0), 1) * (s.y2-s.y1)))
+        AS d
+      FROM pages p CROSS JOIN segs s
+    )
+    SELECT url, knn_way_id, knn_way_dist FROM (
+      SELECT url, way_id AS knn_way_id, d AS knn_way_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY url ORDER BY d, way_id, pos
+             ) AS rn
+      FROM dists
+    ) WHERE rn = 1
+    """
+)
+
+
+@register("knn_way", _SQL_KNN_WAY)
+def knn_way(sf_dir: str):
+    """kNN to nearest WAY (segment distance, exact grid ring search) —
+    north_rule: 'kNN to nearest way/node'."""
+    from .stages import spatial
+
+    # build the segment layer from adapter way edges + node coords
+    edges = td.way_edges(sf_dir)
+    nodes = td.nodes_table(sf_dir)
+    e = edges.to_pandas().merge(
+        nodes.to_pandas().rename(columns={"id": "node_id"}), on="node_id"
+    )
+    e = e.sort_values(["way_id", "pos", "node_id"], kind="stable")
+    segs = spatial.segments_from_edges(
+        {k: e[k].to_numpy() for k in ("way_id", "pos", "lon", "lat")}
+    )
+    sidx = spatial.GridSegmentIndex(
+        segs["way_id"], segs["pos"], segs["x1"], segs["y1"], segs["x2"], segs["y2"]
+    )
+
+    def nw(t: pa.Table) -> pa.Table:
+        cells = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w, d = sidx.nearest_way(
+            cells,
+            t.column("lon").to_numpy(zero_copy_only=False),
+            t.column("lat").to_numpy(zero_copy_only=False),
+        )
+        return pa.Table.from_pydict(
+            {"url": t.column("url"), "knn_way_id": pa.array(w),
+             "knn_way_dist": pa.array(d)}
+        )
+
+    return _pages_geo_ds(sf_dir).map_batches(nw, batch_format="pyarrow")

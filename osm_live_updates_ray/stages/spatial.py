@@ -823,3 +823,178 @@ def spatial_join_partitioned(
         .groupby(["cell_id", "salt"])
         .map_groups(assign_group, batch_format="pandas")
     )
+
+
+class GridSegmentIndex:
+    """Cell-bucketed WAY-SEGMENT layer with exact nearest-way queries
+    (north_rule: "kNN to nearest way/node").
+
+    Segments are registered in every cell their bbox covers; the same
+    candidate-radius guarantee as GridNodeIndex holds: a segment not
+    registered within ring k is at distance >= (k-1)*res from the
+    center cell.  Ordering: (dist², way_id, pos) — mirrored by the
+    SQL oracle's ROW_NUMBER ordering.
+    """
+
+    def __init__(self, way_id: np.ndarray, pos: np.ndarray,
+                 x1: np.ndarray, y1: np.ndarray,
+                 x2: np.ndarray, y2: np.ndarray, cell_res: float = 1.0):
+        self.cell_res = cell_res
+        self.way_id = way_id.astype(np.int64)
+        self.pos = pos.astype(np.int64)
+        self.x1, self.y1, self.x2, self.y2 = x1, y1, x2, y2
+        self.nx = int(np.floor(360.0 / cell_res))
+        self.ny = int(np.floor(180.0 / cell_res))
+        # register each segment in the cells covered by its bbox
+        bx0 = np.clip(np.floor((np.minimum(x1, x2) + 180.0) / cell_res), 0, self.nx - 1).astype(np.int64)
+        bx1 = np.clip(np.floor((np.maximum(x1, x2) + 180.0) / cell_res), 0, self.nx - 1).astype(np.int64)
+        by0 = np.clip(np.floor((np.minimum(y1, y2) + 90.0) / cell_res), 0, self.ny - 1).astype(np.int64)
+        by1 = np.clip(np.floor((np.maximum(y1, y2) + 90.0) / cell_res), 0, self.ny - 1).astype(np.int64)
+        # segments with large bbox cover are GLOBAL candidates (checked
+        # for every query group) — registering a continent-spanning
+        # segment in every covered cell would explode the index
+        cover = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+        self.global_segs = np.flatnonzero(cover > 256)
+        local = np.flatnonzero(cover <= 256)
+        reg_cell, reg_seg = [], []
+        for i in local.tolist():
+            for cx in range(int(bx0[i]), int(bx1[i]) + 1):
+                for cy in range(int(by0[i]), int(by1[i]) + 1):
+                    reg_cell.append(cx * self.ny + cy)
+                    reg_seg.append(i)
+        reg_cell = np.asarray(reg_cell, dtype=np.int64)
+        reg_seg = np.asarray(reg_seg, dtype=np.int64)
+        order = np.argsort(reg_cell, kind="stable")
+        self.reg_seg = reg_seg[order]
+        rc = reg_cell[order]
+        self.ucells, starts = np.unique(rc, return_index=True)
+        self.offsets = np.append(starts, len(rc))
+        # occupancy radius grid (summed-area ladder, as GridNodeIndex)
+        maxr = max(self.nx, self.ny)
+        if len(self.ucells):
+            occ = np.zeros((self.nx, self.ny), dtype=np.int32)
+            occ[self.ucells // self.ny, self.ucells % self.ny] = 1
+            P = np.zeros((self.nx + 1, self.ny + 1), dtype=np.int64)
+            np.cumsum(occ, axis=0, out=P[1:, 1:])
+            np.cumsum(P[1:, 1:], axis=1, out=P[1:, 1:])
+            gx = np.arange(self.nx)[:, None]
+            gy = np.arange(self.ny)[None, :]
+            r_found = np.full((self.nx, self.ny), -1, dtype=np.int32)
+            for r in (0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
+                      192, 256, 384, maxr):
+                x0i = np.clip(gx - r, 0, self.nx); x1i = np.clip(gx + r + 1, 0, self.nx)
+                y0i = np.clip(gy - r, 0, self.ny); y1i = np.clip(gy + r + 1, 0, self.ny)
+                s = P[x1i, y1i] - P[x0i, y1i] - P[x1i, y0i] + P[x0i, y0i]
+                m = (r_found < 0) & (s > 0)
+                r_found[m] = r
+                if (r_found >= 0).all():
+                    break
+            r_found[r_found < 0] = maxr
+            self.R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 2
+        else:
+            self.R = np.full((self.nx, self.ny), maxr, dtype=np.int32)
+        self._memo: dict[int, np.ndarray] = {}
+
+    def _segs_in_square(self, cx: int, cy: int, R: int) -> np.ndarray:
+        """Segment indices registered in any cell of square R."""
+        x0, x1 = max(cx - R, 0), min(cx + R, self.nx - 1)
+        y0, y1 = max(cy - R, 0), min(cy + R, self.ny - 1)
+        keys = (
+            np.arange(x0, x1 + 1, dtype=np.int64)[:, None] * self.ny
+            + np.arange(y0, y1 + 1, dtype=np.int64)[None, :]
+        ).ravel()
+        posi = np.searchsorted(self.ucells, keys)
+        ok = posi < len(self.ucells)
+        posi = posi[ok]
+        hits = posi[self.ucells[posi] == keys[ok]]
+        if not len(hits):
+            return np.empty(0, dtype=np.int64)
+        return np.unique(
+            np.concatenate(
+                [self.reg_seg[self.offsets[h]:self.offsets[h + 1]] for h in hits]
+            )
+        )
+
+    def nearest_way(self, cells: np.ndarray, px: np.ndarray, py: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact nearest way per point (points grouped by their cell).
+
+        bbox registration only gives a LOWER bound (a segment with no
+        registered cell inside square R lies entirely outside it, so
+        its distance is >= R*res) — it gives NO upper bound (a long
+        diagonal's bbox corner registers cells the line never nears).
+        So: expand squares, evaluate, and stop only when the proven
+        lower bound for anything unexplored exceeds every point's
+        current best.
+        """
+        n = len(px)
+        out_w = np.full(n, -1, dtype=np.int64)
+        out_d = np.full(n, np.nan)
+        if len(self.way_id) == 0:
+            return out_w, out_d
+        ckey = (cells >> np.int64(32)) * self.ny + (cells & np.int64(0xFFFFFFFF))
+        order = np.argsort(ckey, kind="stable")
+        ks = ckey[order]
+        runs = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1, [n]])
+        from ..functions.geo import seg_dist_argmin
+
+        maxR = max(self.nx, self.ny)
+        for s, e in zip(runs[:-1], runs[1:]):
+            g = order[s:e]
+            cell_key = int(ks[s])
+            cx, cy = cell_key // self.ny, cell_key % self.ny
+            R = int(self.R[cx, cy])  # first square guaranteed non-empty
+            seen = np.empty(0, dtype=np.int64)
+            best_w = np.full(len(g), -1, dtype=np.int64)
+            best_d = np.full(len(g), np.inf)
+            if len(self.global_segs):
+                gw, gd = seg_dist_argmin(
+                    px[g], py[g],
+                    self.x1[self.global_segs], self.y1[self.global_segs],
+                    self.x2[self.global_segs], self.y2[self.global_segs],
+                    self.way_id[self.global_segs], self.pos[self.global_segs],
+                )
+                best_d, best_w = gd, gw
+            while True:
+                cand_all = self._segs_in_square(cx, cy, R)
+                fresh = np.setdiff1d(cand_all, seen, assume_unique=True)
+                if len(fresh):
+                    w, d = seg_dist_argmin(
+                        px[g], py[g],
+                        self.x1[fresh], self.y1[fresh],
+                        self.x2[fresh], self.y2[fresh],
+                        self.way_id[fresh], self.pos[fresh],
+                    )
+                    upd = (d < best_d) | ((d == best_d) & (w < best_w))
+                    best_d[upd] = d[upd]
+                    best_w[upd] = w[upd]
+                    seen = cand_all
+                # anything unexplored is >= R*res away from every point
+                # of the center cell
+                bound = (R * self.cell_res) ** 2
+                worst = best_d.max()
+                if (np.isfinite(worst) and bound >= worst) or R >= maxR:
+                    break
+                # jump straight to the square that could still matter
+                needed = int(np.ceil(np.sqrt(worst) / self.cell_res)) if np.isfinite(worst) else R * 2
+                R = min(max(R + 1, needed), maxR)
+            out_w[g] = np.where(np.isinf(best_d), -1, best_w)
+            out_d[g] = np.where(np.isinf(best_d), np.nan, best_d)
+        return out_w, out_d
+
+
+def segments_from_edges(edges_sorted_way_pos) -> dict:
+    """(way_id, node-resolved lon/lat arrays ordered by (way_id,pos)) ->
+    adjacent-pair segment arrays.  Input columns: way_id, pos, lon, lat
+    already sorted by (way_id, pos[, node_id])."""
+    wid = edges_sorted_way_pos["way_id"]
+    lon = edges_sorted_way_pos["lon"]
+    lat = edges_sorted_way_pos["lat"]
+    pos = edges_sorted_way_pos["pos"]
+    same = wid[:-1] == wid[1:]
+    return {
+        "way_id": wid[:-1][same],
+        "pos": pos[:-1][same],
+        "x1": lon[:-1][same], "y1": lat[:-1][same],
+        "x2": lon[1:][same], "y2": lat[1:][same],
+    }

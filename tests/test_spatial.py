@@ -150,3 +150,52 @@ class TestPartitionedJoinEqualsBroadcast:
         got = dict(zip(out["url"], out["polygon_id"]))
         diff = {u for u in got if got[u] != ref_map[u]}
         assert not diff, f"{len(diff)} mismatches, e.g. {list(diff)[:3]}"
+
+
+class TestNearestWay:
+    def test_vs_bruteforce(self, t1_world):
+        import pandas as pd
+
+        from osm_live_updates_ray.functions import cells as cellfn
+        from osm_live_updates_ray.functions.geo import seg_dist_argmin
+
+        w = t1_world
+        nodes = w["osm_nodes"].to_pandas()[["id", "lon", "lat"]]
+        rows = []
+        for r in w["osm_ways"].to_pylist():
+            for p, (a, b) in enumerate(zip(r["node_ids"][:-1], r["node_ids"][1:])):
+                rows.append((r["id"], p, a, b))
+        e = pd.DataFrame(rows, columns=["way_id", "pos", "a", "b"])
+        e = e.merge(nodes.rename(columns={"id": "a", "lon": "x1", "lat": "y1"}), on="a")
+        e = e.merge(nodes.rename(columns={"id": "b", "lon": "x2", "lat": "y2"}), on="b")
+        sidx = spatial.GridSegmentIndex(
+            e["way_id"].to_numpy(), e["pos"].to_numpy(),
+            e["x1"].to_numpy(), e["y1"].to_numpy(),
+            e["x2"].to_numpy(), e["y2"].to_numpy(),
+        )
+        pg = spatial.Geocoder()(w["pages"])
+        lon = pg.column("lon").to_numpy(zero_copy_only=False)[:250]
+        lat = pg.column("lat").to_numpy(zero_copy_only=False)[:250]
+        cells = cellfn.cell_id(lon, lat)
+        got_w, got_d = sidx.nearest_way(cells, lon, lat)
+        # brute force over ALL segments
+        bw, bd = seg_dist_argmin(
+            lon, lat,
+            e["x1"].to_numpy(), e["y1"].to_numpy(),
+            e["x2"].to_numpy(), e["y2"].to_numpy(),
+            e["way_id"].to_numpy(), e["pos"].to_numpy(),
+        )
+        assert (got_w == bw).all()
+        assert (got_d == bd).all()
+
+    def test_empty_layer(self):
+        import numpy as np
+
+        sidx = spatial.GridSegmentIndex(
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            np.empty(0), np.empty(0), np.empty(0), np.empty(0),
+        )
+        w, d = sidx.nearest_way(
+            np.array([816043786380], dtype=np.int64), np.array([10.0]), np.array([50.0])
+        )
+        assert w[0] == -1
