@@ -18,6 +18,8 @@ only tiles containing dirty cells are rewritten.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -420,6 +422,11 @@ def apply_changes(
         store.set_watermark(
             int(pc.max(seqs).as_py()), str(pc.max(changes.column("ts")).as_py())
         )
+    if os.environ.get("OLU_CRASH_BEFORE_COMMIT"):
+        # test-only fault injection: simulate a driver killed at the
+        # worst moment — every partition/tile file written, manifest
+        # NOT swapped.  Resume correctness depends on exactly this gap.
+        os._exit(137)
     _t0 = _time.time()
     store.commit()
     timers["commit"] = _time.time() - _t0

@@ -1,0 +1,103 @@
+"""Kill-and-resume: a driver SIGKILLed mid-apply must leave the store
+readable at the previous generation, and a rerun must produce exactly
+the state a never-killed run produces (north_rule: killed driver
+resumes mid-shuffle; manifest commit + startup GC are the mechanism)."""
+
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+
+def _state_fingerprint(root: str) -> dict:
+    sys.path.insert(0, "/root/repo")
+    from osm_live_updates_ray.state.store import StateStore
+
+    st = StateStore(root)
+    out = {"generation": st._manifest["generation"]}
+    for t in ("nodes", "ways", "relations", "geoms", "polygon_rings"):
+        tbl = st.read_all(t)
+        out[t] = (tbl.num_rows, hash(str(tbl.sort_by(
+            [(tbl.column_names[0], "ascending")]).to_pydict())))
+    a = st.read_tiles("assignments").sort_by("url")
+    out["assignments"] = (a.num_rows, hash(str(a.to_pydict())))
+    return out
+
+
+APPLY_SCRIPT = textwrap.dedent(
+    """
+    import sys, os
+    sys.path.insert(0, "/root/repo"); os.chdir("/root/repo")
+    import ray
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data as rd
+    rd.DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+    from osm_live_updates_ray.pipelines import update
+    from osm_live_updates_ray.state.store import StateStore
+    root, chpath = sys.argv[1], sys.argv[2]
+    store = StateStore(root)
+    print("READY", flush=True)
+    update.apply_changes(store, pq.read_table(chpath))
+    print("DONE", flush=True)
+    ray.shutdown()
+    """
+)
+
+
+@pytest.mark.slow
+def test_sigkill_mid_apply_then_resume(ray_session, t1_world, tmp_path_factory):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm_live_updates_ray.pipelines import static_join
+
+    w = t1_world
+    base = tmp_path_factory.mktemp("resume")
+    rootA = str(base / "killed")
+    rootB = str(base / "clean")
+    for root in (rootA, rootB):
+        static_join.build_state(
+            root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"]
+        )
+    chpath = str(base / "changes.parquet")
+    pq.write_table(w["changes"], chpath)
+
+    before = _state_fingerprint(rootA)
+
+    # run an apply in a fresh process that dies at the WORST moment:
+    # all partition/tile files written, manifest not swapped
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # the subprocess owns its own session
+    env["OLU_CRASH_BEFORE_COMMIT"] = "1"
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-c", APPLY_SCRIPT, rootA, chpath],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+        cwd="/root/repo",
+    )
+    assert p.stdout.readline().strip() == "READY"
+    p.wait()
+    assert p.returncode == 137  # died pre-commit by construction
+
+    # the killed store must still open at the COMMITTED generation with
+    # identical contents (manifest swap is the only commit point)
+    after_kill = _state_fingerprint(rootA)
+    assert after_kill == before
+
+    # resume: re-apply the same window on the survivor; a clean store
+    # gets the same window once; both must end identical
+    from osm_live_updates_ray.pipelines import update
+    from osm_live_updates_ray.state.store import StateStore
+
+    update.apply_changes(StateStore(rootA), w["changes"])
+    update.apply_changes(StateStore(rootB), w["changes"])
+    fa = _state_fingerprint(rootA)
+    fb = _state_fingerprint(rootB)
+    fa.pop("generation"), fb.pop("generation")
+    assert fa == fb
