@@ -1291,3 +1291,77 @@ def knn_way(sf_dir: str):
         )
 
     return _pages_geo_ds(sf_dir).map_batches(nw, batch_format="pyarrow")
+
+
+@register(
+    "tile_raster",
+    "WITH " + td.SQL_PAGES.strip()
+    + """
+    SELECT CAST(FLOOR((lon + 180.0) / 0.625) AS BIGINT) AS gx,
+           CAST(FLOOR((lat + 90.0) / 0.625) AS BIGINT) AS gy,
+           COUNT(*) AS n_pages
+    FROM pages
+    GROUP BY gx, gy
+    """,
+)
+def tile_raster(sf_dir: str):
+    """Vector->raster rollup (north_rule raster<->vector): page points
+    rasterized onto a 0.625-degree grid (16x16 sub-cells per tile) —
+    partial counts per batch, tiny final groupby."""
+    from ray.data.aggregate import Count
+
+    def rast(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        gx = np.floor((lon + 180.0) / 0.625).astype(np.int64)
+        gy = np.floor((lat + 90.0) / 0.625).astype(np.int64)
+        return pa.Table.from_pydict({"gx": gx, "gy": gy})
+
+    return (
+        _pages_geo_ds(sf_dir)
+        .map_batches(rast, batch_format="pyarrow")
+        .groupby(["gx", "gy"])
+        .aggregate(Count(alias_name="n_pages"))
+    )
+
+
+@register(
+    "raster_to_vector",
+    "WITH " + td.SQL_PAGES.strip()
+    + """
+    , raster AS (
+      SELECT CAST(FLOOR((lon + 180.0) / 0.625) AS BIGINT) AS gx,
+             CAST(FLOOR((lat + 90.0) / 0.625) AS BIGINT) AS gy,
+             COUNT(*) AS n_pages
+      FROM pages GROUP BY gx, gy
+    )
+    SELECT gx, gy,
+           -180.0 + gx * 0.625 AS min_lon,
+           -90.0 + gy * 0.625 AS min_lat,
+           -180.0 + (gx + 1) * 0.625 AS max_lon,
+           -90.0 + (gy + 1) * 0.625 AS max_lat,
+           n_pages
+    FROM raster WHERE n_pages >= 5
+    """,
+)
+def raster_to_vector(sf_dir: str):
+    """Raster->vector: occupied raster cells (count >= threshold) back
+    to bbox polygons — the inverse rollup direction."""
+    ds = tile_raster(sf_dir)
+
+    def vec(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_pages"), pa.scalar(5)))
+        gx = t.column("gx").to_numpy(zero_copy_only=False).astype(np.float64)
+        gy = t.column("gy").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict(
+            {
+                "gx": t.column("gx"), "gy": t.column("gy"),
+                "min_lon": -180.0 + gx * 0.625,
+                "min_lat": -90.0 + gy * 0.625,
+                "max_lon": -180.0 + (gx + 1) * 0.625,
+                "max_lat": -90.0 + (gy + 1) * 0.625,
+                "n_pages": t.column("n_pages"),
+            }
+        )
+
+    return ds.map_batches(vec, batch_format="pyarrow")
