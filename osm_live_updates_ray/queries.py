@@ -21,7 +21,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .functions import cells as cellfn
 from .sources import testdata as td
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
@@ -946,8 +945,6 @@ def lang_counts(sf_dir: str):
 def dedup_exact_q(sf_dir: str):
     """Exact dedup = hash-partition + per-group first (the canonical
     shuffle-dedup); output = one surviving row per distinct text."""
-    from ray.data.aggregate import Count, Min
-
     from .stages.dedup_docs import add_content_hash
 
     rd = _rd()

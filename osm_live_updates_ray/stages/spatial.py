@@ -746,7 +746,6 @@ def spatial_join_partitioned(
         ring_pd = ring_pd.assign(salt=0)
 
     import ray
-    import ray.data as rd
 
     # polygon TOTAL areas (winner selection must use the full area even
     # when only some rings cover a group's cell)

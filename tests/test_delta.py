@@ -210,3 +210,28 @@ class TestOscFixtures:
             pa.compute.equal(deduped.column("type"), "node")
         ).num_rows
         assert total == nodes_in_file
+
+
+class TestMultiFileMerge:
+    def test_reference_trio_last_version_wins(self, ray_session, store):
+        """FIXTURES scenario 8 with the reference's REAL fixture files:
+        insert/modify/delete of node 1 across three change files merge
+        to ONE surviving row (delete wins at equal version via the
+        deleted-flag tie-break, OsmFileHelper.h:42-55)."""
+        ds = osc.read_osc_dataset(
+            [
+                f"{REF}/insert_node.osc",
+                f"{REF}/modify_node.osc",
+                f"{REF}/delete_node.osc",
+            ]
+        )
+        from osm_live_updates_ray.stages.dedup import dedup_dataset
+
+        out = dedup_dataset(ds).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["id"] == 1
+        assert out.iloc[0]["action"] == "delete"
+
+    def test_427_dataset_roundtrip(self, ray_session):
+        ds = osc.read_osc_dataset([f"{REF}/427.osc"])
+        assert ds.count() == 4613
