@@ -32,7 +32,7 @@ os.chdir(REPO)
 
 BENCH_CACHE = "/tmp/olu_ray_bench_v2"
 SCRATCH = "/tmp/olu_ray_bench_scratch"
-HEADLINE_PAGES = 4_000_000
+HEADLINE_PAGES = 8_000_000
 
 
 def build_bench_world(rd):
@@ -41,25 +41,29 @@ def build_bench_world(rd):
 
     os.makedirs(BENCH_CACHE, exist_ok=True)
     done = os.path.join(BENCH_CACHE, "WORLD_DONE")
-    if os.path.exists(done):
-        return
-    t = synthetic.TIERS["bench"]
 
     def gen(batch):
         return synthetic.gen_pages_idx(batch["id"])
+
+    # larger headline input (8M pages): the streaming join at 32 CPUs
+    # finishes small inputs in seconds, so fixed pipeline ramp would
+    # dominate the scaling measurement (checked separately from the
+    # legacy WORLD_DONE flag so existing caches upgrade in place)
+    if not os.path.exists(os.path.join(BENCH_CACHE, "XL8_DONE")):
+        (
+            rd.range(HEADLINE_PAGES, override_num_blocks=256)
+            .map_batches(gen, batch_format="numpy", batch_size=16384)
+            .write_parquet(os.path.join(BENCH_CACHE, "pages_xl8"))
+        )
+        open(os.path.join(BENCH_CACHE, "XL8_DONE"), "w").write("ok")
+    if os.path.exists(done):
+        return
+    t = synthetic.TIERS["bench"]
 
     (
         rd.range(t["pages"], override_num_blocks=128)
         .map_batches(gen, batch_format="numpy", batch_size=16384)
         .write_parquet(os.path.join(BENCH_CACHE, "pages"))
-    )
-    # larger headline input (4M pages): the streaming join at 32 CPUs
-    # finishes 1M pages in seconds, so fixed pipeline ramp would
-    # dominate the scaling measurement
-    (
-        rd.range(HEADLINE_PAGES, override_num_blocks=256)
-        .map_batches(gen, batch_format="numpy", batch_size=16384)
-        .write_parquet(os.path.join(BENCH_CACHE, "pages_xl"))
     )
     import pyarrow.parquet as pq
 
@@ -106,7 +110,7 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
         precompute_candidates=True,
     )
     # warm the page cache so we measure compute + shuffle, not cold disk
-    pages = rd.read_parquet(os.path.join(BENCH_CACHE, "pages_xl"))
+    pages = rd.read_parquet(os.path.join(BENCH_CACHE, "pages_xl8"))
     n_pages = pages.count()
 
     # pool policy: small nodes overlap stages best with autoscaling
@@ -116,13 +120,15 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
         g_conc = (1, num_cpus)
         j_conc = (2, num_cpus)
     else:
-        avail = max(4, num_cpus - 6)
-        g_conc = max(2, round(avail * 0.4))
-        j_conc = max(2, avail - g_conc)
+        # measured sweet spot: ~1/6 geocode, ~56% join, the rest for
+        # read/decode + write tasks (the read is CPU-hungry: parquet
+        # decode of the html payload)
+        g_conc = max(2, num_cpus // 6)
+        j_conc = max(2, round(num_cpus * 0.56))
 
     def one_run(tag: str) -> float:
         t0 = time.time()
-        pages_ = rd.read_parquet(os.path.join(BENCH_CACHE, "pages_xl"))
+        pages_ = rd.read_parquet(os.path.join(BENCH_CACHE, "pages_xl8"), columns=["url", "html"])
         geo = spatial.geocode(pages_, cfg, concurrency=g_conc, project=True)
         # join-key-only flow: html never crosses the object store again
         joined = spatial.spatial_join(
@@ -132,8 +138,9 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
         joined.write_parquet(out_dir + tag)
         return time.time() - t0
 
-    # best of two (fresh actor pools each execution; report steady state)
-    sec = min(one_run("_a"), one_run("_b"))
+    # best of three (fresh actor pools each execution; report steady
+    # state — single-run walls vary up to 2x with co-tenant host load)
+    sec = min(one_run("_a"), one_run("_b"), one_run("_c"))
     return {"sec": sec, "pages": n_pages, "pages_per_sec": n_pages / sec}
 
 

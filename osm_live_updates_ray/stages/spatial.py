@@ -151,6 +151,7 @@ class PolygonIndex:
                                 seen_k.add(k)
                                 buckets.setdefault(k, []).append(pid)
             self._sub[c] = buckets
+        self.cells_with_candidates = np.array(sorted(self.by_cell), dtype=np.int64)
 
     def assign(self, cell: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Winning polygon_id per point (smallest area, then id); -1 none."""
@@ -478,6 +479,57 @@ class GridNodeIndex:
         self._memo[cell] = out
         return out
 
+    def knn_batch(self, cells: np.ndarray, px: np.ndarray, py: np.ndarray,
+                  max_cand: int = 512) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized kNN ACROSS cells via padded CSR gathers.
+
+        Handles every page whose cell is non-dense and has <= max_cand
+        precomputed candidates in ONE numpy pass (no per-cell Python
+        loop); returns (best_id, best_d, handled_mask) — unhandled
+        pages (dense cells / big candidate sets / no CSR) fall back to
+        the per-cell path.
+        """
+        n = len(px)
+        out_id = np.full(n, -1, dtype=np.int64)
+        out_d = np.full(n, np.nan)
+        handled = np.zeros(n, dtype=bool)
+        if self._csr_offsets is None or len(self.ids) == 0:
+            return out_id, out_d, handled
+        ix = (cells >> np.int64(32))
+        iy = cells & np.int64(0xFFFFFFFF)
+        k = ix * self.ny + iy
+        off0 = self._csr_offsets[k]
+        cnt = self._csr_offsets[k + 1] - off0
+        if self._dense:
+            dense_cells = np.fromiter(self._dense.keys(), dtype=np.int64)
+            in_dense = np.isin(cells, dense_cells)
+        else:
+            in_dense = np.zeros(n, dtype=bool)
+        ok = (~in_dense) & (cnt > 0) & (cnt <= max_cand)
+        idxs = np.flatnonzero(ok)
+        MAXI = np.iinfo(np.int64).max
+        for s_ in range(0, len(idxs), 2048):
+            g = idxs[s_ : s_ + 2048]
+            c_cnt = cnt[g]
+            mc = int(c_cnt.max())
+            cols = np.arange(mc, dtype=np.int64)
+            valid = cols[None, :] < c_cnt[:, None]
+            gat = off0[g][:, None] + np.where(valid, cols[None, :], 0)
+            cand = self._csr_indices[gat]
+            dx = px[g][:, None] - self.lons[cand]
+            dy = py[g][:, None] - self.lats[cand]
+            dx *= dx
+            dy *= dy
+            dx += dy
+            dx[~valid] = np.inf
+            dmin = dx.min(axis=1)
+            qid = np.where(valid, self.ids[cand], MAXI)
+            idmin = np.where(dx == dmin[:, None], qid, MAXI).min(axis=1)
+            out_id[g] = idmin
+            out_d[g] = dmin
+            handled[g] = True
+        return out_id, out_d, handled
+
     def knn1(self, cell: int, px: np.ndarray, py: np.ndarray
              ) -> tuple[np.ndarray, np.ndarray]:
         """Exact nearest node (smallest (dist², id)) for points in ``cell``."""
@@ -558,22 +610,38 @@ class SpatialJoiner:
         pid = np.full(n, -1, dtype=np.int64)
         kid = np.full(n, -1, dtype=np.int64)
         kd = np.full(n, np.nan)
-        # sort-based grouping: one contiguous run per cell (O(n log n),
-        # not O(n * n_cells))
-        order = np.argsort(cell, kind="stable")
+        # 1) kNN for the common case: ONE vectorized pass across cells
+        #    (padded CSR gathers); dense/oversized cells fall through
+        bid, bd, handled = self.nindex.knn_batch(cell, lon, lat)
+        kid[handled] = bid[handled]
+        kd[handled] = bd[handled]
+        # 2) per-cell loop ONLY where needed: unhandled kNN, or cells
+        #    that actually have polygon candidates (most cells have none)
+        pc_cells = self.pindex.cells_with_candidates
+        pos = np.searchsorted(pc_cells, cell)
+        pos = np.clip(pos, 0, max(0, len(pc_cells) - 1))
+        has_poly = (
+            (pc_cells[pos] == cell) if len(pc_cells) else np.zeros(n, dtype=bool)
+        )
+        if self.pindex.global_pids:
+            has_poly |= True
+        need = (cell >= 0) & (~handled | has_poly)
+        idxs = np.flatnonzero(need)
+        order = idxs[np.argsort(cell[idxs], kind="stable")]
         cs = cell[order]
         run_starts = np.concatenate(
-            [[0], np.flatnonzero(np.diff(cs)) + 1, [n]]
+            [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]]
         )
         for s, e in zip(run_starts[:-1], run_starts[1:]):
             c = int(cs[s])
-            if c < 0:
-                continue
             g = order[s:e]
-            pid[g] = self.pindex.assign(c, lon[g], lat[g])
-            bid, bd = self.nindex.knn1(c, lon[g], lat[g])
-            kid[g] = bid
-            kd[g] = bd
+            if has_poly[g[0]]:
+                pid[g] = self.pindex.assign(c, lon[g], lat[g])
+            todo = g[~handled[g]]
+            if len(todo):
+                bid2, bd2 = self.nindex.knn1(c, lon[todo], lat[todo])
+                kid[todo] = bid2
+                kd[todo] = bd2
         arrays = [
             urls.combine_chunks(),
             pa.array(cell),
