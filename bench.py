@@ -223,14 +223,19 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
+    # interleave the two sizes so both sample the same co-tenant-load
+    # epochs (single-run walls vary up to 2x on this host); keep the
+    # best per size (each bench run is itself best-of-3 internally)
     out = {}
-    for n in (8, 32):
+    for n in (8, 32, 8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
         )
-        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        if n not in out or r["pages_per_sec"] > out[n]["pages_per_sec"]:
+            out[n] = r
     pps8 = out[8]["pages_per_sec"]
     pps32 = out[32]["pages_per_sec"]
     return {
