@@ -289,7 +289,10 @@ class _DenseCellSub:
         return out
 
     def knn(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Exact nearest WITHIN this cell's nodes."""
+        """Exact nearest WITHIN this cell's nodes (per-bucket loop:
+        candidates are SHARED by all pages of a bucket, so slicing the
+        contiguous candidate arrays once per bucket beats per-page
+        padded gathers)."""
         n = self.N
         bx = np.clip(((px - self.x0) / self.sub).astype(np.int64), 0, n - 1)
         by = np.clip(((py - self.y0) / self.sub).astype(np.int64), 0, n - 1)
@@ -507,6 +510,8 @@ class GridNodeIndex:
             in_dense = np.zeros(n, dtype=bool)
         ok = (~in_dense) & (cnt > 0) & (cnt <= max_cand)
         idxs = np.flatnonzero(ok)
+        # order by candidate count so padded chunks have uniform width
+        idxs = idxs[np.argsort(cnt[idxs], kind="stable")]
         MAXI = np.iinfo(np.int64).max
         for s_ in range(0, len(idxs), 2048):
             g = idxs[s_ : s_ + 2048]
