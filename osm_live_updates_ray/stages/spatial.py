@@ -255,7 +255,7 @@ class _DenseCellSub:
             if (r_found >= 0).all():
                 break
         r_found[r_found < 0] = n
-        self.R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 2
+        self.R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 1
         self._memo: dict[int, np.ndarray] = {}
 
     def _cands(self, kb: int) -> np.ndarray:
@@ -398,7 +398,9 @@ class GridNodeIndex:
             if (r_found >= 0).all():
                 break
         r_found[r_found < 0] = self.max_r
-        R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 2
+        # R-1 >= sqrt(2)*(r+1) suffices (see docstring); +1 is the
+        # tight provable margin
+        R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 1
         return R
 
     def _occupied_in_square(self, ix: int, iy: int, r: int) -> np.ndarray:
