@@ -268,7 +268,7 @@ def apply_changes(
     )
 
     new_rings = geometry.polygon_rings_from_osm(
-        ways_recompute, rels_recompute, lookup
+        ways_recompute, rels_recompute, lookup, way_nodes_source=way_universe
     )
     timers["geometry_recompute"] = _time.time() - _t0
     # --- dirty cells: old extent ∪ new extent (node→way→relation→cell)

@@ -236,12 +236,20 @@ def polygon_rings_from_osm(
     ways: pa.Table,
     rels: pa.Table,
     lookup: NodeCoordLookup,
+    way_nodes_source: pa.Table | None = None,
 ) -> pa.Table:
     """Build the spatial-join polygon layer from OSM objects:
     closed tagged ways and area relations -> POLYGON_RINGS rows.
 
     polygon_id namespacing: way polygons keep their way id; relation
     polygons use ``rel_id + REL_POLY_OFFSET`` to stay disjoint.
+
+    ``way_nodes_source``: table to resolve RELATION member-way node
+    lists from (defaults to ``ways``).  On the delta path this must be
+    the full way universe (reconstructed + upserted), not just the
+    recomputed ways — a relation modified without its member ways in
+    the change window still needs those ways' node lists to rebuild
+    its rings (same universe relation_geoms uses).
     """
     rows = []
 
@@ -276,10 +284,11 @@ def polygon_rings_from_osm(
         if len(x) >= 4 and x[0] == x[-1] and y[0] == y[-1]:
             add_ring(int(oid), 0, "outer", x, y)
 
+    src = way_nodes_source if way_nodes_source is not None else ways
     way_nodes = {
         i: refs
         for i, refs in zip(
-            ways.column("id").to_pylist(), ways.column("node_ids").to_pylist()
+            src.column("id").to_pylist(), src.column("node_ids").to_pylist()
         )
     }
     for oid, members, tags in zip(

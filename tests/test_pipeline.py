@@ -182,6 +182,60 @@ class TestCli:
         assert t.num_rows == 1
 
 
+class TestRelationOnlyModify:
+    def test_relation_modify_without_member_ways(
+        self, ray_session, t1_world, tmp_path_factory
+    ):
+        """A tag-only modify of a multipolygon relation whose member
+        ways are NOT in the change window must keep its rings: the old
+        rings are deleted via affected_poly_ids, so the recompute must
+        resolve member-way node lists from the full way universe
+        (reconstructed ways), not just the dirty/upserted ways."""
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages.geometry import REL_POLY_OFFSET
+
+        w = t1_world
+        root = str(tmp_path_factory.mktemp("relmod"))
+        A = static_join.build_state(
+            root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"]
+        )
+        rings_before = A.read_all("polygon_rings").sort_by(
+            [("polygon_id", "ascending"), ("ring_idx", "ascending")]
+        )
+        assign_before = A.read_tiles("assignments").sort_by("url")
+        pids = rings_before.column("polygon_id").to_numpy(zero_copy_only=False)
+        rel_pids = pids[pids >= REL_POLY_OFFSET]
+        assert len(rel_pids), "fixture must contain an area relation with rings"
+        rid = int(rel_pids[0] - REL_POLY_OFFSET)
+        rel_row = w["osm_relations"].filter(
+            pc.equal(w["osm_relations"].column("id"), rid)
+        )
+        t = pa.Table.from_pylist(
+            [{
+                "seq": 1, "action": "modify", "type": "relation", "id": rid,
+                "version": 9, "ts": np.datetime64("2026-01-01", "s").item(),
+                "lon": None, "lat": None, "node_ids": None,
+                "members": rel_row.column("members").to_pylist()[0],
+                "tags": rel_row.column("tags").to_pylist()[0]
+                + [("note", "touched")],
+            }],
+            schema=w["changes"].schema,
+        )
+        s = update.apply_changes(A, t)
+        assert not s["empty"]
+        rings_after = A.read_all("polygon_rings").sort_by(
+            [("polygon_id", "ascending"), ("ring_idx", "ascending")]
+        )
+        # geometry untouched by a tag-only modify: rings + assignments
+        # must be byte-identical to the pre-change state
+        assert_tables_equal(rings_after, rings_before, ["polygon_id", "ring_idx"])
+        assert_tables_equal(
+            A.read_tiles("assignments"), assign_before, ["url"]
+        )
+
+
 class TestDeleteOnlyWindow:
     def test_delete_only_window_applies(self, replayed):
         # a window containing ONLY deletes must not crash (no upserts,
