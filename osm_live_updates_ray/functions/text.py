@@ -51,8 +51,8 @@ def render_html(text: str, lon: float | None = None, lat: float | None = None) -
     if lon is not None and lat is not None:
         # shortest round-trip repr: parses back to the EXACT double, so
         # geocoding is bit-identical to the source coordinate (repr
-        # stays positional for |v| >= 1e-4, which covers the coordinate
-        # domain; 0.0 prints as "0.0")
+        # goes scientific for |v| < 1e-4 — the geocoder regexes accept
+        # the exponent form)
         geo = f'<meta name="geo.position" content="{lat!r};{lon!r}"/>'
     body = xml_escape(text)
     return (
@@ -75,7 +75,10 @@ def extract_text(html: bytes) -> str:
     return xml_unescape(m.group(1).decode("utf-8"))
 
 
-_GEO_RE = re.compile(rb'geo\.position" content="(-?[\d.]+);(-?[\d.]+)"')
+_GEO_RE = re.compile(
+    rb'geo\.position" content="(-?[\d.]+(?:[eE][-+]?\d+)?);'
+    rb'(-?[\d.]+(?:[eE][-+]?\d+)?)"'
+)
 
 
 def extract_geo(html: bytes) -> tuple[float, float] | None:

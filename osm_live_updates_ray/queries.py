@@ -184,8 +184,10 @@ def tpch_q3(sf_dir: str):
     """,
 )
 def tpch_q5(sf_dir: str):
-    """Star join via broadcast dimension lookups inside map_batches (the
-    small-side-broadcast pattern; no shuffle except the final agg)."""
+    """Distributed fact-fact joins (lineitem ⋈ orders ⋈ customer via
+    Ray hash joins) with only the true dimensions (supplier/nation/
+    region) broadcast as sorted key arrays probed by searchsorted —
+    no driver-side fact dict, no per-row Python loop."""
     rd = _rd()
     from ray.data.aggregate import Sum
 
@@ -195,67 +197,81 @@ def tpch_q5(sf_dir: str):
         region.filter(pc.equal(region.column("r_name"), "ASIA"))
         .column("r_regionkey").to_pylist()
     )
-    nk2name = {
-        int(k): v
-        for k, v, rk in zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist(),
-            nation.column("n_regionkey").to_pylist(),
-        )
-        if int(rk) in asia
-    }
+    nk = nation.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nrk = nation.column("n_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    size = int(nk.max()) + 1 if len(nk) else 1
+    name_by_nk = np.full(size, None, dtype=object)
+    asia_by_nk = np.zeros(size, dtype=bool)
+    name_by_nk[nk] = nname
+    asia_by_nk[nk] = np.isin(nrk, np.fromiter(asia, np.int64, len(asia)))
     supp = td.read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    s2n = dict(
-        zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist())
-    )
-    cust = td.read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    c2n = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    )
-    orders = td.read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    od = orders.column("o_orderdate").to_numpy(zero_copy_only=False)
-    okeep = (od >= np.datetime64("1996-01-01")) & (od < np.datetime64("1997-01-01"))
-    o2c = {
-        int(k): int(c)
-        for k, c, m in zip(
-            orders.column("o_orderkey").to_pylist(),
-            orders.column("o_custkey").to_pylist(),
-            okeep.tolist(),
-        )
-        if m
-    }
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    snk = supp.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order_ = np.argsort(sk)
+    sk, snk = sk[order_], snk[order_]
 
-    def probe(t: pa.Table) -> pa.Table:
-        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        rev = (
-            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+    def o_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(
+                t.column("o_orderdate"), pa.scalar(np.datetime64("1996-01-01", "us"))
+            ),
+            pc.less(
+                t.column("o_orderdate"), pa.scalar(np.datetime64("1997-01-01", "us"))
+            ),
         )
-        names, revs = [], []
-        for o, s, r in zip(lo.tolist(), ls.tolist(), rev.tolist()):
-            c = o2c.get(o)
-            if c is None:
-                continue
-            sn = s2n.get(s)
-            if sn is None or c2n.get(c) != sn:
-                continue
-            nm = nk2name.get(sn)
-            if nm is None:
-                continue
-            names.append(nm)
-            revs.append(r)
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    # orders(1996) ⋈ customer on custkey — both fact-sized, shuffle join
+    oc = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return t.append_column("revenue_part", rev).select(
+            ["l_orderkey", "l_suppkey", "revenue_part"]
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    joined = li.join(
+        oc, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t.column("revenue_part").to_numpy(zero_copy_only=False)
+        if len(sk):
+            pos = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+            found = sk[pos] == ls
+            s_nat = np.where(found, snk[pos], -1)
+        else:
+            s_nat = np.full(len(ls), -1, dtype=np.int64)
+        keep = (s_nat >= 0) & (s_nat == cn) & asia_by_nk[np.clip(s_nat, 0, size - 1)]
         return pa.Table.from_pydict(
-            {"n_name": pa.array(names, type=pa.string()),
-             "revenue_part": pa.array(revs, type=pa.float64())}
+            {
+                "n_name": pa.array(name_by_nk[s_nat[keep]], type=pa.string()),
+                "revenue_part": pa.array(rev[keep], type=pa.float64()),
+            }
         )
 
     out = (
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-        )
-        .map_batches(probe, batch_format="pyarrow")
+        joined.map_batches(finish, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("revenue_part", alias_name="revenue"))
         .to_pandas()
@@ -317,7 +333,8 @@ def tpch_q6(sf_dir: str):
     "tpch_q12",
     """
     SELECT l_shipmode, COUNT(*) AS n,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT)
              AS high_line_count
     FROM (SELECT l_orderkey, l_returnflag AS l_shipmode FROM lineitem) l
     JOIN orders ON l_orderkey = o_orderkey
@@ -332,22 +349,24 @@ def tpch_q12(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     orders = td.read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    high = {
-        int(k)
-        for k, p in zip(
-            orders.column("o_orderkey").to_pylist(),
-            orders.column("o_orderpriority").to_pylist(),
-        )
-        if p in ("1-URGENT", "2-HIGH")
-    }
-    all_orders = set(orders.column("o_orderkey").to_pylist())
+    okeys = orders.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    is_high = pc.is_in(
+        orders.column("o_orderpriority"),
+        value_set=pa.array(["1-URGENT", "2-HIGH"]),
+    ).to_numpy(zero_copy_only=False)
+    order_ = np.argsort(okeys)
+    okeys, is_high = okeys[order_], is_high[order_]
 
     def probe(t: pa.Table) -> pa.Table:
-        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        inset = np.fromiter((o in all_orders for o in lo.tolist()), bool, len(lo))
-        t = t.filter(pa.array(inset))
-        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        h = np.fromiter((o in high for o in lo.tolist()), np.int64, len(lo))
+        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(okeys):
+            pos = np.clip(np.searchsorted(okeys, lo), 0, len(okeys) - 1)
+            found = okeys[pos] == lo
+        else:
+            pos = np.zeros(len(lo), dtype=np.int64)
+            found = np.zeros(len(lo), dtype=bool)
+        t = t.filter(pa.array(found))
+        h = is_high[pos[found]].astype(np.int64)
         return pa.Table.from_pydict(
             {"l_shipmode": t.column("l_returnflag"), "is_high": pa.array(h)}
         )
@@ -548,7 +567,8 @@ def assignments(sf_dir: str):
       FROM pg JOIN pip ON pg.url = pip.url JOIN knn ON pg.url = knn.url
     )
     SELECT tile_id, COUNT(*) AS n_pages,
-           SUM(CASE WHEN polygon_id >= 0 THEN 1 ELSE 0 END) AS n_in_polygon,
+           CAST(SUM(CASE WHEN polygon_id >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_polygon,
            COUNT(DISTINCT cell_id) AS n_cells,
            ROUND(AVG(knn_dist), 4) AS mean_knn_dist
     FROM a GROUP BY tile_id
@@ -1170,12 +1190,19 @@ def user_sessions(sf_dir: str):
 
 @register("image_features")  # rows-only (stubbed decode; plumbing real)
 def image_features(sf_dir: str):
+    """Media derived from the sf_dir documents corpus (payload = text
+    bytes), featurized through the real actor-pool stage — the battery
+    entry exercises the test tables, not a synthesized side table."""
     from .stages import multimodal
 
     rd = _rd()
-    media = multimodal.gen_media(200)
-    ds = rd.from_arrow(
-        media.filter(pc.equal(media.column("kind"), "image"))
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(multimodal.media_from_documents, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+            batch_format="pyarrow",
+        )
     )
     feats = multimodal.featurize_images(ds)
 

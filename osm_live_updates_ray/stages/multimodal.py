@@ -94,6 +94,37 @@ class ImageFeaturizer:
         )
 
 
+def media_from_documents(batch: pa.Table) -> pa.Table:
+    """MEDIA rows derived deterministically from the documents corpus
+    (payload = utf-8 text bytes standing in for encoded media): the
+    battery's multimodal entries exercise the real test tables through
+    the actor-pool plumbing instead of a synthesized side table.
+    Vectorized; runs inside map_batches."""
+    import pyarrow.compute as pc
+
+    did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    kind_idx = did % 3
+    kinds = np.array(["image", "audio", "video"], dtype=object)[kind_idx]
+    mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[kind_idx]
+    is_img = kind_idx == 0
+    is_timed = ~is_img
+    width = (64 + (did % 8) * 16).astype(np.int32)
+    height = (64 + (did % 5) * 16).astype(np.int32)
+    dur = (1000 + (did % 10) * 500).astype(np.int32)
+    return pa.Table.from_arrays(
+        [
+            pa.array(did, type=pa.int64()),
+            pa.array(kinds, type=pa.string()),
+            pc.cast(batch.column("text"), pa.binary()),
+            pa.array(mimes, type=pa.string()),
+            pa.array(width, type=pa.int32(), mask=is_timed),
+            pa.array(height, type=pa.int32(), mask=is_timed),
+            pa.array(dur, type=pa.int32(), mask=is_img),
+        ],
+        schema=MEDIA,
+    )
+
+
 def featurize_images(media_ds, out_dim: int = 64, concurrency=(1, 8)):
     """media Dataset -> IMAGE_FEATURES Dataset.
 

@@ -30,7 +30,12 @@ from ..functions import cells as cellfn
 from ..functions import geo
 from ..schemas import PAGE_TILE_ASSIGNMENTS
 
-_GEO_PATTERN = r'geo\.position" content="(?P<glat>-?[0-9.]+);(?P<glon>-?[0-9.]+)"'
+# accepts scientific notation: render_html embeds repr(float), which
+# switches to e-notation for |coord| < 1e-4 (e.g. '5e-05')
+_GEO_PATTERN = (
+    r'geo\.position" content="(?P<glat>-?[0-9.]+(?:[eE][-+]?[0-9]+)?);'
+    r'(?P<glon>-?[0-9.]+(?:[eE][-+]?[0-9]+)?)"'
+)
 
 
 class Geocoder:

@@ -86,4 +86,11 @@ def tile_rollup_table(assignments: pa.Table) -> pa.Table:
             "mean_knn_dist": g["knn_dist"].mean().to_numpy(),
         }
     )
-    return pa.Table.from_pandas(out, preserve_index=False).cast(TILE_ROLLUP)
+    # all-null knn_dist groups: pandas mean yields NaN, but the
+    # bootstrap _finalize stores null — normalize so delta rewrites
+    # are byte-compatible with bootstrap output
+    mk = out["mean_knn_dist"].to_numpy()
+    arr = pa.array(mk, type=pa.float64(), from_pandas=True)
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    idx = t.schema.get_field_index("mean_knn_dist")
+    return t.set_column(idx, "mean_knn_dist", arr).cast(TILE_ROLLUP)

@@ -174,11 +174,39 @@ class StateStore:
         self._manifest = self._read_manifest()
         self._gc()
 
+    # -- writer lock -------------------------------------------------------
+    # The store is SINGLE-WRITER: begin() takes a pid lock, commit()
+    # releases it, and _gc() skips while a LIVE foreign writer holds it
+    # — otherwise an opener would delete the writer's uncommitted
+    # new-generation files mid-flight.  A crashed writer leaves a stale
+    # lock (dead pid), which the next open ignores and cleans.
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, ".writer.lock")
+
+    def _live_foreign_writer(self) -> bool:
+        try:
+            with open(self._lock_path()) as f:
+                pid = int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return False
+        if pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists under another uid
+
     def _gc(self) -> None:
         """Remove tile-table files superseded by the manifest (COW
         leftovers from completed or CRASHED replacements).  Runs at
         open so directory scans equal the committed manifest — this is
-        what makes a killed run resumable without corruption."""
+        what makes a killed run resumable without corruption.  Skipped
+        while another live process holds the writer lock."""
+        if self._live_foreign_writer():
+            return
         for key, entry in self._manifest.get("tables", {}).items():
             if not key.startswith("tile:"):
                 # hash-partitioned table: drop generation leftovers
@@ -544,6 +572,14 @@ class StateStore:
     _pending_lineage: list[dict]
 
     def begin(self) -> None:
+        if self._live_foreign_writer():
+            raise RuntimeError(
+                f"another live process holds the writer lock on {self.root} "
+                "(single-writer store; see StateStore._gc)"
+            )
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._lock_path(), "w") as f:
+            f.write(str(os.getpid()))
         self._pending_lineage = []
 
     def commit(self) -> None:
@@ -552,6 +588,10 @@ class StateStore:
         # drop superseded files immediately so directory scans
         # (read_tiles_dataset) match the new manifest without reopening
         self._gc()
+        try:
+            os.remove(self._lock_path())
+        except FileNotFoundError:
+            pass
 
     # -- tile tables (pages / assignments partitioned by tile_id) ----------
     # The delta path replaces whole TILES copy-on-write — the engine

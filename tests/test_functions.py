@@ -162,3 +162,31 @@ class TestText:
     def test_fingerprint_deterministic(self):
         assert text.fingerprint64("hello") == text.fingerprint64("hello")
         assert text.fingerprint64("hello") != text.fingerprint64("hellp")
+
+
+class TestGeoScientificNotation:
+    def test_extract_geo_scientific(self):
+        from osm_live_updates_ray.functions import text
+
+        # |coord| < 1e-4: repr() switches to e-notation ('5e-05')
+        for lon, lat in [(5e-05, -3e-05), (1.25e-07, 8.1e-05), (0.0, -1e-10)]:
+            got = text.extract_geo(text.render_html("x", lon, lat))
+            assert got == (lon, lat)
+
+    def test_geocoder_stage_scientific(self):
+        import pyarrow as pa
+
+        from osm_live_updates_ray.functions import text
+        from osm_live_updates_ray.stages.spatial import Geocoder
+
+        lon, lat = 5e-05, -3e-05
+        batch = pa.Table.from_pydict(
+            {
+                "url": ["u1"],
+                "html": pa.array([text.render_html("x", lon, lat)], type=pa.binary()),
+            }
+        )
+        out = Geocoder(project=True)(batch)
+        assert out.column("lon").to_pylist() == [lon]
+        assert out.column("lat").to_pylist() == [lat]
+        assert out.column("cell_id").to_pylist()[0] != -1

@@ -122,3 +122,32 @@ class TestWatermark:
         store.set_watermark(1, "2024-01-01T00:00:00Z")  # older window replay
         store.commit()
         assert store.watermark["seq"] == 5  # never moves backward
+
+
+class TestWriterLock:
+    def test_gc_skips_while_foreign_writer_alive(self, store, tmp_path):
+        # simulate a live writer in another process: our own pid won't
+        # do (it's ignored), so use pid 1 (always alive)
+        lock = store._lock_path()
+        with open(lock, "w") as f:
+            f.write("1")
+        try:
+            # open must not raise and must NOT gc (skip) — and begin()
+            # must refuse to double-write
+            re = StateStore(store.root)
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError):
+                re.begin()
+        finally:
+            os.remove(lock)
+
+    def test_stale_lock_ignored(self, store):
+        lock = store._lock_path()
+        with open(lock, "w") as f:
+            f.write("999999999")  # dead pid
+        re = StateStore(store.root)
+        re.begin()  # stale lock replaced, no error
+        re.set_watermark(7, "2024-03-01T00:00:00Z")
+        re.commit()
+        assert not os.path.exists(lock)
