@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 os.chdir(REPO)
 
-BENCH_CACHE = "/tmp/olu_ray_bench_v2"
+BENCH_CACHE = "/tmp/olu_ray_bench_v3"
 SCRATCH = "/tmp/olu_ray_bench_scratch"
 HEADLINE_PAGES = 8_000_000
 

@@ -33,6 +33,11 @@ class EngineConfig:
     #: actor pool size for stateful spatial stages; None = tasks.
     spatial_concurrency: Optional[int] = None
 
+    #: invalidation-scan shape switch: candidate row counts at or below
+    #: this run as one driver threadpool read + vectorized pass (no Ray
+    #: pipeline ramp); above it, a streaming Ray scan.
+    driver_scan_rows: int = 200_000
+
     # --- skew handling -------------------------------------------------
     #: cells whose page count exceeds this are salted into
     #: ``salt_factor`` sub-partitions for the shuffle-based join path.

@@ -23,6 +23,24 @@ from ..stages import geometry, spatial
 from ..state.store import StateStore, pack_gid
 
 
+# above this many OSM objects the bootstrap geometry build fans out as
+# Ray map_batches stages (below it, driver-side is faster than the
+# pipeline ramp; the per-object outputs are identical either way)
+GEOM_DISTRIBUTE_THRESHOLD = 50_000
+
+
+def _append_gid(out: pa.Table) -> pa.Table:
+    if out.num_rows == 0:
+        from ..state.store import _geoms_stored_schema
+
+        return _geoms_stored_schema().empty_table()
+    gid = pack_gid(
+        out.column("type").to_pylist(),
+        out.column("id").to_numpy(zero_copy_only=False),
+    )
+    return out.append_column("gid", pa.array(gid))
+
+
 def build_geoms_table(
     nodes: pa.Table,
     ways: pa.Table,
@@ -37,15 +55,7 @@ def build_geoms_table(
         geometry.relation_geoms(relations, ways, lookup, cfg),
     ]
     out = pa.concat_tables([p for p in parts if p.num_rows])
-    if out.num_rows == 0:
-        from ..state.store import _geoms_stored_schema
-
-        return _geoms_stored_schema().empty_table()
-    gid = pack_gid(
-        out.column("type").to_pylist(),
-        out.column("id").to_numpy(zero_copy_only=False),
-    )
-    return out.append_column("gid", pa.array(gid))
+    return _append_gid(out)
 
 
 def build_state(
@@ -69,11 +79,18 @@ def build_state(
     lookup = geometry.NodeCoordLookup.from_table(nodes)
 
     store.begin()
-    rings = geometry.polygon_rings_from_osm(ways, relations, lookup)
+    n_obj = nodes.num_rows + ways.num_rows + relations.num_rows
+    if n_obj >= GEOM_DISTRIBUTE_THRESHOLD:
+        rings = geometry.build_rings_distributed(ways, relations, lookup)
+        geoms = _append_gid(
+            geometry.build_geoms_distributed(nodes, ways, relations, lookup, cfg)
+        )
+    else:
+        rings = geometry.polygon_rings_from_osm(ways, relations, lookup)
+        geoms = build_geoms_table(nodes, ways, relations, lookup, cfg)
     store.apply_upserts_deletes(
         "polygon_rings", rings, np.empty(0, dtype=np.int64), op="bootstrap"
     )
-    geoms = build_geoms_table(nodes, ways, relations, lookup, cfg)
     store.apply_upserts_deletes(
         "geoms", geoms, np.empty(0, dtype=np.int64), op="bootstrap"
     )
@@ -107,4 +124,25 @@ def build_state(
     store.init_tile_table(
         "rollups", tilestage.tile_rollup(store.read_tiles_dataset("assignments"))
     )
+    # per-cell kNN-bound summary: the delta path's invalidation prune
+    # index (candidate cells only, never a full assignments scan).
+    # Cell-count-sized — stored as a compact hash-partitioned state
+    # table, distilled from the streaming assignments aggregate.
+    parts = [
+        b
+        for b in tilestage.cell_summary(
+            store.read_tiles_dataset("assignments")
+        ).iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    summary = (
+        pa.concat_tables(parts).cast(tilestage.CELL_SUMMARY)
+        if parts
+        else tilestage.CELL_SUMMARY.empty_table()
+    )
+    store.begin()
+    store.apply_upserts_deletes(
+        "cell_summaries", summary, np.empty(0, dtype=np.int64), op="bootstrap"
+    )
+    store.commit()
     return store

@@ -82,11 +82,145 @@ def _ring_cells(rings: pa.Table, res: float) -> np.ndarray:
     return np.unique(np.concatenate(out))
 
 
+def _candidate_cells(
+    store: StateStore,
+    pts_lon: np.ndarray,
+    pts_lat: np.ndarray,
+    env_dirty_cells: np.ndarray,
+    cfg: EngineConfig,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(candidate cells, their tiles, exact candidate ROW count) from
+    the per-cell kNN-bound summary: a cell can contain a dirty row
+    only if it is
+    env-dirty, or some delta point (new location of a created/moved
+    node, or OLD location of a moved/deleted node) is within the
+    cell's stored ``max_knn_dist`` bound:
+
+      * closer-new-node rows satisfy dist² ≤ knn_dist ≤ max_kd(cell),
+        and dist² ≥ mindist²(cell_bbox, p)  ⇒  mindist² ≤ max_kd;
+      * rows whose nearest node m moved/deleted have
+        knn_dist = dist²(page, m_old) ≥ mindist²(cell, m_old), same
+        bound with the OLD location — no reverse node→cell index
+        needed.
+
+    Scans the summary (one row per CELL, not per page) on the driver —
+    the cell-count-sized computation that replaced the full-table
+    invalidation scan.
+    """
+    res = cfg.cell_res_deg
+    t = store.read_all("cell_summaries")
+    cell = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tile = t.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    kd = t.column("max_knn_dist").to_numpy(zero_copy_only=False)
+    n_rows = t.column("n_rows").to_numpy(zero_copy_only=False).astype(np.int64)
+    mask = np.isin(cell, env_dirty_cells)
+    valid = cell >= 0  # no-geo rows (cell -1) are never dirty
+    mask &= valid
+    if len(pts_lon):
+        # a cell whose bound is +inf (some row has null knn_dist) is
+        # beaten by ANY point
+        mask |= valid & np.isinf(kd)
+        finite = valid & np.isfinite(kd) & ~mask
+        # grid-accelerated lower bound: Chebyshev ring distance from
+        # each cell to the nearest point-occupied cell, via multi-source
+        # dilation over the dense cell grid (cells×points brute force is
+        # memory-bandwidth-bound at scale).  mindist(cell, p) >=
+        # (cheb - 1) * res, so cells with ((cheb-1)*res)^2 > max_kd
+        # can't hold a dirty row; the exact rect test refines survivors.
+        ix = (cell >> np.int64(32)).astype(np.int64)
+        iy = (cell & np.int64(0xFFFFFFFF)).astype(np.int64)
+        nx = int(np.floor(360.0 / res))
+        ny = int(np.floor(180.0 / res))
+        pix = np.clip(np.floor((pts_lon + 180.0) / res).astype(np.int64), 0, nx - 1)
+        piy = np.clip(np.floor((pts_lat + 90.0) / res).astype(np.int64), 0, ny - 1)
+        max_kd = float(np.max(kd[finite], initial=0.0)) if finite.any() else 0.0
+        max_r = min(64, int(np.ceil(np.sqrt(max_kd) / res)) + 1)
+        frontier = np.zeros((nx, ny), dtype=bool)
+        frontier[pix, piy] = True
+        SENT = np.uint16(max_r + 1)
+        cheb = np.where(frontier, np.uint16(0), SENT)
+        for r in range(1, max_r + 1):
+            # separable 3x3 (Chebyshev) dilation: rows pass, then cols
+            b = frontier.copy()
+            b[1:, :] |= frontier[:-1, :]
+            b[:-1, :] |= frontier[1:, :]
+            d = b.copy()
+            d[:, 1:] |= b[:, :-1]
+            d[:, :-1] |= b[:, 1:]
+            newly = d & (cheb == SENT)
+            cheb[newly] = np.uint16(r)
+            if not newly.any():
+                break
+            frontier = d
+        c_cheb = cheb[ix[finite], iy[finite]].astype(np.float64)
+        lower = np.maximum(c_cheb - 1.0, 0.0) * res
+        survivors = np.flatnonzero(finite)[(lower * lower) <= kd[finite]]
+        if len(survivors) * len(pts_lon) > 8_000_000:
+            # refine would cost a cells×points brute force — the delta
+            # is dirtying a large fraction of the world anyway, so the
+            # bound-level superset is the better trade (the per-row
+            # exact test downstream guarantees correctness either way)
+            mask[survivors] = True
+        elif len(survivors):
+            # exact rect-distance refine on the (few) bound survivors
+            lo_x = (ix[survivors] * res - 180.0)[:, None]
+            lo_y = (iy[survivors] * res - 90.0)[:, None]
+            min_d2 = np.full(len(survivors), np.inf)
+            for s in range(0, len(pts_lon), 1024):
+                px = pts_lon[None, s : s + 1024]
+                py = pts_lat[None, s : s + 1024]
+                dx = (
+                    np.clip(lo_x - px, 0.0, None)
+                    + np.clip(px - (lo_x + res), 0.0, None)
+                )
+                dy = (
+                    np.clip(lo_y - py, 0.0, None)
+                    + np.clip(py - (lo_y + res), 0.0, None)
+                )
+                dx *= dx
+                dy *= dy
+                dx += dy
+                np.minimum(min_d2, dx.min(axis=1), out=min_d2)
+            # <= mirrors the row-level tie-break (a node at EXACTLY the
+            # stored distance can win the id tie-break)
+            mask[survivors[min_d2 <= kd[survivors]]] = True
+    return cell[mask], tile[mask], int(n_rows[mask].sum())
+
+
+def _changed_polygon_ids(old_rings: pa.Table, new_rings: pa.Table) -> np.ndarray:
+    """Polygon ids whose RING GEOMETRY actually differs between the old
+    and recomputed ring sets.  A tag-only (or otherwise non-geometric)
+    modify recomputes byte-identical rings — those polygons change no
+    PIP result, so they must not dirty their cells (at bench scale this
+    is the difference between re-joining a mega-cell and re-joining
+    nothing).  Both inputs are delta-sized."""
+
+    def sig(t: pa.Table) -> dict:
+        out: dict[int, list] = {}
+        for pid, ridx, role, lons, lats in zip(
+            t.column("polygon_id").to_pylist(),
+            t.column("ring_idx").to_pylist(),
+            t.column("role").to_pylist(),
+            t.column("lons").to_pylist(),
+            t.column("lats").to_pylist(),
+        ):
+            out.setdefault(pid, []).append((ridx, role, tuple(lons), tuple(lats)))
+        return {k: sorted(v) for k, v in out.items()}
+
+    a, b = sig(old_rings), sig(new_rings)
+    changed = [
+        pid for pid in set(a) | set(b) if a.get(pid) != b.get(pid)
+    ]
+    return np.asarray(sorted(changed), dtype=np.int64)
+
+
 def _dirty_assignment_rows(
     store: StateStore,
     moved_or_deleted: np.ndarray,
     new_lon: np.ndarray,
     new_lat: np.ndarray,
+    old_lon: np.ndarray,
+    old_lat: np.ndarray,
     env_dirty_cells: np.ndarray,
     cfg: EngineConfig,
 ) -> pa.Table:
@@ -100,16 +234,28 @@ def _dirty_assignment_rows(
         (kNN dirtiness is NON-LOCAL; the state rows carry lon/lat so
         the distance test is exact per page, not a cell bound).
 
-    Runs as a Ray Data scan over the assignments tile table with the
-    small sets broadcast — returns only the dirty rows (delta-sized).
+    Two-level scan: the per-cell ``cell_summaries`` bound first prunes
+    to candidate cells (see :func:`_candidate_cells` for why that set
+    is a superset of every condition above), then the EXACT per-row
+    tests run over only the candidate rows.  The summary's per-cell
+    row counts give the exact candidate volume up front, choosing the
+    execution shape:
+      * small (the steady-state minute-diff case): driver threadpool
+        read of the candidate tiles + one vectorized pass — no Ray
+        pipeline ramp;
+      * large: streaming Ray scan; when candidates cover most tiles a
+        plain directory scan beats a per-file pruned read.
+    Falls back to the full-table scan on stores without summaries.
     """
-    ds = store.read_tiles_dataset("assignments")
+    from ..schemas import ASSIGNMENTS_STATE
+
     moved = moved_or_deleted.copy()
     nl = new_lon.copy()
     nt = new_lat.copy()
     env = env_dirty_cells.copy()
+    prefilter = None
 
-    def dirty_rows(t: pa.Table) -> pa.Table:
+    def exact_mask(t: pa.Table) -> np.ndarray:
         cell = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
         mask = np.isin(cell, env)
         if len(moved):
@@ -132,10 +278,47 @@ def _dirty_assignment_rows(
                 beat = ((dx * dx + dy * dy) <= kd[idx, None]).any(axis=1)
                 mask[idx[beat]] = True
                 todo[idx[beat]] = False
-            # restore tile_id from hive partition when projected away
-        return t.filter(pa.array(mask))
+        return mask
 
-    from ..schemas import ASSIGNMENTS_STATE
+    cols = [f.name for f in ASSIGNMENTS_STATE]
+    if store._manifest["tables"].get("cell_summaries"):
+        cand_cells, cand_tiles, est_rows = _candidate_cells(
+            store,
+            np.concatenate([new_lon, old_lon]),
+            np.concatenate([new_lat, old_lat]),
+            env_dirty_cells,
+            cfg,
+        )
+        if len(cand_cells) == 0:
+            return ASSIGNMENTS_STATE.empty_table()
+        uniq_tiles = np.unique(cand_tiles)
+        if est_rows <= cfg.driver_scan_rows:
+            t = store.read_tiles("assignments", uniq_tiles.tolist())
+            keep = np.isin(
+                t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                cand_cells,
+            )
+            t = t.filter(pa.array(keep))
+            out = t.filter(pa.array(exact_mask(t)))
+            return out.select(cols).cast(ASSIGNMENTS_STATE)
+        existing = store.tile_ids("assignments")
+        if len(uniq_tiles) * 2 >= len(existing):
+            ds = store.read_tiles_dataset("assignments")
+        else:
+            ds = store.read_tiles_dataset(
+                "assignments", tile_ids=uniq_tiles.tolist()
+            )
+        prefilter = cand_cells
+    else:
+        ds = store.read_tiles_dataset("assignments")
+
+    def dirty_rows(t: pa.Table) -> pa.Table:
+        if prefilter is not None:
+            cell = (
+                t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            t = t.filter(pa.array(np.isin(cell, prefilter)))
+        return t.filter(pa.array(exact_mask(t)))
 
     batches = [
         b
@@ -146,7 +329,6 @@ def _dirty_assignment_rows(
     ]
     if not batches:
         return ASSIGNMENTS_STATE.empty_table()
-    cols = [f.name for f in ASSIGNMENTS_STATE]
     return pa.concat_tables([b.select(cols) for b in batches]).cast(ASSIGNMENTS_STATE)
 
 
@@ -283,19 +465,31 @@ def apply_changes(
     knn_new = node_upserts.filter(
         pc.is_in(node_upserts.column("id"), value_set=pa.array(knn_source_ids))
     )
+    changed_pids = _changed_polygon_ids(old_rings, new_rings)
+    old_changed = old_rings.filter(
+        pc.is_in(old_rings.column("polygon_id"), value_set=pa.array(changed_pids))
+    )
+    new_changed = new_rings.filter(
+        pc.is_in(new_rings.column("polygon_id"), value_set=pa.array(changed_pids))
+    )
     env_dirty_cells = np.unique(
         np.concatenate(
             [
-                _ring_cells(old_rings, cfg.cell_res_deg),
-                _ring_cells(new_rings, cfg.cell_res_deg),
+                _ring_cells(old_changed, cfg.cell_res_deg),
+                _ring_cells(new_changed, cfg.cell_res_deg),
             ]
         )
     )
+    # OLD locations of moved/deleted nodes (pre-mutation): bound the
+    # cells that can hold rows whose stored nearest node is affected
+    old_locs = store.node_locations(moved_or_deleted)
     dirty_rows = _dirty_assignment_rows(
         store,
         moved_or_deleted,
         knn_new.column("lon").to_numpy(zero_copy_only=False),
         knn_new.column("lat").to_numpy(zero_copy_only=False),
+        old_locs.column("lon").to_numpy(zero_copy_only=False),
+        old_locs.column("lat").to_numpy(zero_copy_only=False),
         env_dirty_cells,
         cfg,
     )
@@ -411,6 +605,17 @@ def apply_changes(
         else:
             store.replace_tiles(
                 "rollups", touch_tiles, tiles.TILE_ROLLUP.empty_table()
+            )
+        if store._manifest["tables"].get("cell_summaries"):
+            # maintain the per-cell prune index: rows of the touched
+            # tiles' old cells replaced by the recomputed summary (a
+            # cell nests in exactly one tile, so the old-cell set fully
+            # covers what the rewrite can change)
+            old_cells = np.unique(
+                old_assign.column("cell_id").to_numpy(zero_copy_only=False)
+            )
+            store.apply_upserts_deletes(
+                "cell_summaries", tiles.cell_summary_table(merged), old_cells
             )
         tiles_rewritten = len(touch_tiles)
     timers["rejoin_and_cow"] = _time.time() - _t0

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import geo, wkt
@@ -113,16 +114,69 @@ def _facts(
 
 
 def node_geoms(nodes: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
-    """Per-node derived facts (geometry = POINT, 7-decimal canonical)."""
-    ids = nodes.column("id").to_numpy(zero_copy_only=False)
+    """Per-node derived facts (geometry = POINT, 7-decimal canonical).
+
+    Vectorized column build (no per-row dicts): a point's centroid /
+    envelope / hull degenerate to the point itself, so every derived
+    value is the coordinate pair — formatting is the only per-row work.
+    """
+    n = nodes.num_rows
+    ids = nodes.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
     lon = nodes.column("lon").to_numpy(zero_copy_only=False)
     lat = nodes.column("lat").to_numpy(zero_copy_only=False)
-    rows = [
-        _facts("node", int(i), np.array([a]), np.array([b]),
-               wkt.point_wkt(a, b, cfg.wkt_precision), 0.0, 0.0, cfg)
-        for i, a, b in zip(ids.tolist(), lon.tolist(), lat.tolist())
+    p = cfg.wkt_precision
+    pts = [
+        f"{a:.{p}f} {b:.{p}f}" for a, b in zip(lon.tolist(), lat.tolist())
     ]
-    return pa.Table.from_pylist(rows, schema=GEOMS)
+    none_col = pa.nulls(n, pa.float64())
+    return pa.Table.from_arrays(
+        [
+            pa.array(["node"] * n, type=pa.string()),
+            pa.array(ids, type=pa.int64()),
+            pa.array([f"POINT({s})" for s in pts], type=pa.string()),
+            pa.array(lon) if cfg.with_centroid else none_col,
+            pa.array(lat) if cfg.with_centroid else none_col,
+            pa.array(lon) if cfg.with_envelope else none_col,
+            pa.array(lat) if cfg.with_envelope else none_col,
+            pa.array(lon) if cfg.with_envelope else none_col,
+            pa.array(lat) if cfg.with_envelope else none_col,
+            (
+                pa.array([f"POLYGON(({s}))" for s in pts], type=pa.string())
+                if cfg.with_convex_hull
+                else pa.nulls(n, pa.string())
+            ),
+            (
+                pa.array(np.zeros(n)) if cfg.with_length else none_col
+            ),
+            (
+                pa.array(np.zeros(n)) if cfg.with_area else none_col
+            ),
+        ],
+        schema=GEOMS,
+    )
+
+
+def _resolved_way_coords(
+    ways: pa.Table, lookup: NodeCoordLookup
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ONE searchsorted over all member refs (instead of one per way):
+    returns (x, y, offsets) where way i's found coordinates are
+    ``x[offsets[i]:offsets[i+1]]`` — identical values to per-way
+    resolve+mask, so downstream reductions are byte-equal."""
+    nl = ways.column("node_ids").combine_chunks()
+    lens = (
+        pc.fill_null(pc.list_value_length(nl), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(nl).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    fx, fy, found = lookup.resolve(flat)
+    # compact to found-only, per-way offsets via cumsum-diff (robust to
+    # empty groups, unlike reduceat)
+    cs = np.concatenate([[0], np.cumsum(found)])
+    new_offs = cs[offs]
+    return fx[found], fy[found], new_offs
 
 
 def way_geoms(
@@ -131,11 +185,10 @@ def way_geoms(
     """Assemble way geometries from member node coordinates."""
     rows = []
     ids = ways.column("id").to_pylist()
-    node_lists = ways.column("node_ids").to_pylist()
-    for oid, refs in zip(ids, node_lists):
-        refs = np.asarray(refs or [], dtype=np.int64)
-        x, y, found = lookup.resolve(refs)
-        x, y = x[found], y[found]
+    gx, gy, goffs = _resolved_way_coords(ways, lookup)
+    for i, oid in enumerate(ids):
+        x = gx[goffs[i] : goffs[i + 1]]
+        y = gy[goffs[i] : goffs[i + 1]]
         if len(x) == 0:
             rows.append(_empty_geom_row("way", oid))
             continue
@@ -150,19 +203,28 @@ def way_geoms(
     return pa.Table.from_pylist(rows, schema=GEOMS)
 
 
+def way_nodes_map(way_table: pa.Table) -> dict:
+    """way id -> member node list (the relation-assembly lookup);
+    build once per actor, not once per batch."""
+    return {
+        i: refs
+        for i, refs in zip(
+            way_table.column("id").to_pylist(),
+            way_table.column("node_ids").to_pylist(),
+        )
+    }
+
+
 def relation_geoms(
     rels: pa.Table,
     way_table: pa.Table,
     lookup: NodeCoordLookup,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    way_nodes: dict | None = None,
 ) -> pa.Table:
     """Assemble relation geometries from member ways (+ point members)."""
-    way_nodes = {
-        i: refs
-        for i, refs in zip(
-            way_table.column("id").to_pylist(), way_table.column("node_ids").to_pylist()
-        )
-    }
+    if way_nodes is None:
+        way_nodes = way_nodes_map(way_table)
     rows = []
     for oid, members, tags in zip(
         rels.column("id").to_pylist(),
@@ -237,6 +299,7 @@ def polygon_rings_from_osm(
     rels: pa.Table,
     lookup: NodeCoordLookup,
     way_nodes_source: pa.Table | None = None,
+    way_nodes: dict | None = None,
 ) -> pa.Table:
     """Build the spatial-join polygon layer from OSM objects:
     closed tagged ways and area relations -> POLYGON_RINGS rows.
@@ -271,26 +334,20 @@ def polygon_rings_from_osm(
             }
         )
 
-    for oid, refs, tags in zip(
-        ways.column("id").to_pylist(),
-        ways.column("node_ids").to_pylist(),
-        ways.column("tags").to_pylist(),
+    gx, gy, goffs = _resolved_way_coords(ways, lookup)
+    for i, (oid, tags) in enumerate(
+        zip(ways.column("id").to_pylist(), ways.column("tags").to_pylist())
     ):
         if not tags:
             continue
-        refs = np.asarray(refs or [], dtype=np.int64)
-        x, y, found = lookup.resolve(refs)
-        x, y = x[found], y[found]
+        x = gx[goffs[i] : goffs[i + 1]]
+        y = gy[goffs[i] : goffs[i + 1]]
         if len(x) >= 4 and x[0] == x[-1] and y[0] == y[-1]:
             add_ring(int(oid), 0, "outer", x, y)
 
-    src = way_nodes_source if way_nodes_source is not None else ways
-    way_nodes = {
-        i: refs
-        for i, refs in zip(
-            src.column("id").to_pylist(), src.column("node_ids").to_pylist()
-        )
-    }
+    if way_nodes is None:
+        src = way_nodes_source if way_nodes_source is not None else ways
+        way_nodes = way_nodes_map(src)
     for oid, members, tags in zip(
         rels.column("id").to_pylist(),
         rels.column("members").to_pylist(),
@@ -316,3 +373,165 @@ def polygon_rings_from_osm(
 
 
 REL_POLY_OFFSET = 1 << 40
+
+
+# ---------------------------------------------------------------------------
+# distributed bootstrap builders (planet-scale path): the SAME per-batch
+# functions above, fanned out with map_batches over each layer, with the
+# node-coordinate lookup (and the way table for relation assembly)
+# broadcast ONCE via ray.put — per-way/per-relation outputs don't depend
+# on batching, so results are byte-identical to the driver-side path
+# (the delta pipeline keeps calling the plain functions on its
+# delta-sized inputs).
+# ---------------------------------------------------------------------------
+class _WayGeomBatcher:
+    def __init__(self, lookup_ref, cfg: EngineConfig):
+        import ray
+
+        self.lookup = ray.get(lookup_ref)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return way_geoms(batch, self.lookup, self.cfg)
+
+
+class _RelGeomBatcher:
+    def __init__(self, lookup_ref, ways_ref, cfg: EngineConfig):
+        import ray
+
+        self.lookup = ray.get(lookup_ref)
+        self.ways = ray.get(ways_ref)
+        self.way_nodes = way_nodes_map(self.ways)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return relation_geoms(
+            batch, self.ways, self.lookup, self.cfg, way_nodes=self.way_nodes
+        )
+
+
+class _WayRingBatcher:
+    def __init__(self, lookup_ref, rels_schema: pa.Schema):
+        import ray
+
+        self.lookup = ray.get(lookup_ref)
+        self.empty_rels = rels_schema.empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return polygon_rings_from_osm(batch, self.empty_rels, self.lookup)
+
+
+class _RelRingBatcher:
+    def __init__(self, lookup_ref, ways_ref, ways_schema: pa.Schema):
+        import ray
+
+        self.lookup = ray.get(lookup_ref)
+        self.way_nodes = way_nodes_map(ray.get(ways_ref))
+        self.empty_ways = ways_schema.empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return polygon_rings_from_osm(
+            self.empty_ways, batch, self.lookup, way_nodes=self.way_nodes
+        )
+
+
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    parts = [
+        b
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return pa.concat_tables(parts).cast(schema) if parts else schema.empty_table()
+
+
+def build_geoms_distributed(
+    nodes: pa.Table,
+    ways: pa.Table,
+    relations: pa.Table,
+    lookup: NodeCoordLookup,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> pa.Table:
+    """Bootstrap derived-facts build as Ray map_batches stages (one
+    task pool per layer, lookup/way-table broadcast once)."""
+    import ray
+    import ray.data as rd
+
+    lookup_ref = ray.put(lookup)
+    ways_ref = ray.put(ways)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(8, ncpu * 2)
+
+    def _layer(table: pa.Table, cls, *args):
+        if table.num_rows == 0:
+            return None
+        ds = (
+            rd.from_arrow(table)
+            .repartition(min(nparts, max(1, table.num_rows // 512)))
+            .map_batches(
+                cls,
+                fn_constructor_args=args,
+                batch_format="pyarrow",
+                concurrency=(1, max(2, ncpu - 1)),
+            )
+        )
+        return _collect(ds, GEOMS)
+
+    parts = [
+        _layer(nodes, _NodeGeomBatcher, cfg),
+        _layer(ways, _WayGeomBatcher, lookup_ref, cfg),
+        _layer(relations, _RelGeomBatcher, lookup_ref, ways_ref, cfg),
+    ]
+    parts = [p for p in parts if p is not None and p.num_rows]
+    return pa.concat_tables(parts) if parts else GEOMS.empty_table()
+
+
+class _NodeGeomBatcher:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return node_geoms(batch, self.cfg)
+
+
+def build_rings_distributed(
+    ways: pa.Table,
+    relations: pa.Table,
+    lookup: NodeCoordLookup,
+) -> pa.Table:
+    """Bootstrap polygon-ring layer as Ray map_batches stages; ring
+    output order is normalized by the caller's keyed upsert (rows keyed
+    by (polygon_id, ring_idx), both independent of batching)."""
+    import ray
+    import ray.data as rd
+
+    lookup_ref = ray.put(lookup)
+    ways_ref = ray.put(ways)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(8, ncpu * 2)
+    parts = []
+    if ways.num_rows:
+        ds = (
+            rd.from_arrow(ways)
+            .repartition(min(nparts, max(1, ways.num_rows // 512)))
+            .map_batches(
+                _WayRingBatcher,
+                fn_constructor_args=(lookup_ref, relations.schema),
+                batch_format="pyarrow",
+                concurrency=(1, max(2, ncpu - 1)),
+            )
+        )
+        parts.append(_collect(ds, POLYGON_RINGS))
+    if relations.num_rows:
+        ds = (
+            rd.from_arrow(relations)
+            .repartition(min(nparts, max(1, relations.num_rows // 512)))
+            .map_batches(
+                _RelRingBatcher,
+                fn_constructor_args=(lookup_ref, ways_ref, ways.schema),
+                batch_format="pyarrow",
+                concurrency=(1, max(2, ncpu - 1)),
+            )
+        )
+        parts.append(_collect(ds, POLYGON_RINGS))
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else POLYGON_RINGS.empty_table()

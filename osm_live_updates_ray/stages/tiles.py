@@ -71,6 +71,76 @@ def tile_rollup(assignments_ds):
     )
 
 
+CELL_SUMMARY = pa.schema(
+    [
+        ("tile_id", pa.int64()),
+        ("cell_id", pa.int64()),
+        # max SQUARED nearest-node distance over the cell's rows;
+        # +inf when any row has null knn_dist (any new node beats it)
+        ("max_knn_dist", pa.float64()),
+        ("n_rows", pa.int64()),
+    ]
+)
+
+
+def _cell_summary_arrays(batch: pa.Table):
+    cell = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tile = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    kd = batch.column("knn_dist").to_numpy(zero_copy_only=False).astype(np.float64)
+    kd = np.where(np.isnan(kd), np.inf, kd)
+    order = np.argsort(cell, kind="stable")
+    cell, tile, kd = cell[order], tile[order], kd[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(cell)) + 1])
+    counts = np.diff(np.concatenate([starts, [len(cell)]]))
+    return (
+        tile[starts],
+        cell[starts],
+        np.maximum.reduceat(kd, starts) if len(kd) else kd,
+        counts.astype(np.int64),
+    )
+
+
+def cell_summary_table(assignments: pa.Table) -> pa.Table:
+    """Per-cell kNN-bound summary (the delta path's invalidation prune
+    index): one row per distinct cell, vectorized reduceat groupby."""
+    if assignments.num_rows == 0:
+        return CELL_SUMMARY.empty_table()
+    tile, cell, mx, n = _cell_summary_arrays(assignments)
+    return pa.Table.from_arrays(
+        [
+            pa.array(tile, type=pa.int64()),
+            pa.array(cell, type=pa.int64()),
+            pa.array(mx, type=pa.float64()),
+            pa.array(n, type=pa.int64()),
+        ],
+        schema=CELL_SUMMARY,
+    )
+
+
+def cell_summary(assignments_ds):
+    """Dataset variant: per-batch partials (one row per cell per block)
+    -> small groupby(cell_id) combine.  The shuffle moves cell partials,
+    not pages."""
+    from ray.data.aggregate import Max, Sum
+
+    def _part(batch: pa.Table) -> pa.Table:
+        return cell_summary_table(batch)
+
+    agg = (
+        assignments_ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("cell_id")
+        .aggregate(
+            Max("tile_id", alias_name="tile_id"),
+            Max("max_knn_dist", alias_name="max_knn_dist"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: t.select([f.name for f in CELL_SUMMARY]).cast(CELL_SUMMARY),
+        batch_format="pyarrow",
+    )
+
+
 def tile_rollup_table(assignments: pa.Table) -> pa.Table:
     """In-memory variant for tests / small dirty-tile recomputes."""
     df = assignments.to_pandas()

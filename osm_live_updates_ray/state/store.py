@@ -95,6 +95,10 @@ def _schema_of(name: str) -> pa.Schema:
         from ..stages.tiles import TILE_ROLLUP
 
         return TILE_ROLLUP
+    if name == "cell_summaries":
+        from ..stages.tiles import CELL_SUMMARY
+
+        return CELL_SUMMARY
     return _TABLE_SCHEMAS[name]
 
 
@@ -108,6 +112,7 @@ _TABLE_KEYS = {
     "assignments": "cell_id",
     "geoms": "gid",
     "polygon_rings": "polygon_id",
+    "cell_summaries": "cell_id",
 }
 
 _TABLE_SCHEMAS = {
@@ -310,6 +315,10 @@ class StateStore:
     def _n_parts(self, name: str) -> int:
         if name in ("pages", "assignments"):
             return self.config.cell_partitions
+        if name == "cell_summaries":
+            # per-cell prune index: one row per cell — tiny next to the
+            # page tables; few partitions keep whole-table reads cheap
+            return 4
         return self.config.id_partitions
 
     def _write_table_partitions(
@@ -702,7 +711,6 @@ class StateStore:
         restores ``tile_id``); correctness of dir scans is guaranteed
         by the startup GC, which removes files superseded by the
         manifest (see :meth:`_gc`)."""
-        import pyarrow.compute as _pc
         import ray.data as rd
 
         entry = self._manifest["tables"].get(f"tile:{name}", {})
@@ -710,12 +718,45 @@ class StateStore:
             return rd.from_arrow(_schema_of(name).empty_table())
         path = os.path.join(self.root, name)
         kwargs = {}
-        if tile_ids is not None:
-            kwargs["filter"] = _pc.field("tile_id").isin(
-                [int(t) for t in tile_ids]
-            )
         if columns is not None:
             kwargs["columns"] = columns
+        if tile_ids is not None:
+            # partition prune at the READ: pass only the wanted tiles'
+            # manifest-listed files (a `filter` on the hive partition
+            # column fails at Ray's fragment-sampling step, and
+            # multi-directory lists are not accepted).  tile_id is
+            # restored from the file path as int64.
+            want = {str(int(t)) for t in tile_ids}
+            files = [
+                os.path.join(path, f"tile_id={t}", f)
+                for t, fs in entry.items()
+                if str(t) in want
+                for f in fs
+            ]
+            if not files:
+                return rd.from_arrow(_schema_of(name).empty_table())
+            phys_cols = None
+            if columns is not None:
+                phys_cols = [c for c in columns if c != "tile_id"]
+            ds = rd.read_parquet(
+                files, include_paths=True,
+                **({"columns": phys_cols} if phys_cols is not None else {}),
+            )
+
+            def _restore_tile(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc2
+
+                ex = pc2.extract_regex(
+                    t.column("path"), pattern=r"tile_id=(?P<tid>-?\d+)"
+                )
+                tid = pc2.cast(pc2.struct_field(ex, "tid"), pa.int64())
+                # hive inference may or may not have added tile_id
+                # (depends on the common base dir of the file list) —
+                # drop it and always use the path-derived int64 column
+                drop = [c for c in ("path", "tile_id") if c in t.column_names]
+                return t.drop_columns(drop).append_column("tile_id", tid)
+
+            return ds.map_batches(_restore_tile, batch_format="pyarrow")
         ds = rd.read_parquet(path, **kwargs)
         return ds
 

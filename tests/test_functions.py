@@ -190,3 +190,45 @@ class TestGeoScientificNotation:
         assert out.column("lon").to_pylist() == [lon]
         assert out.column("lat").to_pylist() == [lat]
         assert out.column("cell_id").to_pylist()[0] != -1
+
+
+class TestGeometryDistributedEquality:
+    """The distributed bootstrap geometry builders must produce exactly
+    the driver-side functions' outputs (same per-object values; only
+    row order may differ)."""
+
+    def test_geoms_and_rings_distributed_equal(self, ray_session, t1_world):
+        import pyarrow as pa
+
+        from osm_live_updates_ray.config import DEFAULT_CONFIG
+        from osm_live_updates_ray.stages import geometry
+
+        w = t1_world
+        lookup = geometry.NodeCoordLookup.from_table(w["osm_nodes"])
+        driver = pa.concat_tables(
+            [
+                geometry.node_geoms(w["osm_nodes"], DEFAULT_CONFIG),
+                geometry.way_geoms(w["osm_ways"], lookup, DEFAULT_CONFIG),
+                geometry.relation_geoms(
+                    w["osm_relations"], w["osm_ways"], lookup, DEFAULT_CONFIG
+                ),
+            ]
+        )
+        dist = geometry.build_geoms_distributed(
+            w["osm_nodes"], w["osm_ways"], w["osm_relations"], lookup
+        )
+        key = [("type", "ascending"), ("id", "ascending")]
+        a, b = driver.sort_by(key), dist.sort_by(key)
+        assert a.num_rows == b.num_rows
+        assert a.equals(b)
+
+        r_driver = geometry.polygon_rings_from_osm(
+            w["osm_ways"], w["osm_relations"], lookup
+        )
+        r_dist = geometry.build_rings_distributed(
+            w["osm_ways"], w["osm_relations"], lookup
+        )
+        key = [("polygon_id", "ascending"), ("ring_idx", "ascending")]
+        a, b = r_driver.sort_by(key), r_dist.sort_by(key)
+        assert a.num_rows == b.num_rows
+        assert a.equals(b)

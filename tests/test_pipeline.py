@@ -81,6 +81,16 @@ class TestConformance:
         A, B, _ = replayed
         assert_tables_equal(A.read_tiles("rollups"), B.read_tiles("rollups"), ["tile_id"])
 
+    def test_cell_summaries_exact(self, replayed):
+        # the delta-maintained kNN-bound prune index must equal the
+        # bootstrap-built one (else future invalidation prunes drift)
+        A, B, _ = replayed
+        assert_tables_equal(
+            A.read_all("cell_summaries"),
+            B.read_all("cell_summaries"),
+            ["cell_id"],
+        )
+
     def test_summary_counters(self, replayed):
         _, _, s = replayed
         assert s["deduped_rows"] <= s["input_rows"]
