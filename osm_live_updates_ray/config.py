@@ -37,6 +37,13 @@ class EngineConfig:
     #: this run as one driver threadpool read + vectorized pass (no Ray
     #: pipeline ramp); above it, a streaming Ray scan.
     driver_scan_rows: int = 200_000
+    #: node layers above this many rows are never broadcast: the delta
+    #: re-join switches to cell-range-sharded kNN index actors, each
+    #: reading its own partition files.
+    broadcast_node_rows: int = 5_000_000
+    #: dirty-row counts above this re-join as a distributed Ray
+    #: pipeline; at or below, a single driver-side joiner (no ramp).
+    rejoin_driver_rows: int = 50_000
 
     # --- skew handling -------------------------------------------------
     #: cells whose page count exceeds this are salted into

@@ -542,12 +542,15 @@ def apply_changes(
     _t0 = _time.time()
     tiles_rewritten = 0
     if dirty_rows.num_rows:
+        import pyarrow.parquet as _pq
+
         rings_all = store.read_all("polygon_rings")
-        nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
+        node_files = store._files("nodes")
+        n_nodes = sum(_pq.read_metadata(f).num_rows for f in node_files)
         rejoin_input = dirty_rows.select(
             ["url", "lon", "lat", "cell_id", "tile_id"]
         )
-        if dirty_rows.num_rows > 50_000:
+        if dirty_rows.num_rows > cfg.rejoin_driver_rows:
             # distributed re-join (big invalidation => Ray pipeline);
             # from_arrow yields ONE block — split it or a single actor
             # would process every batch serially
@@ -555,15 +558,28 @@ def apply_changes(
             import ray.data as rd
 
             n_cpu = int(ray.cluster_resources().get("CPU", 8))
-            ds = spatial.spatial_join(
-                rd.from_arrow(rejoin_input).repartition(max(16, n_cpu * 2)),
-                rings_all, nodes_all, cfg,
-                keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
-            )
+            pages_in = rd.from_arrow(rejoin_input).repartition(max(16, n_cpu * 2))
+            if n_nodes > cfg.broadcast_node_rows:
+                # node layer too big to broadcast: cell-range file
+                # shards, each read and indexed by its OWN actor — no
+                # process (driver included) ever holds the full layer
+                k = min(8, len(node_files)) or 1
+                groups = [list(g) for g in np.array_split(node_files, k)]
+                ds = spatial.spatial_join_sharded(
+                    pages_in, rings_all, groups, cfg,
+                    keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
+                )
+            else:
+                nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
+                ds = spatial.spatial_join(
+                    pages_in, rings_all, nodes_all, cfg,
+                    keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
+                )
             recomputed = pa.concat_tables(
                 list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
             )
         else:
+            nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
             joiner = spatial.SpatialJoiner(
                 spatial.PolygonIndex(rings_all, cfg.cell_res_deg),
                 spatial.GridNodeIndex(

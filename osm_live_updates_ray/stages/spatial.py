@@ -736,6 +736,193 @@ def spatial_join(
     return pages_geo_ds.map_batches(SpatialJoiner, **kwargs)
 
 
+class _PipStage:
+    """Sharded-join stage 1: polygon assignment + running-best kNN
+    columns initialized to (+inf, MAXI)."""
+
+    def __init__(self, poly_ref, config: EngineConfig, keep_lonlat: bool):
+        import ray
+
+        polys = ray.get(poly_ref) if hasattr(poly_ref, "hex") else poly_ref
+        self.pindex = (
+            polys if isinstance(polys, PolygonIndex)
+            else PolygonIndex(polys, config.cell_res_deg)
+        )
+        self.keep_lonlat = keep_lonlat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cell >= 0
+        batch = batch.filter(pa.array(keep))
+        cell = cell[keep]
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        n = len(cell)
+        pid = np.full(n, -1, dtype=np.int64)
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        run_starts = np.concatenate([[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]])
+        for s, e in zip(run_starts[:-1], run_starts[1:]):
+            g = order[s:e]
+            pid[g] = self.pindex.assign(int(cs[s]), lon[g], lat[g])
+        MAXI = np.iinfo(np.int64).max
+        return (
+            batch.append_column("polygon_id", pa.array(pid))
+            .append_column("best_kid", pa.array(np.full(n, MAXI, dtype=np.int64)))
+            .append_column("best_kd", pa.array(np.full(n, np.inf)))
+        )
+
+
+class _KnnShardStage:
+    """Sharded-join stage k: merge this node shard's exact nearest into
+    the running best under the global (dist², id) order.  Each actor
+    holds ONLY its shard's index — no process ever builds the full node
+    layer (the broadcast-limit escape hatch for planet-scale layers)."""
+
+    def __init__(self, shard_src, config: EngineConfig):
+        if isinstance(shard_src, (list, tuple)) and shard_src and isinstance(
+            shard_src[0], str
+        ):
+            # file-path shard: the ACTOR reads its partition parquet —
+            # the driver never materializes any part of the node layer
+            import pyarrow.parquet as pq_
+
+            t = pa.concat_tables(
+                [pq_.read_table(f, columns=["id", "lon", "lat"]) for f in shard_src]
+            )
+            ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            lons = t.column("lon").to_numpy(zero_copy_only=False)
+            lats = t.column("lat").to_numpy(zero_copy_only=False)
+        else:
+            import ray
+
+            ids, lons, lats = ray.get(shard_src)
+        self.nindex = GridNodeIndex(ids, lons, lats, config.cell_res_deg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        bkid = batch.column("best_kid").to_numpy(zero_copy_only=False).copy()
+        bkd = batch.column("best_kd").to_numpy(zero_copy_only=False).copy()
+        kid, kd, handled = self.nindex.knn_batch(cell, lon, lat)
+        todo = np.flatnonzero(~handled)
+        if len(todo):
+            order = todo[np.argsort(cell[todo], kind="stable")]
+            cs = cell[order]
+            runs = np.concatenate([[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]])
+            for s, e in zip(runs[:-1], runs[1:]):
+                g = order[s:e]
+                kid[g], kd[g] = self.nindex.knn1(int(cs[s]), lon[g], lat[g])
+        found = kid >= 0
+        kd = np.where(found, kd, np.inf)
+        kid_m = np.where(found, kid, np.iinfo(np.int64).max)
+        take = (kd < bkd) | ((kd == bkd) & (kid_m < bkid))
+        bkd[take] = kd[take]
+        bkid[take] = kid_m[take]
+        i = batch.schema.get_field_index("best_kid")
+        batch = batch.set_column(i, "best_kid", pa.array(bkid))
+        i = batch.schema.get_field_index("best_kd")
+        return batch.set_column(i, "best_kd", pa.array(bkd))
+
+
+def _shard_nodes(nodes: pa.Table, n_shards: int, cell_res: float):
+    """Contiguous cell-range shards (lexsort by (cell, id)): keeps each
+    shard's grid index spatially local so its ring searches stay tight."""
+    ids = nodes.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lons = nodes.column("lon").to_numpy(zero_copy_only=False)
+    lats = nodes.column("lat").to_numpy(zero_copy_only=False)
+    cells = cellfn.cell_id(lons, lats, cell_res)
+    order = np.lexsort((ids, cells))
+    bounds = np.linspace(0, len(ids), n_shards + 1).astype(np.int64)
+    out = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e > s:
+            g = order[s:e]
+            out.append((ids[g], lons[g], lats[g]))
+    return out
+
+
+def spatial_join_sharded(
+    pages_geo_ds,
+    polygons: pa.Table,
+    nodes: pa.Table,
+    config: EngineConfig = DEFAULT_CONFIG,
+    n_shards: int = 4,
+    concurrency=None,
+    keep_lonlat: bool = False,
+):
+    """Broadcast-free kNN join: the node layer is split into cell-range
+    shards, each held by its own actor-pool stage; pages stream through
+    the PIP stage then every shard stage, merging the running (dist²,
+    id) best.  Exact: the global nearest is the (d², id)-min over the
+    per-shard exact nearests.  Output is identical to
+    :func:`spatial_join` (conformance-tested); use when the node layer
+    exceeds what one process should hold.
+
+    ``nodes`` is either an Arrow table (sharded into cell ranges here)
+    or a list of parquet file-path groups — then each shard ACTOR reads
+    its own partition files and the driver never holds any node data."""
+    import ray
+
+    poly_ref = ray.put(PolygonIndex(polygons, config.cell_res_deg))
+    if isinstance(nodes, pa.Table):
+        shard_refs = [
+            ray.put(s) for s in _shard_nodes(nodes, n_shards, config.cell_res_deg)
+        ]
+    else:
+        shard_refs = [list(g) for g in nodes if g]
+    n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_stages = len(shard_refs) + 1
+    if concurrency is None:
+        concurrency = (1, max(2, n // max(1, len(shard_refs))))
+    # chained actor pools each reserve their min actors — on small
+    # sessions that starves the task stages (deadlock); shrink each
+    # actor's CPU share so all stages + tasks fit concurrently
+    cpu_per = 1.0 if n >= 3 * n_stages else max(0.25, round(n / (3.0 * n_stages), 2))
+    ds = pages_geo_ds.map_batches(
+        _PipStage,
+        fn_constructor_args=(poly_ref, config, keep_lonlat),
+        batch_format="pyarrow",
+        batch_size=config.map_batch_size,
+        concurrency=concurrency,
+        num_cpus=cpu_per,
+    )
+    for ref in shard_refs:
+        ds = ds.map_batches(
+            _KnnShardStage,
+            fn_constructor_args=(ref, config),
+            batch_format="pyarrow",
+            batch_size=config.map_batch_size,
+            concurrency=concurrency,
+            num_cpus=cpu_per,
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from ..schemas import ASSIGNMENTS_STATE
+
+        kd = t.column("best_kd").to_numpy(zero_copy_only=False)
+        kid = t.column("best_kid").to_numpy(zero_copy_only=False)
+        found = np.isfinite(kd)
+        arrays = [
+            t.column("url").combine_chunks(),
+            t.column("cell_id").combine_chunks(),
+            t.column("polygon_id").combine_chunks(),
+            pa.array(np.where(found, kid, -1).astype(np.int64)),
+            pa.array(np.where(found, kd, np.nan)),
+            t.column("tile_id").combine_chunks(),
+        ]
+        if keep_lonlat:
+            return pa.Table.from_arrays(
+                arrays
+                + [t.column("lon").combine_chunks(), t.column("lat").combine_chunks()],
+                schema=ASSIGNMENTS_STATE,
+            )
+        return pa.Table.from_arrays(arrays, schema=PAGE_TILE_ASSIGNMENTS)
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
 def geocode(pages_ds, config: EngineConfig = DEFAULT_CONFIG, concurrency=None,
             project: bool = False):
     """pages Dataset -> pages_geo Dataset.  The pool autoscales with

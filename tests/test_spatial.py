@@ -199,3 +199,88 @@ class TestNearestWay:
             np.array([816043786380], dtype=np.int64), np.array([10.0]), np.array([50.0])
         )
         assert w[0] == -1
+
+
+class TestShardedJoin:
+    def test_sharded_equals_broadcast(self, ray_session, joined):
+        """spatial_join_sharded (cell-range node shards, no broadcast)
+        must equal the broadcast SpatialJoiner output exactly."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        w, rings, pg, na, out = joined
+        nodes_tbl = pa.Table.from_pydict(
+            {"id": na["id"], "lon": na["lon"], "lat": na["lat"]}
+        )
+        ds = spatial.spatial_join_sharded(
+            rd.from_arrow(pg).repartition(4), rings, nodes_tbl, n_shards=3
+        )
+        got = pa.concat_tables(
+            list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        ).sort_by("url")
+        want = out.sort_by("url")
+        assert got.cast(want.schema).equals(want)
+
+    def test_sharded_file_groups(self, ray_session, joined, tmp_path):
+        """File-path shards: each actor reads its own parquet — output
+        identical to the broadcast path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        w, rings, pg, na, out = joined
+        files = []
+        k = 3
+        for i in range(k):
+            sub = pa.Table.from_pydict(
+                {
+                    "id": na["id"][i::k],
+                    "lon": na["lon"][i::k],
+                    "lat": na["lat"][i::k],
+                }
+            )
+            f = str(tmp_path / f"nodes_{i}.parquet")
+            pq.write_table(sub, f)
+            files.append([f])
+        ds = spatial.spatial_join_sharded(
+            rd.from_arrow(pg).repartition(4), rings, files
+        )
+        got = pa.concat_tables(
+            list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        ).sort_by("url")
+        want = out.sort_by("url")
+        assert got.cast(want.schema).equals(want)
+
+
+class TestShardedDeltaRejoin:
+    def test_delta_with_broadcast_disabled(
+        self, ray_session, t1_world, tmp_path_factory
+    ):
+        """apply_changes with broadcast_node_rows=0 (sharded re-join
+        forced) must produce the same state as the default path."""
+        import dataclasses
+
+        import ray.data as rd
+
+        from osm_live_updates_ray.config import DEFAULT_CONFIG
+        from osm_live_updates_ray.pipelines import static_join, update
+        from osm_live_updates_ray.state.store import StateStore
+
+        w = t1_world
+        outs = []
+        for cfg in (
+            DEFAULT_CONFIG,
+            dataclasses.replace(
+                DEFAULT_CONFIG, broadcast_node_rows=0, driver_scan_rows=0,
+                rejoin_driver_rows=0,
+            ),
+        ):
+            root = str(tmp_path_factory.mktemp("shardrejoin"))
+            st = static_join.build_state(
+                root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+                w["osm_relations"], cfg=cfg,
+            )
+            update.apply_changes(st, w["changes"], cfg=cfg)
+            outs.append(st.read_tiles("assignments").sort_by("url"))
+        a, b = outs
+        assert a.equals(b.cast(a.schema))
