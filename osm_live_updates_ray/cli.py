@@ -70,11 +70,25 @@ def main(argv=None) -> int:
 
     a = sub.add_parser("apply", help="apply a change window to a state store")
     a.add_argument("--state", required=True)
-    a.add_argument("--input", nargs="+", required=True,
+    a.add_argument("--input", nargs="+", default=None,
                    help=".osc/.osc.gz/.parquet change files")
+    a.add_argument("--replication", default=None,
+                   help="replication dir of <seq>.parquet/.osc windows "
+                        "(XOR --input; reference -r/--replication-server)")
+    a.add_argument("--sequence-number", type=int, default=0,
+                   help="start from this sequence (replication mode)")
+    a.add_argument("--timestamp", default="",
+                   help="start from this ISO timestamp (replication mode)")
     a.add_argument("--max-sequence-number", type=int, default=None)
     a.add_argument("--bbox", default=None,
                    help="minlon,minlat,maxlon,maxlat clip")
+    a.add_argument("--polygon", default=None,
+                   help=".poly file clip (XOR --bbox; reference "
+                        "--polygon, Config.cpp:267-339)")
+    a.add_argument("--extract-strategy", default=None,
+                   choices=["simple", "complete_ways", "smart"],
+                   help="clip completeness (default smart; reference "
+                        "-s/--extract-strategy)")
     a.add_argument("--batch-size", type=int, default=None)
     a.add_argument("--statistics", action="store_true")
     a.add_argument("--dry-run", action="store_true",
@@ -122,10 +136,50 @@ def main(argv=None) -> int:
         cfg = EngineConfig()
         if args.batch_size:
             cfg.batch_size = args.batch_size
-        changes = _load_changes(args.input, args.max_sequence_number)
-        if args.bbox:
-            changes = _clip_bbox(changes, args.bbox)
+        if bool(args.input) == bool(args.replication):
+            print(json.dumps({"error": "exactly one of --input / --replication"}))
+            return 2
         store = StateStore(args.state, cfg)
+        source = None
+        if args.replication:
+            # the reference's pull-and-apply path (3.1): watermark
+            # decision tree + up-to-date early exit, then the window
+            # span merged into one micro-batch
+            from .pipelines import watermark as wmk
+
+            src = wmk.LocalReplicationSource(args.replication)
+            source = src.uri
+            try:
+                start = wmk.decide_start_sequence(
+                    src.states(), store,
+                    requested_seq=args.sequence_number,
+                    requested_ts=args.timestamp,
+                    source=src.uri,
+                )
+                changes = src.window(start, args.max_sequence_number)
+            except wmk.DatabaseUpToDate as e:
+                # clean no-op exit (reference apps/osm-live-updates.cpp:37-39)
+                print(json.dumps({"status": "up-to-date", "detail": str(e)}))
+                return 0
+        else:
+            changes = _load_changes(args.input, args.max_sequence_number)
+        if args.bbox and args.polygon:
+            # reference validation: --bbox XOR --polygon (Config.cpp:267-339)
+            print(json.dumps({"error": "--bbox and --polygon are exclusive"}))
+            return 2
+        if args.polygon or (args.bbox and args.extract_strategy):
+            from .functions import clip as clipfn
+
+            strategy = args.extract_strategy or "smart"
+            if args.polygon:
+                rings = clipfn.parse_poly_file(args.polygon)
+                inside = lambda lo, la: clipfn.region_mask_polygon(lo, la, rings)
+            else:
+                bbox = tuple(float(x) for x in args.bbox.split(","))
+                inside = lambda lo, la: clipfn.region_mask_bbox(lo, la, bbox)
+            changes = clipfn.clip_changes(changes, inside, strategy)
+        elif args.bbox:
+            changes = _clip_bbox(changes, args.bbox)
         if args.dry_run:
             from .stages.dedup import dedup_table
             from .stages.delta import classify
@@ -143,7 +197,8 @@ def main(argv=None) -> int:
             print(json.dumps(out))
             return 0
         summary = update.apply_changes(
-            store, changes, cfg, enforce_watermark=args.enforce_watermark
+            store, changes, cfg, enforce_watermark=args.enforce_watermark,
+            source=source,
         )
         if args.statistics:
             print(json.dumps(summary, indent=1))

@@ -337,9 +337,13 @@ def apply_changes(
     changes: pa.Table,
     cfg: EngineConfig = DEFAULT_CONFIG,
     enforce_watermark: bool = False,
+    source: str | None = None,
 ) -> dict:
     """Apply one change window; returns the run's counter/summary dict
     (the reference's StatisticsHandler analog, ST5)."""
+    # ST2: the store's persisted option set wins over the caller's
+    # config — which derived columns exist was decided at bootstrap
+    cfg = store.discovered_config(cfg)
     if enforce_watermark and store.watermark:
         # resume semantics: drop rows at or below the committed seq
         # (reference decideStartSequenceNumber, OsmUpdater.cpp:169-236)
@@ -640,8 +644,12 @@ def apply_changes(
     # --- watermark + atomic commit (updatesCompleteUntil analog)
     seqs = changes.column("seq")
     if changes.num_rows:
+        # canonical ISO "YYYY-MM-DDTHH:MM:SS": the watermark is compared
+        # lexicographically (reference OsmReplicationServerHelper.cpp:112-121)
         store.set_watermark(
-            int(pc.max(seqs).as_py()), str(pc.max(changes.column("ts")).as_py())
+            int(pc.max(seqs).as_py()),
+            pc.max(changes.column("ts")).as_py().strftime("%Y-%m-%dT%H:%M:%S"),
+            source=source,
         )
     if os.environ.get("OLU_CRASH_BEFORE_COMMIT"):
         # test-only fault injection: simulate a driver killed at the

@@ -1,0 +1,198 @@
+"""Replication-stream watermark semantics — the reference's
+``decideStartSequenceNumber`` tree and up-to-date early exit, mirrored
+exactly (reference: src/osm/OsmUpdater.cpp:169-236 decision order,
+:115-120 up-to-date check; timestamp→sequence mapping
+src/osm/OsmReplicationServerHelper.cpp:109-171).
+
+Decision order (first match wins):
+  1. user-specified sequence number          → start there
+  2. user-specified timestamp                → newest state with ts <= given
+  3. stored watermark, SAME replication source → watermark.seq + 1
+     stored watermark, different source        → map watermark.ts → seq
+  4. fallback: MAX(object timestamp) in the store → map ts → seq
+
+After deciding: start > latest available sequence ⇒ the store is up to
+date — a clean no-op exit (``DatabaseUpToDate``), not an error.
+
+The "replication server" here is a local directory of change windows
+(sandbox analog of the reference's HTTP seq-numbered file tree,
+src/util/URLHelper.cpp:35-53): files named ``<seq>.parquet`` /
+``<seq>.osc`` plus an optional ``states.json`` manifest (the state.txt
+analog).  Timestamps are ISO "YYYY-MM-DDTHH:MM:SS" strings compared
+lexicographically, exactly like the reference
+(OsmReplicationServerHelper.cpp:112-121).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from dataclasses import dataclass
+
+
+class DatabaseUpToDate(Exception):
+    """The store already covers every available change window
+    (reference: util::DatabaseUpToDateException)."""
+
+
+class ReplicationError(Exception):
+    """No usable state / no matching state for a timestamp."""
+
+
+@dataclass(frozen=True)
+class ReplicationState:
+    seq: int
+    ts: str  # ISO, lexicographically ordered
+
+
+def state_for_timestamp(
+    states: list[ReplicationState], latest: ReplicationState, ts: str
+) -> ReplicationState:
+    """Newest state whose timestamp is <= ``ts`` (scan from latest down,
+    reference OsmReplicationServerHelper.cpp:150-166).  The found
+    state's own window is re-applied — the deliberate overlap-by-one
+    the idempotent delete+insert absorbs.
+
+    Raises ``DatabaseUpToDate`` when the latest available state is not
+    newer than ``ts`` (reference :115-121)."""
+    if latest.ts <= ts:
+        raise DatabaseUpToDate(
+            f"latest replication state ({latest.ts}) is before or equal "
+            f"to the timestamp: {ts}"
+        )
+    for st in sorted(states, key=lambda s: s.seq, reverse=True):
+        if st.ts <= ts:
+            return st
+    raise ReplicationError(f"no replication state at or before timestamp {ts}")
+
+
+def decide_start_sequence(
+    states: list[ReplicationState],
+    store,
+    requested_seq: int = 0,
+    requested_ts: str = "",
+    source: str = "",
+) -> int:
+    """The full reference decision tree; returns the first sequence
+    number to apply.  Raises ``DatabaseUpToDate`` for the clean no-op
+    exit."""
+    if not states:
+        raise ReplicationError("replication source has no states")
+    latest = max(states, key=lambda s: s.seq)
+
+    if requested_seq > 0:
+        start = requested_seq
+    elif requested_ts:
+        start = state_for_timestamp(states, latest, requested_ts).seq
+    else:
+        wm = store.watermark
+        if wm is not None:
+            wm_source = wm.get("source") or ""
+            if source and wm_source == source:
+                # same replication source: resume one past the last
+                # completed window (updatesCompleteUntil + 1)
+                start = int(wm["seq"]) + 1
+            else:
+                # different source: sequence numbering is not
+                # comparable — fall back to the timestamp
+                start = state_for_timestamp(states, latest, wm["ts"]).seq
+        else:
+            ts = store.latest_object_timestamp()
+            if ts is None:
+                raise ReplicationError(
+                    "store has no watermark and no objects — bootstrap first"
+                )
+            start = state_for_timestamp(states, latest, ts).seq
+
+    if start > latest.seq:
+        raise DatabaseUpToDate(
+            f"start sequence {start} is past the latest available "
+            f"{latest.seq} — store is up to date"
+        )
+    return start
+
+
+class LocalReplicationSource:
+    """Directory of sequence-numbered change windows.
+
+    Layout: ``<seq>.parquet`` (OSM_CHANGES schema) or ``<seq>.osc``
+    files; an optional ``states.json`` (``[{"seq": N, "ts": "..."}]``)
+    plays state.txt.  Without the manifest, states are derived from
+    each file's max ``ts`` (small dirs only — the manifest is the scale
+    path)."""
+
+    _FILE_RE = re.compile(r"^(\d+)\.(parquet|osc|osc\.gz)$")
+
+    def __init__(self, path: str):
+        self.path = path
+        self._files: dict[int, str] = {}
+        for f in glob.glob(os.path.join(path, "*")):
+            m = self._FILE_RE.match(os.path.basename(f))
+            if m:
+                self._files[int(m.group(1))] = f
+        if not self._files:
+            raise ReplicationError(f"no change windows under {path}")
+        manifest = os.path.join(path, "states.json")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                self._states = [
+                    ReplicationState(int(s["seq"]), str(s["ts"]))
+                    for s in json.load(fh)
+                ]
+        else:
+            self._states = [
+                ReplicationState(seq, self._max_ts(f))
+                for seq, f in sorted(self._files.items())
+            ]
+
+    @property
+    def uri(self) -> str:
+        return os.path.abspath(self.path)
+
+    def states(self) -> list[ReplicationState]:
+        return list(self._states)
+
+    def _max_ts(self, f: str) -> str:
+        t = self.load_file(f)
+        import pyarrow.compute as pc
+
+        mx = pc.max(t.column("ts")).as_py()
+        return mx.strftime("%Y-%m-%dT%H:%M:%S") if mx is not None else ""
+
+    @staticmethod
+    def load_file(f: str):
+        if f.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            return pq.read_table(f)
+        from ..sources import osc
+
+        return osc.read_osc_file(f, seq=0)
+
+    def load(self, seq: int):
+        """One window's change table, its ``seq`` column set."""
+        import pyarrow as pa
+
+        t = self.load_file(self._files[seq])
+        idx = t.schema.get_field_index("seq")
+        return t.set_column(
+            idx, "seq", pa.array([seq] * t.num_rows, type=t.schema.field(idx).type)
+        )
+
+    def window(self, start_seq: int, max_seq: int | None = None):
+        """Concatenated change window [start_seq, min(latest, max_seq)]
+        — the reference merges the span into ONE micro-batch
+        (OsmUpdater.cpp:122-135)."""
+        import pyarrow as pa
+
+        seqs = [
+            s
+            for s in sorted(self._files)
+            if s >= start_seq and (max_seq is None or s <= max_seq)
+        ]
+        if not seqs:
+            raise DatabaseUpToDate("no windows at or past the start sequence")
+        tables = [self.load(s) for s in seqs]
+        return pa.concat_tables([t.cast(tables[0].schema) for t in tables])

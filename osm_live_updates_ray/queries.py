@@ -984,16 +984,24 @@ def dedup_exact_q(sf_dir: str):
 
 @register("minhash_near_dups")  # not SQL-expressible -> rows-only check
 def minhash_near_dups(sf_dir: str):
-    """MinHash+LSH candidate pairs, Jaccard-verified, with connected
-    components (shingle->minhash->band->bucket groupby)."""
+    """MinHash+LSH candidate pairs, Jaccard-verified by joining the
+    pairs back to the documents Dataset (no driver-side corpus text),
+    with connected components (shingle->minhash->band->bucket groupby)."""
     from .stages import dedup_docs
 
     rd = _rd()
-    docs = td.read(sf_dir, "documents", ["doc_id", "text"])
-    ds = rd.from_arrow(docs)
-    cand = dedup_docs.minhash_candidate_pairs(ds).to_pandas()
-    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
-    verified = dedup_docs.verify_pairs(cand, texts, threshold=0.8)
+    docs_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cand = dedup_docs.minhash_candidate_pairs(docs_ds)
+    if cand.count() == 0:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "component": pa.array([], type=pa.int64())}
+        )
+    verified = dedup_docs.verify_pairs_distributed(
+        cand, docs_ds, threshold=0.8
+    ).to_pandas()
     comp = dedup_docs.connected_components(verified)
     return pa.Table.from_pandas(comp, preserve_index=False)
 

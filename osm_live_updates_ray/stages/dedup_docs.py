@@ -102,8 +102,16 @@ def minhash_candidate_pairs(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2 or len(ids) > 200:  # degenerate mega-bucket guard
+        if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(ids) > 200:
+            # mega-bucket: all-pairs would be O(n²) — emit the sorted
+            # CHAIN (id_i, id_{i+1}) instead of dropping the bucket.
+            # True dup groups stay connected through the chain (the
+            # components pass merges them); recall loss is only for
+            # dissimilar docs that happened to share the bucket, which
+            # verification would have rejected anyway.
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
 
@@ -117,8 +125,11 @@ def minhash_candidate_pairs(
 def verify_pairs(
     pairs_df: pd.DataFrame, texts: dict, threshold: float = 0.8, k: int = 5
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard verification of candidate pairs (broadcast
-    text lookup; candidates are delta-sized after LSH)."""
+    """Exact n-gram Jaccard verification of candidate pairs against an
+    in-memory text lookup.  SMALL-INPUT path only (tests / driver-sized
+    candidate sets) — the corpus-scale path is
+    :func:`verify_pairs_distributed`, which joins the pairs back to the
+    documents Dataset instead of materializing texts."""
     if not len(pairs_df):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     pairs_df = pairs_df.drop_duplicates(subset=["id_a", "id_b"])
@@ -130,10 +141,173 @@ def verify_pairs(
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def verify_pairs_distributed(
+    pairs_ds,
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 5,
+):
+    """Corpus-scale pair verification: candidate pairs hash-join back to
+    the documents Dataset TWICE (id_a side, id_b side), then the exact
+    n-gram Jaccard runs inside map_batches — the corpus text is never
+    materialized on the driver.
+
+    Returns a Dataset of (id_a, id_b, jaccard) rows meeting the
+    threshold, deduplicated on (id_a, id_b)."""
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    pairs = pairs_ds.groupby(["id_a", "id_b"]).map_groups(
+        dedup_group, batch_format="pandas"
+    )
+    docs_a = docs_ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"id_a": t.column(id_col), "text_a": t.column(text_col)}
+        ),
+        batch_format="pyarrow",
+    )
+    docs_b = docs_ds.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"id_b": t.column(id_col), "text_b": t.column(text_col)}
+        ),
+        batch_format="pyarrow",
+    )
+    # join the DENSE side first (docs) to keep hash partitions non-empty
+    j = docs_a.join(pairs, join_type="inner", num_partitions=4, on=("id_a",))
+    j = docs_b.join(j, join_type="inner", num_partitions=4, on=("id_b",))
+
+    def score(t: pa.Table) -> pa.Table:
+        sims = np.fromiter(
+            (
+                ngram_jaccard(a, b, k)
+                for a, b in zip(
+                    t.column("text_a").to_pylist(), t.column("text_b").to_pylist()
+                )
+            ),
+            np.float64,
+            t.num_rows,
+        )
+        keep = sims >= threshold
+        t = t.select(["id_a", "id_b"]).append_column(
+            "jaccard", pa.array(sims, type=pa.float64())
+        )
+        return t.filter(pa.array(keep))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def connected_components_distributed(
+    pairs_ds, max_rounds: int = 50, num_partitions: int = 4
+):
+    """Min-label propagation as RAY rounds: each round is a hash join
+    (edges ⋈ labels on v) + a groupby-min shuffle — the dup graph never
+    sits on the driver.  Exact same result as the pandas variant (a
+    pytest asserts equality); use when the edge set outgrows a single
+    process.  Converges in O(diameter) rounds."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").combine_chunks().cast(pa.int64())
+        b = t.column("id_b").combine_chunks().cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "u": pa.concat_arrays([a, b]),
+                "v": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "component": pa.array([], type=pa.int64())})
+        )
+    # initial label(u) = min(u, min neighbor)
+    labels = (
+        edges.groupby("u")
+        .aggregate(Min("v", alias_name="label"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("label"),
+                "label",
+                pa.array(
+                    np.minimum(
+                        t.column("u").to_numpy(zero_copy_only=False),
+                        t.column("label").to_numpy(zero_copy_only=False),
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        # propagate: for each edge (u,v), candidate label(u) = label(v)
+        prop = (
+            edges.join(
+                labels.map_batches(
+                    lambda t: t.rename_columns(["v", "lv"]), batch_format="pyarrow"
+                ),
+                join_type="inner", num_partitions=num_partitions, on=("v",),
+            )
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"u": t.column("u"), "label": t.column("lv")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = (
+            prop.union(labels)
+            .groupby("u")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # pointer jumping: l(u) <- min(l(u), l(l(u))) — one extra join
+        # per round turns diameter-round convergence into O(log n)
+        as_key = new_labels.map_batches(
+            lambda t: t.rename_columns(["lkey", "lval"]), batch_format="pyarrow"
+        )
+        jumped = (
+            new_labels.map_batches(
+                lambda t: t.rename_columns(["u", "lkey"]), batch_format="pyarrow"
+            )
+            .join(as_key, join_type="inner", num_partitions=num_partitions, on=("lkey",))
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"u": t.column("u"), "label": t.column("lval")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        new_labels = (
+            jumped.union(new_labels.select_columns(["u", "label"]))
+            .groupby("u")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # converged when no label changed: labels only ever decrease
+        # under min-propagation, so an unchanged sum means a fixpoint
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "component"]),
+        batch_format="pyarrow",
+    )
+
+
 def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.DataFrame:
     """Min-label propagation over the dup graph -> (doc_id, component).
-    Iterative joins, no driver union-find: scales as a sequence of
-    groupby-min rounds (each round a shuffle at cluster scale)."""
+    DRIVER-sized variant (candidate graphs after LSH are delta-sized);
+    the corpus-scale path is :func:`connected_components_distributed`
+    (same algorithm as Ray join+groupby rounds, equality-tested)."""
     if not len(pairs_df):
         return pd.DataFrame({"doc_id": [], "component": []})
     edges = pd.concat(
@@ -152,9 +326,21 @@ def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.Dat
         merged = np.minimum(label.loc[new.index].to_numpy(), new.to_numpy())
         changed = (merged != label.loc[new.index].to_numpy()).any()
         label.loc[new.index] = merged
+        # pointer jumping (label(u) <- label(label(u))): without it a
+        # path graph needs DIAMETER rounds; with it, O(log n)
+        for _ in range(64):
+            nxt = label.loc[label.to_numpy()].to_numpy()
+            if (nxt == label.to_numpy()).all():
+                break
+            label[:] = np.minimum(label.to_numpy(), nxt)
         if not changed:
             break
-    return pd.DataFrame({"doc_id": label.index.to_numpy(), "component": label.to_numpy()})
+    return pd.DataFrame(
+        {
+            "doc_id": label.index.to_numpy().astype(np.int64),
+            "component": label.to_numpy().astype(np.int64),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------

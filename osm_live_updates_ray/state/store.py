@@ -170,6 +170,23 @@ def explode_rel_members(rels: pa.Table) -> pa.Table:
     )
 
 
+# bump when the on-disk layout changes incompatibly; opening a store
+# written by a NEWER engine aborts (the reference's store/tool version
+# check, src/osm/OsmUpdater.cpp:93, 336-353)
+SCHEMA_VERSION = 2
+
+# option set persisted at bootstrap and re-discovered on open — which
+# derived columns exist is a property of the STORE, not of the run's
+# config (reference ST2: fetchOsm2RdfOptions,
+# src/osm/OsmDataFetcherQLever.cpp:395-411; consulted at every delete
+# decision, src/osm/Osm2ttl.cpp:115-121)
+_PERSISTED_OPTIONS = (
+    "with_centroid", "with_envelope", "with_convex_hull", "with_obb",
+    "with_length", "with_area", "wkt_precision", "cell_res_deg",
+    "tile_res_deg", "id_partitions", "cell_partitions",
+)
+
+
 class StateStore:
     """Hash-partitioned Parquet state with COW commits + lineage."""
 
@@ -177,7 +194,33 @@ class StateStore:
         self.root = root
         self.config = config or DEFAULT_CONFIG
         self._manifest = self._read_manifest()
+        sv = self._manifest.get("schema_version")
+        if sv is not None and sv > SCHEMA_VERSION:
+            raise RuntimeError(
+                f"state store at {root} was written by a newer engine "
+                f"(schema_version {sv} > {SCHEMA_VERSION}); refusing to open"
+            )
         self._gc()
+
+    @property
+    def options(self) -> dict | None:
+        """The option set the store was BUILT with (None on legacy
+        stores that predate option persistence)."""
+        return self._manifest.get("options")
+
+    def discovered_config(self, cfg: EngineConfig) -> EngineConfig:
+        """Config with the store's persisted options overriding the
+        run's — deletes/recomputes must match exactly what was
+        materialized, regardless of what the caller passed (a store
+        built without centroids must never write or delete centroid
+        columns on delta)."""
+        opts = self.options
+        if not opts:
+            return cfg
+        import dataclasses
+
+        known = {k: v for k, v in opts.items() if k in _PERSISTED_OPTIONS}
+        return dataclasses.replace(cfg, **known)
 
     # -- writer lock -------------------------------------------------------
     # The store is SINGLE-WRITER: begin() takes a pid lock, commit()
@@ -265,14 +308,45 @@ class StateStore:
         (reference: src/osm/OsmUpdater.cpp:356-399)."""
         return self._manifest.get("watermark")
 
-    def set_watermark(self, seq: int, ts: str) -> None:
+    def set_watermark(self, seq: int, ts: str, source: str | None = None) -> None:
         """Advance-only, like the reference's updatesCompleteUntil —
         replaying an older window must never move the watermark back
-        (ordered by timestamp, OsmDatabaseState.h:40-45)."""
+        (ordered by timestamp, OsmDatabaseState.h:40-45).  ``source``
+        records the replication source URI (the reference's
+        replicationServer metadata triple): resume only trusts the
+        sequence number when the source matches."""
         cur = self._manifest.get("watermark")
         if cur is not None and (cur["ts"], cur["seq"]) >= (ts, seq):
             return
-        self._manifest["watermark"] = {"seq": seq, "ts": ts}
+        wm = {"seq": seq, "ts": ts}
+        if source is not None:
+            wm["source"] = source
+        elif cur is not None and "source" in cur:
+            wm["source"] = cur["source"]
+        self._manifest["watermark"] = wm
+
+    def latest_object_timestamp(self) -> str | None:
+        """MAX object timestamp across nodes/ways/relations (A1, the
+        reference's fetchLatestTimestamp fallback) — from parquet
+        row-group statistics, no data read."""
+        best = None
+        for name in ("nodes", "ways", "relations"):
+            for f in self._files(name):
+                md = pq.read_metadata(f)
+                try:
+                    ti = md.schema.names.index("ts")
+                except ValueError:
+                    continue
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(ti)
+                    stats = col.statistics
+                    if stats is not None and stats.has_min_max:
+                        mx = stats.max
+                        if best is None or mx > best:
+                            best = mx
+        if best is None:
+            return None
+        return best.strftime("%Y-%m-%dT%H:%M:%S")
 
     # -- build -------------------------------------------------------------
     @classmethod
@@ -309,6 +383,10 @@ class StateStore:
             tables["assignments"] = assignments
         for name, table in tables.items():
             store._write_table_partitions(name, table, lineage)
+        store._manifest["schema_version"] = SCHEMA_VERSION
+        store._manifest["options"] = {
+            k: getattr(store.config, k) for k in _PERSISTED_OPTIONS
+        }
         store._commit_manifest(lineage)
         return store
 

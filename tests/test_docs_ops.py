@@ -132,3 +132,73 @@ class TestMultimodal:
         vids = media.filter(pa.compute.equal(media.column("kind"), "video"))
         out = multimodal.FrameSampler(every_ms=1000)(vids)
         assert out.num_rows == vids.num_rows * 3  # 3000ms / 1000ms
+
+
+class TestScaleSafeMinhash:
+    def test_mega_bucket_chained_not_dropped(self, ray_session):
+        """Buckets above the all-pairs cap emit a sorted chain of pairs
+        (components still merge the group) instead of silently dropping."""
+        import ray.data as rd
+
+        # 300 identical docs land in the same LSH buckets (> 200 cap)
+        n = 300
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": list(range(n)),
+                "text": ["identical text for every single document here"] * n,
+            }
+        )
+        cand = dedup_docs.minhash_candidate_pairs(rd.from_arrow(t)).to_pandas()
+        assert len(cand) > 0  # NOT dropped
+        comp = dedup_docs.connected_components(
+            cand.assign(jaccard=1.0)
+        )
+        # the chain keeps the whole group connected
+        assert comp["component"].nunique() == 1
+        assert len(comp) == n
+
+    def test_verify_distributed_equals_driver(self, ray_session):
+        import ray.data as rd
+
+        docs = docs_table()
+        ds = rd.from_arrow(docs)
+        cand_ds = dedup_docs.minhash_candidate_pairs(ds)
+        cand = cand_ds.to_pandas()
+        texts = dict(
+            zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+        )
+        want = dedup_docs.verify_pairs(cand, texts, threshold=0.7)
+        got = (
+            dedup_docs.verify_pairs_distributed(cand_ds, ds, threshold=0.7)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        want = want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert list(got["id_a"]) == list(want["id_a"])
+        assert list(got["id_b"]) == list(want["id_b"])
+        assert np.allclose(got["jaccard"], want["jaccard"])
+
+    def test_components_distributed_equals_driver(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        # two chains + an isolated pair
+        pairs = pd.DataFrame(
+            {"id_a": [1, 2, 3, 10, 20, 21], "id_b": [2, 3, 4, 11, 21, 22]}
+        )
+        want = (
+            dedup_docs.connected_components(pairs)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            dedup_docs.connected_components_distributed(
+                rd.from_pandas(pairs), num_partitions=1
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["component"]) == list(want["component"])

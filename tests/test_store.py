@@ -151,3 +151,45 @@ class TestWriterLock:
         re.set_watermark(7, "2024-03-01T00:00:00Z")
         re.commit()
         assert not os.path.exists(lock)
+
+
+class TestOptionDiscovery:
+    def test_store_options_override_run_config(
+        self, ray_session, t1_world, tmp_path_factory
+    ):
+        """ST2: a store built WITHOUT centroids never writes centroid
+        columns on delta, even when the run passes a centroid-enabled
+        config (reference fetchOsm2RdfOptions semantics)."""
+        import dataclasses
+
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from osm_live_updates_ray.config import DEFAULT_CONFIG
+        from osm_live_updates_ray.pipelines import static_join, update
+
+        w = t1_world
+        no_centroid = dataclasses.replace(DEFAULT_CONFIG, with_centroid=False)
+        root = str(tmp_path_factory.mktemp("optdisc"))
+        st = static_join.build_state(
+            root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"], cfg=no_centroid,
+        )
+        assert st.options["with_centroid"] is False
+        # reopen with the DEFAULT (centroid-enabled) config and apply
+        re = StateStore(root)  # default config
+        update.apply_changes(re, w["changes"])
+        g = re.read_all("geoms")
+        assert g.column("centroid_lon").null_count == g.num_rows
+
+    def test_newer_schema_version_refused(self, store):
+        import json as _json
+
+        p = os.path.join(store.root, "manifest.json")
+        m = _json.load(open(p))
+        m["schema_version"] = 999
+        _json.dump(m, open(p, "w"))
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="newer engine"):
+            StateStore(store.root)
