@@ -1114,6 +1114,54 @@ def ann_topk(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+@register(
+    "embedding_near_dups",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact blocked all-pairs against
+    the broadcast matrix; dot/(|a||b|) tree mirrored by the oracle)."""
+    from .stages.similarity import cosine_near_dups
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    out = cosine_near_dups(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), emb, threshold=0.35
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=float)})
+    out["cosine"] = _round(out["cosine"].to_numpy(), 4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+@register("embedding_near_dups_lsh")  # rows-only (approximate scale path)
+def embedding_near_dups_lsh(sf_dir: str):
+    from .stages.similarity import cosine_near_dups_lsh
+
+    rd = _rd()
+    out = cosine_near_dups_lsh(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.35
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=float)})
+    out["cosine"] = _round(out["cosine"].to_numpy(), 4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 @register("ann_topk_lsh")  # rows-only (approximate; recall tested in pytest)
 def ann_topk_lsh(sf_dir: str):
     from .stages.similarity import _stack, lsh_bucketed_topk

@@ -146,3 +146,134 @@ def lsh_bucketed_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
     top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "neighbor_id", "rank", "score"]]
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (the dedup-by-embedding op of the brief)
+# ---------------------------------------------------------------------------
+class _CosinePairScorer:
+    """Actor stage: batch rows vs the broadcast full matrix; emits
+    (id_a < id_b) pairs whose cosine >= threshold.  Expression tree is
+    dot(a,b) / (|a| * |b|) with |v| = sqrt(dot(v,v)) — mirrored
+    token-for-token by the SQL oracle."""
+
+    def __init__(self, ref, threshold: float):
+        import ray
+
+        q = ray.get(ref) if hasattr(ref, "hex") else ref
+        self.ids = q["ids"]
+        self.X = q["vecs"]  # raw float64 (n, d)
+        self.norms = np.sqrt(np.einsum("ij,ij->i", self.X, self.X))
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        B = _stack(batch, "embedding")
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        S = B @ self.X.T
+        denom = nb[:, None] * self.norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = S / denom
+        mask = (cos >= self.threshold) & (bids[:, None] < self.ids[None, :])
+        bi, xi = np.nonzero(mask)
+        return pa.Table.from_pydict(
+            {
+                "id_a": pa.array(bids[bi], type=pa.int64()),
+                "id_b": pa.array(self.ids[xi], type=pa.int64()),
+                "cosine": pa.array(cos[bi, xi], type=pa.float64()),
+            }
+        )
+
+
+def cosine_near_dups(ds, all_vectors: pa.Table, threshold: float = 0.9,
+                     vec_col: str = "embedding", id_col: str = "vec_id"):
+    """EXACT embedding-cosine near-dup pairs: each batch scores against
+    the broadcast full matrix (the O(n²) baseline, blocked and
+    distributed — the scale path is :func:`cosine_near_dups_lsh`)."""
+    import ray
+
+    ref = ray.put(
+        {
+            "ids": all_vectors.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "vecs": _stack(all_vectors, vec_col),
+        }
+    )
+    return ds.map_batches(
+        _CosinePairScorer, fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+
+def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_tables: int = 8,
+                         planes_per_table: int = 4, seed: int = 11,
+                         max_bucket: int = 2000):
+    """Scale path: MULTI-TABLE random-hyperplane LSH — each vector is
+    exploded to ``n_tables`` (table, bucket) rows; pairs sharing any
+    table's bucket are candidates; within-bucket pairwise cosine
+    verifies; a final (id_a, id_b) groupby dedupes cross-table repeats.
+    For collision prob p = 1 - acos(cos)/π per plane, recall ≈
+    1 - (1 - p^planes)^tables — tables trade shuffle volume for
+    recall (no all-pairs, no broadcast matrix).  Oversized buckets
+    chain-pair like the MinHash path."""
+    planes_holder = {}
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        X = _stack(t, "embedding")
+        if "planes" not in planes_holder:
+            rng = np.random.RandomState(seed)
+            planes_holder["planes"] = rng.standard_normal(
+                (X.shape[1], n_tables * planes_per_table)
+            )
+        sig = (X @ planes_holder["planes"] > 0).astype(np.uint32)
+        n = t.num_rows
+        ids = t.column("vec_id").combine_chunks()
+        emb = t.column("embedding").combine_chunks()
+        out_tables = []
+        for b in range(n_tables):
+            sub = sig[:, b * planes_per_table : (b + 1) * planes_per_table]
+            key = (sub << np.arange(planes_per_table, dtype=np.uint32)).sum(axis=1)
+            out_tables.append(
+                pa.Table.from_arrays(
+                    [
+                        ids,
+                        pa.array(np.full(n, b, dtype=np.int32)),
+                        pa.array(key.astype(np.int64)),
+                        emb,
+                    ],
+                    names=["vec_id", "table", "bucket", "embedding"],
+                )
+            )
+        return pa.concat_tables(out_tables)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        if n > max_bucket:
+            order = np.argsort(ids)
+            a, b = order[:-1], order[1:]
+        else:
+            a, b = np.triu_indices(n, k=1)
+        dots = np.einsum("ij,ij->i", X[a], X[b])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dots / (norms[a] * norms[b])
+        keep = cos >= threshold
+        ia, ib = ids[a[keep]], ids[b[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[keep]})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        ds.map_batches(sig_batch, batch_format="pyarrow")
+        .groupby(["table", "bucket"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(dedup, batch_format="pandas")
+    )

@@ -949,23 +949,34 @@ def geocode(pages_ds, config: EngineConfig = DEFAULT_CONFIG, concurrency=None,
 def explode_rings_by_cell(rings: pa.Table, cell_res: float = 1.0) -> pa.Table:
     """Polygon rings -> one row per (covering cell, ring) — the
     co-partitioned representation of the polygon layer for the
-    shuffle-based join (no broadcast)."""
-    rows = {k: [] for k in ("cell_id", "polygon_id", "ring_idx", "role",
-                            "lons", "lats", "area")}
-    for i in range(rings.num_rows):
-        b = (
-            rings.column("min_lon")[i].as_py(), rings.column("min_lat")[i].as_py(),
-            rings.column("max_lon")[i].as_py(), rings.column("max_lat")[i].as_py(),
+    shuffle-based join (no broadcast).  Vectorized: per-ring cell
+    enumeration only, row replication via one Arrow take()."""
+    n = rings.num_rows
+    min_lon = rings.column("min_lon").to_numpy(zero_copy_only=False)
+    min_lat = rings.column("min_lat").to_numpy(zero_copy_only=False)
+    max_lon = rings.column("max_lon").to_numpy(zero_copy_only=False)
+    max_lat = rings.column("max_lat").to_numpy(zero_copy_only=False)
+    take_idx: list[np.ndarray] = []
+    cells: list[np.ndarray] = []
+    for i in range(n):
+        cc = cellfn.cells_covering_bbox(
+            min_lon[i], min_lat[i], max_lon[i], max_lat[i], cell_res
         )
-        for c in cellfn.cells_covering_bbox(b[0], b[1], b[2], b[3], cell_res):
-            rows["cell_id"].append(int(c))
-            rows["polygon_id"].append(rings.column("polygon_id")[i].as_py())
-            rows["ring_idx"].append(rings.column("ring_idx")[i].as_py())
-            rows["role"].append(rings.column("role")[i].as_py())
-            rows["lons"].append(rings.column("lons")[i].as_py())
-            rows["lats"].append(rings.column("lats")[i].as_py())
-            rows["area"].append(rings.column("area")[i].as_py())
-    return pa.Table.from_pydict(rows)
+        take_idx.append(np.full(len(cc), i, dtype=np.int64))
+        cells.append(cc)
+    if not take_idx:
+        base = rings.select(
+            ["polygon_id", "ring_idx", "role", "lons", "lats", "area"]
+        )
+        return base.add_column(
+            0, "cell_id", pa.array(np.empty(0, dtype=np.int64))
+        )
+    ti = np.concatenate(take_idx)
+    cc = np.concatenate(cells)
+    base = rings.select(
+        ["polygon_id", "ring_idx", "role", "lons", "lats", "area"]
+    ).take(pa.array(ti))
+    return base.add_column(0, "cell_id", pa.array(cc))
 
 
 def spatial_join_partitioned(
@@ -986,7 +997,17 @@ def spatial_join_partitioned(
     shuffle.  kNN is NOT computed here (it is non-local; the broadcast
     grid index path owns it) — output is (url, cell_id, polygon_id,
     tile_id).
+
+    The ring side travels IN the shuffle (tagged union co-grouped with
+    the pages): each group sees exactly its own rings — no broadcast
+    ring table, no per-group full-layer scan.  Only the per-polygon
+    total areas (one float per polygon, needed for winner selection
+    when a group sees a subset of a polygon's rings) are shared via
+    ``ray.put`` as zero-copy numpy arrays.
     """
+    import ray
+    import ray.data as rd
+
     from ..functions.hashing import hash_strings
 
     salt_factor = salt_factor or config.salt_factor
@@ -998,94 +1019,158 @@ def spatial_join_partitioned(
     counts = (
         pages_geo_ds.groupby("cell_id").aggregate(Count(alias_name="n")).to_pandas()
     )
-    hot = set(counts.loc[counts["n"] > threshold, "cell_id"].astype(int).tolist())
+    hot = np.asarray(
+        counts.loc[counts["n"] > threshold, "cell_id"].astype(int).tolist(),
+        dtype=np.int64,
+    )
 
-    # 2) explode + salt the ring side
+    # 2) explode + salt-replicate the ring side (vectorized take)
     ring_rows = explode_rings_by_cell(rings, config.cell_res_deg)
-    ring_pd = ring_rows.to_pandas()
-    if hot:
-        hot_rings = ring_pd[ring_pd["cell_id"].isin(hot)]
-        replicated = [ring_pd.assign(salt=0)]
+    if len(hot) and salt_factor > 1:
+        cell = ring_rows.column("cell_id").to_numpy(zero_copy_only=False)
+        hot_idx = np.flatnonzero(np.isin(cell, hot))
+        parts = [ring_rows.append_column(
+            "salt", pa.array(np.zeros(ring_rows.num_rows, dtype=np.int64))
+        )]
+        hot_part = ring_rows.take(pa.array(hot_idx))
         for s in range(1, salt_factor):
-            replicated.append(hot_rings.assign(salt=s))
-        ring_pd = __import__("pandas").concat(replicated, ignore_index=True)
+            parts.append(hot_part.append_column(
+                "salt", pa.array(np.full(hot_part.num_rows, s, dtype=np.int64))
+            ))
+        ring_rows = pa.concat_tables(parts)
     else:
-        ring_pd = ring_pd.assign(salt=0)
+        ring_rows = ring_rows.append_column(
+            "salt", pa.array(np.zeros(ring_rows.num_rows, dtype=np.int64))
+        )
 
-    import ray
+    # per-polygon TOTAL signed areas as sorted arrays (zero-copy ray.get)
+    base = rings
+    role = np.asarray(base.column("role").to_pylist(), dtype=object)
+    area = base.column("area").to_numpy(zero_copy_only=False)
+    pid_col = base.column("polygon_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    signed = np.where(role == "inner", -area, area)
+    order = np.argsort(pid_col, kind="stable")
+    pids_sorted = pid_col[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(pids_sorted)) + 1])
+    poly_ids = pids_sorted[starts]
+    poly_areas = np.add.reduceat(signed[order], starts) if len(starts) else signed
+    area_ref = ray.put((poly_ids, poly_areas))
 
-    # polygon TOTAL areas (winner selection must use the full area even
-    # when only some rings cover a group's cell)
-    _pd = __import__("pandas")
-    signed = ring_rows.to_pandas()
-    signed["signed_area"] = signed["area"] * _pd.Series(
-        [1.0 if r != "inner" else -1.0 for r in signed["role"]]
+    # 3) tagged union: pages (kind=0) + rings (kind=1), one combined
+    # schema, co-grouped on (cell_id, salt)
+    combined = pa.schema(
+        [
+            ("cell_id", pa.int64()), ("salt", pa.int64()), ("kind", pa.int8()),
+            ("url", pa.string()), ("lon", pa.float64()), ("lat", pa.float64()),
+            ("tile_id", pa.int64()), ("polygon_id", pa.int64()),
+            ("ring_idx", pa.int32()), ("role", pa.string()),
+            ("lons", pa.list_(pa.float64())), ("lats", pa.list_(pa.float64())),
+            ("area", pa.float64()),
+        ]
     )
-    poly_area = (
-        signed.drop_duplicates(subset=["polygon_id", "ring_idx"])
-        .groupby("polygon_id")["signed_area"].sum().to_dict()
-    )
-    ring_ref = ray.put((ring_pd, poly_area))
 
-    # 3) salt the page side and co-group
-    def add_salt(t: pa.Table) -> pa.Table:
+    def page_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         cell = t.column("cell_id").to_numpy(zero_copy_only=False)
-        salt = np.zeros(len(cell), dtype=np.int64)
-        if hot:
-            is_hot = np.isin(cell, list(hot))
+        salt = np.zeros(n, dtype=np.int64)
+        if len(hot) and salt_factor > 1:
+            is_hot = np.isin(cell, hot)
             if is_hot.any():
                 h = hash_strings(
                     np.asarray(t.column("url").to_pylist(), dtype=object)[is_hot]
                 )
-                salt[is_hot] = (h.view(np.uint64) % np.uint64(salt_factor)).astype(
-                    np.int64
-                )
-        return t.append_column("salt", pa.array(salt))
+                salt[is_hot] = (
+                    h.view(np.uint64) % np.uint64(salt_factor)
+                ).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                t.column("cell_id").combine_chunks(), pa.array(salt),
+                pa.array(np.zeros(n, dtype=np.int8)),
+                t.column("url").combine_chunks(),
+                t.column("lon").combine_chunks(),
+                t.column("lat").combine_chunks(),
+                t.column("tile_id").combine_chunks(),
+                pa.nulls(n, pa.int64()), pa.nulls(n, pa.int32()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.list_(pa.float64())),
+                pa.nulls(n, pa.list_(pa.float64())),
+                pa.nulls(n, pa.float64()),
+            ],
+            schema=combined,
+        )
+
+    def ring_rows_tagged(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [
+                t.column("cell_id").combine_chunks(),
+                t.column("salt").combine_chunks(),
+                pa.array(np.ones(n, dtype=np.int8)),
+                pa.nulls(n, pa.string()), pa.nulls(n, pa.float64()),
+                pa.nulls(n, pa.float64()), pa.nulls(n, pa.int64()),
+                t.column("polygon_id").combine_chunks(),
+                t.column("ring_idx").cast(pa.int32()).combine_chunks(),
+                t.column("role").combine_chunks(),
+                t.column("lons").combine_chunks(),
+                t.column("lats").combine_chunks(),
+                t.column("area").combine_chunks(),
+            ],
+            schema=combined,
+        )
+
+    pages_tagged = pages_geo_ds.map_batches(page_rows, batch_format="pyarrow")
+    rings_tagged = rd.from_arrow(ring_rows).map_batches(
+        ring_rows_tagged, batch_format="pyarrow"
+    )
 
     def assign_group(g) -> "pa.Table":
         import pandas as pd
 
-        cell = int(g["cell_id"].iloc[0])
-        salt = int(g["salt"].iloc[0])
-        rp, poly_area_ = ray.get(ring_ref)
-        local = rp[(rp["cell_id"] == cell) & (rp["salt"] == salt)]
-        sub_rings = pa.Table.from_pandas(
-            local[["polygon_id", "ring_idx", "role", "lons", "lats", "area"]]
-            .assign(
-                min_lon=[min(x) for x in local["lons"]],
-                min_lat=[min(x) for x in local["lats"]],
-                max_lon=[max(x) for x in local["lons"]],
-                max_lat=[max(x) for x in local["lats"]],
-            ),
-            preserve_index=False,
-        ) if len(local) else None
-        px = g["lon"].to_numpy()
-        py = g["lat"].to_numpy()
-        if sub_rings is not None and sub_rings.num_rows:
+        is_ring = g["kind"].to_numpy() == 1
+        pg = g[~is_ring]
+        if not len(pg):
+            return pd.DataFrame(
+                {"url": [], "cell_id": [], "polygon_id": [], "tile_id": []}
+            )
+        cell = int(pg["cell_id"].iloc[0])
+        rr = g[is_ring]
+        px = pg["lon"].to_numpy()
+        py = pg["lat"].to_numpy()
+        if len(rr):
             from ..stages.geometry import POLYGON_RINGS
 
-            pidx = PolygonIndex(
-                sub_rings.select([f.name for f in POLYGON_RINGS]).cast(
-                    POLYGON_RINGS
+            sub = pa.Table.from_pandas(
+                rr[["polygon_id", "ring_idx", "role", "lons", "lats", "area"]]
+                .assign(
+                    min_lon=[min(x) for x in rr["lons"]],
+                    min_lat=[min(x) for x in rr["lats"]],
+                    max_lon=[max(x) for x in rr["lons"]],
+                    max_lat=[max(x) for x in rr["lats"]],
                 ),
+                preserve_index=False,
+            )
+            pidx = PolygonIndex(
+                sub.select([f.name for f in POLYGON_RINGS]).cast(POLYGON_RINGS),
                 config.cell_res_deg,
             )
+            poly_ids_, poly_areas_ = ray.get(area_ref)
             for pp, ee in pidx.rings_by_poly.items():
-                ee["area"] = poly_area_[pp]
+                k = np.searchsorted(poly_ids_, pp)
+                ee["area"] = float(poly_areas_[k])
             pid = pidx.assign(cell, px, py)
         else:
-            pid = np.full(len(g), -1, dtype=np.int64)
+            pid = np.full(len(pg), -1, dtype=np.int64)
         return pd.DataFrame(
             {
-                "url": g["url"].to_numpy(),
-                "cell_id": g["cell_id"].to_numpy(),
+                "url": pg["url"].to_numpy(),
+                "cell_id": pg["cell_id"].to_numpy(),
                 "polygon_id": pid,
-                "tile_id": g["tile_id"].to_numpy(),
+                "tile_id": pg["tile_id"].to_numpy(),
             }
         )
 
     return (
-        pages_geo_ds.map_batches(add_salt, batch_format="pyarrow")
+        pages_tagged.union(rings_tagged)
         .groupby(["cell_id", "salt"])
         .map_groups(assign_group, batch_format="pandas")
     )

@@ -25,22 +25,65 @@ TILE_ROLLUP = pa.schema(
 
 
 def _partial(batch: pa.Table) -> pa.Table:
-    df = batch.to_pandas()
-    g = df.groupby("tile_id", sort=True)
-    out = pd.DataFrame(
+    """Arrow/numpy partial aggregation (one row per tile per block):
+    argsort + reduceat, no pandas round-trip in the hot stage."""
+    if batch.num_rows == 0:
+        return pa.Table.from_pydict(
+            {
+                "tile_id": pa.array([], type=pa.int64()),
+                "n_pages": pa.array([], type=pa.int64()),
+                "n_in_polygon": pa.array([], type=pa.int64()),
+                "sum_knn": pa.array([], type=pa.float64()),
+                "n_knn": pa.array([], type=pa.int64()),
+                "cells": pa.array([], type=pa.list_(pa.int64())),
+            }
+        )
+    tile = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = batch.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    poly = batch.column("polygon_id").to_numpy(zero_copy_only=False)
+    kd = batch.column("knn_dist").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((cell, tile))
+    tile_s, cell_s = tile[order], cell[order]
+    poly_s, kd_s = poly[order], kd[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(tile_s)) + 1])
+    counts = np.diff(np.concatenate([starts, [len(tile_s)]]))
+    has_kd = ~np.isnan(kd_s)
+    # pandas-compatible skipna sum: all-NaN group sums to 0.0
+    kd0 = np.where(has_kd, kd_s, 0.0)
+    # distinct cells per tile: (tile, cell) runs within the sort
+    new_pair = np.ones(len(tile_s), dtype=bool)
+    if len(tile_s) > 1:
+        new_pair[1:] = (np.diff(tile_s) != 0) | (np.diff(cell_s) != 0)
+    pair_tile = tile_s[new_pair]
+    pair_cell = cell_s[new_pair]
+    p_starts = np.concatenate([[0], np.flatnonzero(np.diff(pair_tile)) + 1])
+    p_counts = np.diff(np.concatenate([p_starts, [len(pair_tile)]]))
+    cells_col = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([p_starts, [len(pair_cell)]]).astype(np.int32)),
+        pa.array(pair_cell),
+    )
+    return pa.Table.from_pydict(
         {
-            "tile_id": np.asarray(list(g.groups.keys()), dtype=np.int64),
-            "n_pages": g.size().to_numpy(),
-            "n_in_polygon": g.apply(
-                lambda x: int((x["polygon_id"] >= 0).sum()), include_groups=False
-            ).to_numpy(),
-            "sum_knn": g["knn_dist"].sum().to_numpy(),
-            "n_knn": g["knn_dist"].count().to_numpy(),
+            "tile_id": pa.array(tile_s[starts]),
+            "n_pages": pa.array(counts.astype(np.int64)),
+            "n_in_polygon": pa.array(
+                np.add.reduceat((poly_s >= 0).astype(np.int64), starts)
+                if len(starts)
+                else np.empty(0, dtype=np.int64)
+            ),
+            "sum_knn": pa.array(
+                np.add.reduceat(kd0, starts)
+                if len(starts)
+                else np.empty(0)
+            ),
+            "n_knn": pa.array(
+                np.add.reduceat(has_kd.astype(np.int64), starts)
+                if len(starts)
+                else np.empty(0, dtype=np.int64)
+            ),
+            "cells": cells_col,
         }
     )
-    cells = df.groupby("tile_id")["cell_id"].agg(lambda s: list(set(s)))
-    out["cells"] = cells.to_numpy()
-    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _finalize(df: pd.DataFrame) -> pd.DataFrame:

@@ -202,3 +202,44 @@ class TestScaleSafeMinhash:
         )
         assert list(got["doc_id"]) == list(want["doc_id"])
         assert list(got["component"]) == list(want["component"])
+
+
+class TestCosineNearDup:
+    def _emb(self, n=100, d=32, n_dups=15, seed=3):
+        rng = np.random.RandomState(seed)
+        X = rng.standard_normal((n, d))
+        # planted near-dups: rows n..n+n_dups are tiny perturbations
+        dup = X[:n_dups] + 0.02 * rng.standard_normal((n_dups, d))
+        allX = np.vstack([X, dup])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": np.arange(len(allX), dtype=np.int64),
+                "embedding": [row.astype(np.float32).tolist() for row in allX],
+            }
+        )
+
+    def test_exact_finds_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        t = self._emb()
+        out = similarity.cosine_near_dups(
+            rd.from_arrow(t).repartition(3), t, threshold=0.9
+        ).to_pandas()
+        got = {tuple(p) for p in out[["id_a", "id_b"]].to_numpy()}
+        want = {(i, 100 + i) for i in range(15)}
+        assert want <= got
+
+    def test_lsh_recall_on_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        t = self._emb()
+        exact = similarity.cosine_near_dups(
+            rd.from_arrow(t).repartition(3), t, threshold=0.9
+        ).to_pandas()
+        approx = similarity.cosine_near_dups_lsh(
+            rd.from_arrow(t).repartition(3), threshold=0.9
+        ).to_pandas()
+        e = {tuple(p) for p in exact[["id_a", "id_b"]].to_numpy()}
+        a = {tuple(p) for p in approx[["id_a", "id_b"]].to_numpy()}
+        assert a <= e  # no false positives (verified in-bucket)
+        assert len(a & e) / max(1, len(e)) >= 0.9  # high recall for near-dups
