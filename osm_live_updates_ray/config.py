@@ -44,6 +44,10 @@ class EngineConfig:
     #: dirty-row counts above this re-join as a distributed Ray
     #: pipeline; at or below, a single driver-side joiner (no ramp).
     rejoin_driver_rows: int = 50_000
+    #: touched-tile counts at or above this rewrite COW tiles as Ray
+    #: tasks (merge + rollup per tile off-driver); below, the driver
+    #: threadpool path (cheaper for a handful of tiles).
+    cow_task_tiles: int = 64
 
     # --- skew handling -------------------------------------------------
     #: cells whose page count exceeds this are salted into

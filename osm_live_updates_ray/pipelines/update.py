@@ -607,36 +607,49 @@ def apply_changes(
         ).tolist()
         existing = set(store.tile_ids("assignments"))
         touch_tiles = [int(t) for t in touch_tiles if int(t) in existing]
-        old_assign = store.read_tiles("assignments", touch_tiles)
-        keep_old = pc.invert(
-            pc.is_in(
-                old_assign.column("url"),
-                value_set=dirty_rows.column("url").combine_chunks(),
+        if len(touch_tiles) >= cfg.cow_task_tiles:
+            # distributed COW: per-tile merge + rollup run as Ray tasks
+            # (S7 at scale — no whole-tile merge on the driver)
+            summary_rows, old_cells = store.cow_merge_tiles_distributed(
+                touch_tiles, recomputed,
+                dirty_rows.column("url").combine_chunks(),
+                tiles.tile_rollup_table, tiles.cell_summary_table,
             )
-        )
-        merged = pa.concat_tables(
-            [old_assign.filter(keep_old).cast(recomputed.schema), recomputed]
-        )
-        store.replace_tiles("assignments", touch_tiles, merged)
-        if merged.num_rows:
-            store.replace_tiles(
-                "rollups", touch_tiles, tiles.tile_rollup_table(merged)
-            )
+            if store._manifest["tables"].get("cell_summaries"):
+                store.apply_upserts_deletes(
+                    "cell_summaries", summary_rows, old_cells
+                )
         else:
-            store.replace_tiles(
-                "rollups", touch_tiles, tiles.TILE_ROLLUP.empty_table()
+            old_assign = store.read_tiles("assignments", touch_tiles)
+            keep_old = pc.invert(
+                pc.is_in(
+                    old_assign.column("url"),
+                    value_set=dirty_rows.column("url").combine_chunks(),
+                )
             )
-        if store._manifest["tables"].get("cell_summaries"):
-            # maintain the per-cell prune index: rows of the touched
-            # tiles' old cells replaced by the recomputed summary (a
-            # cell nests in exactly one tile, so the old-cell set fully
-            # covers what the rewrite can change)
-            old_cells = np.unique(
-                old_assign.column("cell_id").to_numpy(zero_copy_only=False)
+            merged = pa.concat_tables(
+                [old_assign.filter(keep_old).cast(recomputed.schema), recomputed]
             )
-            store.apply_upserts_deletes(
-                "cell_summaries", tiles.cell_summary_table(merged), old_cells
-            )
+            store.replace_tiles("assignments", touch_tiles, merged)
+            if merged.num_rows:
+                store.replace_tiles(
+                    "rollups", touch_tiles, tiles.tile_rollup_table(merged)
+                )
+            else:
+                store.replace_tiles(
+                    "rollups", touch_tiles, tiles.TILE_ROLLUP.empty_table()
+                )
+            if store._manifest["tables"].get("cell_summaries"):
+                # maintain the per-cell prune index: rows of the touched
+                # tiles' old cells replaced by the recomputed summary (a
+                # cell nests in exactly one tile, so the old-cell set
+                # fully covers what the rewrite can change)
+                old_cells = np.unique(
+                    old_assign.column("cell_id").to_numpy(zero_copy_only=False)
+                )
+                store.apply_upserts_deletes(
+                    "cell_summaries", tiles.cell_summary_table(merged), old_cells
+                )
         tiles_rewritten = len(touch_tiles)
     timers["rejoin_and_cow"] = _time.time() - _t0
     summary["tiles_rewritten"] = tiles_rewritten

@@ -880,3 +880,133 @@ class StateStore:
                      "rows": nrows, "op": "cow-replace"}
                 )
         self._manifest["tables"][f"tile:{name}"] = entry
+
+    def cow_merge_tiles_distributed(
+        self,
+        tile_ids,
+        new_rows: pa.Table,
+        drop_urls,
+        rollup_fn,
+        summary_fn,
+    ) -> tuple[pa.Table, np.ndarray]:
+        """Distributed COW tile replacement (the reference's batched
+        endpoint delete+insert, S7, as RAY TASKS): one task per tile
+        chunk reads its old tile files, drops the invalidated urls,
+        appends the recomputed rows, and writes the new assignments AND
+        rollup files — no whole-tile merge ever touches the driver.
+
+        The manifest is still updated (and atomically swapped) only on
+        the driver, so the single-writer commit protocol and crash
+        semantics are unchanged: a mid-run kill leaves unreferenced
+        new-generation files that the next open GCs.  Requires storage
+        shared across nodes (the standard parquet-state assumption).
+
+        Returns (cell-summary rows of the merged tiles, old cell ids of
+        the touched tiles) for the caller's prune-index upsert.
+        """
+        import ray
+
+        a_entry = dict(self._manifest["tables"].get("tile:assignments", {}))
+        r_entry = dict(self._manifest["tables"].get("tile:rollups", {}))
+        gen = self._manifest["generation"] + 1
+        fname = f"delta-g{gen}.parquet"
+        srt = new_rows.sort_by("tile_id")
+        tids = srt.column("tile_id").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(tids)) + 1
+        starts = np.concatenate([[0], bounds, [len(tids)]])
+        slice_of = {
+            int(tids[s]): (int(s), int(e))
+            for s, e in zip(starts[:-1], starts[1:])
+            if e > s
+        }
+        new_ref = ray.put(srt)
+        drop_ref = ray.put(drop_urls)
+        root = self.root
+        schema = _schema_of("assignments")
+
+        @ray.remote
+        def rewrite(items):
+            import pyarrow as pa2
+            import pyarrow.compute as pc2
+            import pyarrow.parquet as pq2
+
+            srt_ = ray.get(new_ref)
+            drop_ = ray.get(drop_ref)
+            out = []
+            for t, files, se in items:
+                olds = [pq2.read_table(f) for f in files]
+                old = (
+                    pa2.concat_tables(olds)
+                    if olds
+                    else schema.empty_table().drop_columns(["tile_id"])
+                )
+                if "tile_id" not in old.column_names:
+                    old = old.append_column(
+                        "tile_id", pa2.array([t] * old.num_rows, type=pa2.int64())
+                    )
+                keep = pc2.invert(pc2.is_in(old.column("url"), value_set=drop_))
+                sub_new = (
+                    srt_.slice(se[0], se[1] - se[0])
+                    if se is not None
+                    else srt_.schema.empty_table()
+                )
+                merged = pa2.concat_tables(
+                    [old.filter(keep).select(srt_.column_names).cast(srt_.schema),
+                     sub_new]
+                )
+                d = os.path.join(root, "assignments", f"tile_id={t}")
+                os.makedirs(d, exist_ok=True)
+                pq2.write_table(
+                    merged.drop_columns(["tile_id"]), os.path.join(d, fname)
+                )
+                rollup = rollup_fn(merged)
+                d = os.path.join(root, "rollups", f"tile_id={t}")
+                os.makedirs(d, exist_ok=True)
+                pq2.write_table(
+                    rollup.drop_columns(["tile_id"]), os.path.join(d, fname)
+                )
+                old_cells = np.unique(
+                    old.column("cell_id").to_numpy(zero_copy_only=False)
+                )
+                out.append((t, merged.num_rows, summary_fn(merged), old_cells))
+            return out
+
+        items = [
+            (int(t), self._tile_files("assignments", [int(t)]),
+             slice_of.get(int(t)))
+            for t in tile_ids
+        ]
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_chunks = max(1, min(len(items), ncpu * 2))
+        chunk_size = (len(items) + n_chunks - 1) // n_chunks
+        futures = [
+            rewrite.remote(items[i : i + chunk_size])
+            for i in range(0, len(items), chunk_size)
+        ]
+        summaries: list[pa.Table] = []
+        old_cells_all: list[np.ndarray] = []
+        for res in ray.get(futures):
+            for t, nrows, summary, old_cells in res:
+                a_entry[str(t)] = [fname]
+                r_entry[str(t)] = [fname]
+                summaries.append(summary)
+                old_cells_all.append(old_cells)
+                self._pending_lineage.append(
+                    {"table": "assignments", "tile": t, "file": fname,
+                     "rows": nrows, "op": "cow-replace-distributed"}
+                )
+        self._manifest["tables"]["tile:assignments"] = a_entry
+        self._manifest["tables"]["tile:rollups"] = r_entry
+        from ..stages.tiles import CELL_SUMMARY
+
+        summary_rows = (
+            pa.concat_tables([s for s in summaries if s.num_rows]).cast(CELL_SUMMARY)
+            if any(s.num_rows for s in summaries)
+            else CELL_SUMMARY.empty_table()
+        )
+        old_cells = (
+            np.unique(np.concatenate(old_cells_all))
+            if old_cells_all
+            else np.empty(0, dtype=np.int64)
+        )
+        return summary_rows, old_cells

@@ -267,3 +267,46 @@ class TestDeleteOnlyWindow:
         s = update.apply_changes(A, t)
         assert not s["empty"]
         assert target not in A.read_all("nodes").column("id").to_pylist()
+
+
+class TestDistributedCow:
+    def test_cow_tasks_equal_driver_path(
+        self, ray_session, t1_world, tmp_path_factory
+    ):
+        """COW tile replacement as Ray tasks (cow_task_tiles=0 forces
+        it) must leave the store byte-equivalent to the driver
+        threadpool path: assignments, rollups, cell summaries, and a
+        second delta window on top."""
+        import dataclasses
+
+        import ray.data as rd
+
+        from osm_live_updates_ray.config import DEFAULT_CONFIG
+        from osm_live_updates_ray.sources import synthetic
+
+        w = t1_world
+        second = synthetic.gen_changes(20, 500, 100, 20, seed_offset=5_000)
+        stores = []
+        for cfg in (
+            DEFAULT_CONFIG,
+            dataclasses.replace(DEFAULT_CONFIG, cow_task_tiles=0),
+        ):
+            root = str(tmp_path_factory.mktemp("cowpath"))
+            st = static_join.build_state(
+                root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+                w["osm_relations"], cfg=cfg,
+            )
+            update.apply_changes(st, w["changes"], cfg=cfg)
+            update.apply_changes(st, second, cfg=cfg)
+            stores.append(st)
+        A, B = stores
+        assert_tables_equal(
+            A.read_tiles("assignments"), B.read_tiles("assignments"), ["url"]
+        )
+        assert_tables_equal(
+            A.read_tiles("rollups"), B.read_tiles("rollups"), ["tile_id"]
+        )
+        assert_tables_equal(
+            A.read_all("cell_summaries"), B.read_all("cell_summaries"),
+            ["cell_id"],
+        )
