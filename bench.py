@@ -144,14 +144,11 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
     return {"sec": sec, "pages": n_pages, "pages_per_sec": n_pages / sec}
 
 
-def delta_replay(num_cpus: int) -> dict:
-    """Bootstrap once (cached), then timed incremental replay on a COW
-    copy of the state."""
+def _ensure_bench_state():
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from osm_live_updates_ray.pipelines import static_join, update
-    from osm_live_updates_ray.state.store import StateStore
+    from osm_live_updates_ray.pipelines import static_join
 
     state_cache = os.path.join(BENCH_CACHE, "state")
     if not os.path.exists(os.path.join(state_cache, "manifest.json")):
@@ -160,18 +157,48 @@ def delta_replay(num_cpus: int) -> dict:
         rels = pq.read_table(os.path.join(BENCH_CACHE, "relations.parquet"))
         pages = rd.read_parquet(os.path.join(BENCH_CACHE, "pages"))
         static_join.build_state(state_cache, pages, nodes, ways, rels)
+    return state_cache
+
+
+def _replay(changes) -> dict:
+    from osm_live_updates_ray.pipelines import update
+    from osm_live_updates_ray.state.store import StateStore
+
+    state_cache = _ensure_bench_state()
     work = os.path.join(SCRATCH, "state")
     shutil.rmtree(work, ignore_errors=True)
     shutil.copytree(state_cache, work)
-    changes = pq.read_table(os.path.join(BENCH_CACHE, "changes.parquet"))
     store = StateStore(work)
     t0 = time.time()
     summary = update.apply_changes(store, changes)
     sec = time.time() - t0
     return {"sec": sec, "changes": changes.num_rows,
             "changes_per_sec": changes.num_rows / sec,
+            "rejoined_pages": summary.get("rejoined_pages", 0),
             "dirty_cells": summary["dirty_cells"],
-            "tiles_rewritten": summary["tiles_rewritten"]}
+            "tiles_rewritten": summary["tiles_rewritten"],
+            "timers": summary.get("timers", {})}
+
+
+def delta_replay(num_cpus: int) -> dict:
+    """Timed incremental replay of the 10k-change window on a COW copy
+    of the cached state (an adversarial window: ~4k created/moved nodes
+    against a 200k-node layer dirties ~30% of all pages)."""
+    import pyarrow.parquet as pq
+
+    return _replay(pq.read_table(os.path.join(BENCH_CACHE, "changes.parquet")))
+
+
+def delta_replay_small(num_cpus: int) -> dict:
+    """The steady-state shape: a 300-change window — the per-cell
+    kNN-bound prune index keeps the invalidation scan delta-sized."""
+    from osm_live_updates_ray.sources import synthetic
+
+    t = synthetic.TIERS["bench"]
+    return _replay(
+        synthetic.gen_changes(300, t["nodes"], t["ways"], t["rels"],
+                              seed_offset=777_000)
+    )
 
 
 def battery(sf_dir: str) -> dict:
@@ -204,7 +231,18 @@ def run_once() -> dict:
 
     build_bench_world(rd)
     head = headline_spatial_join(rd, num_cpus)
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        result = {
+            "metric": "spatial_join_tile_assignment",
+            "value": round(head["sec"], 3), "unit": "sec",
+            "pages": head["pages"],
+            "pages_per_sec": round(head["pages_per_sec"], 1),
+            "num_cpus": num_cpus,
+        }
+        ray.shutdown()
+        return result
     delta = delta_replay(num_cpus)
+    small = delta_replay_small(num_cpus)
     qtimes = battery(sf_dir)
     result = {
         "metric": "spatial_join_tile_assignment",
@@ -214,6 +252,8 @@ def run_once() -> dict:
         "pages_per_sec": round(head["pages_per_sec"], 1),
         "delta_replay_sec": round(delta["sec"], 3),
         "delta_changes_per_sec": round(delta["changes_per_sec"], 1),
+        "delta_small_sec": round(small["sec"], 3),
+        "delta_small_invalidation_sec": small["timers"].get("invalidation_scan"),
         "queries": qtimes,
         "sf": sf_dir,
         "num_cpus": num_cpus,
@@ -222,30 +262,49 @@ def run_once() -> dict:
     return result
 
 
-def run_scaling() -> dict:
-    # interleave the two sizes so both sample the same co-tenant-load
-    # epochs (single-run walls vary up to 2x on this host); keep the
-    # best per size (each bench run is itself best-of-3 internally)
-    out = {}
-    for n in (8, 32, 8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+def run_scaling(n_sessions: int = 3) -> dict:
+    """N interleaved (8-CPU, 32-CPU) session PAIRS in fresh processes —
+    adjacent in time so both sizes sample the same co-tenant-load epoch
+    (single-run walls vary up to 2x on this host).  Reports per-pair
+    efficiency and the MEDIAN across pairs (the robustness criterion),
+    plus the best pair."""
+
+    def one(n: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_HEADLINE_ONLY="1")
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
         )
-        r = json.loads(p.stdout.strip().splitlines()[-1])
-        if n not in out or r["pages_per_sec"] > out[n]["pages_per_sec"]:
-            out[n] = r
-    pps8 = out[8]["pages_per_sec"]
-    pps32 = out[32]["pages_per_sec"]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    pairs = []
+    for _ in range(n_sessions):
+        r8 = one(8)
+        r32 = one(32)
+        pairs.append(
+            {
+                "pages_per_sec_8": r8["pages_per_sec"],
+                "pages_per_sec_32": r32["pages_per_sec"],
+                "sec_8": r8["value"], "sec_32": r32["value"],
+                "speedup": round(r32["pages_per_sec"] / r8["pages_per_sec"], 3),
+                "scaling_efficiency": round(
+                    (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0, 3
+                ),
+            }
+        )
+    effs = sorted(p["scaling_efficiency"] for p in pairs)
+    median = effs[len(effs) // 2]
+    best = max(pairs, key=lambda p: p["scaling_efficiency"])
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
-        "pages_per_sec_8": pps8,
-        "pages_per_sec_32": pps32,
-        "speedup": round(pps32 / pps8, 3),
-        "scaling_efficiency": round((pps32 / pps8) / 4.0, 3),
-        "sec_8": out[8]["value"],
-        "sec_32": out[32]["value"],
+        "sessions": pairs,
+        "scaling_efficiency_median": median,
+        "scaling_efficiency_best": best["scaling_efficiency"],
+        "pages_per_sec_8": best["pages_per_sec_8"],
+        "pages_per_sec_32": best["pages_per_sec_32"],
+        "speedup": best["speedup"],
+        "scaling_efficiency": median,
+        "sec_8": best["sec_8"], "sec_32": best["sec_32"],
     }
 
 

@@ -386,11 +386,23 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 500:
+        if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy()
         out = []
+        if len(g) > 500:
+            # mega-bucket: chain-pair by sorted id (like the MinHash
+            # path) instead of silently dropping; hamming still verified
+            order = np.argsort(ids)
+            for i, j in zip(order[:-1], order[1:]):
+                if ids[i] == ids[j]:
+                    continue
+                h = hashing.hamming64(sh[i], sh[j])
+                if h <= max_hamming:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out.append((a, b, h))
+            return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if ids[i] == ids[j]:
