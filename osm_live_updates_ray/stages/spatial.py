@@ -673,6 +673,46 @@ class SpatialJoiner:
         return out.filter(pa.array(keep))
 
 
+class FusedGeocodeJoin:
+    """Geocode + spatial join in ONE actor pool: removes the two-pool
+    split (whose fill phase and static sizing leave join actors idle
+    while geocode warms) — every core runs the whole per-batch chain,
+    read tasks feed the single pool directly.  The headline bench path."""
+
+    def __init__(self, poly_ref, node_ref, config: EngineConfig = DEFAULT_CONFIG,
+                 project: bool = True, keep_lonlat: bool = False):
+        self.geo = Geocoder(config, project=project)
+        self.join = SpatialJoiner(poly_ref, node_ref, config, keep_lonlat)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.join(self.geo(batch))
+
+
+def fused_geocode_join(pages_ds, config: EngineConfig = DEFAULT_CONFIG,
+                       layer_refs=None, polygons: pa.Table | None = None,
+                       nodes: pa.Table | None = None, concurrency=None,
+                       keep_lonlat: bool = False):
+    """pages (url, html) Dataset -> assignments Dataset through the
+    fused single-pool stage; leaves ~3 cores for read/write tasks."""
+    import ray
+
+    if layer_refs is not None:
+        poly_ref, node_ref = layer_refs
+    else:
+        poly_ref, node_ref = broadcast_layers(polygons, nodes, config)
+    if concurrency is None:
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        pool = max(2, n - 3) if n > 8 else max(2, n - 2)
+        concurrency = (pool, pool)
+    return pages_ds.map_batches(
+        FusedGeocodeJoin,
+        fn_constructor_args=(poly_ref, node_ref, config, True, keep_lonlat),
+        batch_format="pyarrow",
+        batch_size=config.map_batch_size,
+        concurrency=concurrency,
+    )
+
+
 def broadcast_layers(polygons: pa.Table, nodes: pa.Table,
                      config: EngineConfig = DEFAULT_CONFIG,
                      precompute_candidates: bool = False):

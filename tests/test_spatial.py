@@ -284,3 +284,23 @@ class TestShardedDeltaRejoin:
             outs.append(st.read_tiles("assignments").sort_by("url"))
         a, b = outs
         assert a.equals(b.cast(a.schema))
+
+
+class TestFusedGeocodeJoin:
+    def test_fused_equals_staged(self, ray_session, joined):
+        import pyarrow as pa
+        import ray.data as rd
+
+        w, rings, pg, na, out = joined
+        nodes_tbl = pa.Table.from_pydict(
+            {"id": na["id"], "lon": na["lon"], "lat": na["lat"]}
+        )
+        ds = spatial.fused_geocode_join(
+            rd.from_arrow(w["pages"]).repartition(4),
+            polygons=rings, nodes=nodes_tbl, concurrency=(1, 2),
+        )
+        got = pa.concat_tables(
+            list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        ).sort_by("url")
+        want = out.sort_by("url")
+        assert got.cast(want.schema).equals(want)
