@@ -33,10 +33,14 @@ class EngineConfig:
     #: actor pool size for stateful spatial stages; None = tasks.
     spatial_concurrency: Optional[int] = None
 
-    #: invalidation-scan shape switch: candidate row counts at or below
-    #: this run as one driver threadpool read + vectorized pass (no Ray
-    #: pipeline ramp); above it, a streaming Ray scan.
-    driver_scan_rows: int = 200_000
+    #: invalidation-scan shape switch: candidate sets at or below this
+    #: many rows (AND below driver_scan_work pairwise ops) run as one
+    #: driver threadpool read + vectorized pass — a Ray pipeline has
+    #: ~2s fixed ramp, so small scans are pure overhead there.
+    driver_scan_rows: int = 2_000_000
+    #: rows x delta-points product cap for the driver path (the exact
+    #: distance test is the driver's only O(rows*points) cost).
+    driver_scan_work: int = 200_000_000
     #: node layers above this many rows are never broadcast: the delta
     #: re-join switches to cell-range-sharded kNN index actors, each
     #: reading its own partition files.

@@ -292,7 +292,10 @@ def _dirty_assignment_rows(
         if len(cand_cells) == 0:
             return ASSIGNMENTS_STATE.empty_table()
         uniq_tiles = np.unique(cand_tiles)
-        if est_rows <= cfg.driver_scan_rows:
+        if (
+            est_rows <= cfg.driver_scan_rows
+            and est_rows * max(1, len(nl)) <= cfg.driver_scan_work
+        ):
             t = store.read_tiles("assignments", uniq_tiles.tolist())
             keep = np.isin(
                 t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64),
