@@ -1281,6 +1281,40 @@ def image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+@register("audio_features")  # rows-only (stubbed decode; plumbing real)
+def audio_features(sf_dir: str):
+    """Audio featurization over corpus-derived media (windowed
+    pseudo-MFCCs through the actor-pool stage)."""
+    from .stages import multimodal
+
+    rd = _rd()
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(multimodal.media_from_documents, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+            batch_format="pyarrow",
+        )
+    )
+    feats = multimodal.featurize_audio(ds)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        flat = [np.asarray(v, dtype=np.float64) for v in t.column("mfcc_stub").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "media_id": t.column("media_id"),
+                "n_windows": t.column("n_windows"),
+                "feat_l2": pa.array(
+                    _round(np.array([float(np.sqrt((v * v).sum())) for v in flat]), 4),
+                    type=pa.float64(),
+                ),
+                "decoder_version": t.column("decoder_version"),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
 _SQL_KNN_WAY = (
     "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_STATE_NODES.strip()
     + ",\n" + td.SQL_WAY_EDGES.strip()

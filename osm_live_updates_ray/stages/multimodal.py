@@ -140,6 +140,78 @@ def featurize_images(media_ds, out_dim: int = 64, concurrency=(1, 8)):
     )
 
 
+AUDIO_FEATURES = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mfcc_stub", pa.list_(pa.float32())),  # per-window features
+        ("n_windows", pa.int32()),
+        ("decoder_version", pa.int32()),
+    ]
+)
+
+
+class AudioFeaturizer:
+    """Actor-pool audio stage (STUB decode): windows the payload bytes
+    into fixed-length frames and emits deterministic pseudo-MFCCs —
+    the windowed-feature shape (n_windows x dim flattened) a real
+    torchaudio pipeline produces.  ``__init__`` is the once-per-actor
+    model load; batches stay small for large payloads."""
+
+    VERSION = 1
+
+    def __init__(self, dim: int = 13, window_bytes: int = 256,
+                 max_windows: int = 16):
+        self.dim = dim
+        self.window_bytes = window_bytes
+        self.max_windows = max_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats, counts = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            payload = payload or b""
+            nw = min(
+                self.max_windows,
+                max(1, (len(payload) + self.window_bytes - 1) // self.window_bytes),
+            )
+            out = np.zeros((nw, self.dim), dtype=np.float32)
+            for w in range(nw):
+                chunk = np.frombuffer(
+                    payload[w * self.window_bytes : (w + 1) * self.window_bytes],
+                    dtype=np.uint8,
+                ).astype(np.float32)
+                if len(chunk):
+                    # STUB decode: per-window moments stand in for MFCCs
+                    reps = int(np.ceil(self.dim / len(chunk)))
+                    out[w] = np.tile(chunk, reps)[: self.dim] / 255.0
+            ids.append(mid)
+            feats.append(out.ravel().tolist())
+            counts.append(nw)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "mfcc_stub": pa.array(feats, type=pa.list_(pa.float32())),
+                "n_windows": pa.array(counts, type=pa.int32()),
+                "decoder_version": pa.array(
+                    [self.VERSION] * len(ids), type=pa.int32()
+                ),
+            }
+        )
+
+
+def featurize_audio(media_ds, concurrency=(1, 8)):
+    """media Dataset -> AUDIO_FEATURES Dataset (small batches: large
+    binary payloads)."""
+    return media_ds.map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
+
+
 class FrameSampler:
     """Video frame-sampling stage (STUB decode): emits one row per
     sampled frame with deterministic frame offsets — the flat_map-shaped

@@ -243,3 +243,21 @@ class TestCosineNearDup:
         a = {tuple(p) for p in approx[["id_a", "id_b"]].to_numpy()}
         assert a <= e  # no false positives (verified in-bucket)
         assert len(a & e) / max(1, len(e)) >= 0.9  # high recall for near-dups
+
+
+class TestAudioFeaturizer:
+    def test_windowed_features_deterministic(self, ray_session):
+        import ray.data as rd
+
+        media = multimodal.gen_media(30)
+        auds = media.filter(pa.compute.equal(media.column("kind"), "audio"))
+        out = multimodal.featurize_audio(rd.from_arrow(auds)).to_pandas()
+        assert len(out) == auds.num_rows
+        assert (out["n_windows"] >= 1).all()
+        assert all(
+            len(f) == 13 * n for f, n in zip(out["mfcc_stub"], out["n_windows"])
+        )
+        out2 = multimodal.featurize_audio(rd.from_arrow(auds)).to_pandas()
+        a = [np.array(f) for f in out.sort_values("media_id")["mfcc_stub"]]
+        b = [np.array(f) for f in out2.sort_values("media_id")["mfcc_stub"]]
+        assert all((x == y).all() for x, y in zip(a, b))
