@@ -57,13 +57,36 @@ class Geocoder:
         self.n_pages = 0
         self.n_nogeo = 0
 
+    @staticmethod
+    def _extract(arr) -> tuple[np.ndarray, np.ndarray]:
+        """RE2 directly over the BINARY column (no full utf8
+        cast/validation pass); matched groups are tiny ASCII."""
+        ex = pc.extract_regex(arr, pattern=_GEO_PATTERN)
+        lat = pc.cast(pc.cast(pc.struct_field(ex, "glat"), pa.string()), pa.float64())
+        lon = pc.cast(pc.cast(pc.struct_field(ex, "glon"), pa.string()), pa.float64())
+        return (
+            lon.to_numpy(zero_copy_only=False),
+            lat.to_numpy(zero_copy_only=False),
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html = batch.column("html")
-        ex = pc.extract_regex(pc.cast(html, pa.string()), pattern=_GEO_PATTERN)
-        lat = pc.cast(pc.struct_field(ex, "glat"), pa.float64())
-        lon = pc.cast(pc.struct_field(ex, "glon"), pa.float64())
-        lon_np = lon.to_numpy(zero_copy_only=False)
-        lat_np = lat.to_numpy(zero_copy_only=False)
+        html = batch.column("html").combine_chunks()
+        # prefix fast path: the geo meta tag sits in <head>, so scan
+        # only the first bytes; rows with no prefix match (tag later in
+        # the page, tag straddling the cut, or no tag at all) fall back
+        # to the full scan — EXACTLY the same result, ~5x less regex
+        # traffic on tag-bearing corpora
+        lon_np, lat_np = self._extract(pc.binary_slice(html, 0, 192))
+        miss = np.isnan(lon_np) | np.isnan(lat_np)
+        if miss.any():
+            sub = html.filter(pa.array(miss))
+            slon, slat = self._extract(sub)
+            lon_np = lon_np.copy()
+            lat_np = lat_np.copy()
+            lon_np[miss] = slon
+            lat_np[miss] = slat
+        lon = pa.array(lon_np, from_pandas=True)
+        lat = pa.array(lat_np, from_pandas=True)
         ok = ~(np.isnan(lon_np) | np.isnan(lat_np))
         cell = np.full(len(lon_np), -1, dtype=np.int64)
         tile = np.full(len(lon_np), -1, dtype=np.int64)

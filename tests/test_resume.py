@@ -40,10 +40,15 @@ APPLY_SCRIPT = textwrap.dedent(
     import pyarrow.parquet as pq
     from osm_live_updates_ray.pipelines import update
     from osm_live_updates_ray.state.store import StateStore
-    root, chpath = sys.argv[1], sys.argv[2]
-    store = StateStore(root)
+    root, chpath, mode = sys.argv[1], sys.argv[2], sys.argv[3]
+    import dataclasses
+    from osm_live_updates_ray.config import DEFAULT_CONFIG
+    cfg = (dataclasses.replace(DEFAULT_CONFIG, cow_task_tiles=0,
+                               rejoin_driver_rows=0)
+           if mode == "dist" else DEFAULT_CONFIG)
+    store = StateStore(root, cfg)
     print("READY", flush=True)
-    update.apply_changes(store, pq.read_table(chpath))
+    update.apply_changes(store, pq.read_table(chpath), cfg)
     print("DONE", flush=True)
     ray.shutdown()
     """
@@ -51,7 +56,8 @@ APPLY_SCRIPT = textwrap.dedent(
 
 
 @pytest.mark.slow
-def test_sigkill_mid_apply_then_resume(ray_session, t1_world, tmp_path_factory):
+@pytest.mark.parametrize("mode", ["driver", "dist"])
+def test_sigkill_mid_apply_then_resume(ray_session, t1_world, tmp_path_factory, mode):
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -77,7 +83,7 @@ def test_sigkill_mid_apply_then_resume(ray_session, t1_world, tmp_path_factory):
     env.pop("RAY_ADDRESS", None)  # the subprocess owns its own session
     env["OLU_CRASH_BEFORE_COMMIT"] = "1"
     p = subprocess.Popen(
-        [sys.executable, "-u", "-c", APPLY_SCRIPT, rootA, chpath],
+        [sys.executable, "-u", "-c", APPLY_SCRIPT, rootA, chpath, mode],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
         cwd="/root/repo",
     )
