@@ -146,18 +146,26 @@ def _ensure_bench_state():
     return state_cache
 
 
-def _replay(changes) -> dict:
+def _replay(changes, best_of: int = 2) -> dict:
+    """Timed apply on a fresh COW copy of the cached state; best-of-N
+    (like the headline) so one co-tenant load spike doesn't define the
+    reported delta latency."""
     from osm_live_updates_ray.pipelines import update
     from osm_live_updates_ray.state.store import StateStore
 
     state_cache = _ensure_bench_state()
-    work = os.path.join(SCRATCH, "state")
-    shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(state_cache, work)
-    store = StateStore(work)
-    t0 = time.time()
-    summary = update.apply_changes(store, changes)
-    sec = time.time() - t0
+    best = None
+    for _ in range(best_of):
+        work = os.path.join(SCRATCH, "state")
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.copytree(state_cache, work)
+        store = StateStore(work)
+        t0 = time.time()
+        summary = update.apply_changes(store, changes)
+        sec = time.time() - t0
+        if best is None or sec < best[0]:
+            best = (sec, summary)
+    sec, summary = best
     return {"sec": sec, "changes": changes.num_rows,
             "changes_per_sec": changes.num_rows / sec,
             "rejoined_pages": summary.get("rejoined_pages", 0),

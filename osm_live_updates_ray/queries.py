@@ -1032,7 +1032,64 @@ def doc_fingerprints(sf_dir: str):
     ).map_batches(fp, batch_format="pyarrow")
 
 
-@register("doc_langid")  # rows-only (heuristic language id)
+_LANGID_SQL = """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_transform(
+               string_split_regex(TRIM(LOWER(LEFT(text, 4000))), '\\s+'),
+               t -> t
+             ) AS tk,
+             LEFT(text, 2000) AS head
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, text, head,
+             (CASE WHEN list_contains(tk,'der') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'die') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'und') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'ist') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'nicht') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'das') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'ein') THEN 1 ELSE 0 END) AS v_de,
+             (CASE WHEN list_contains(tk,'the') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'and') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'of') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'is') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'you') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'that') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'with') THEN 1 ELSE 0 END) AS v_en,
+             (CASE WHEN list_contains(tk,'el') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'la') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'los') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'es') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'una') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'que') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'por') THEN 1 ELSE 0 END) AS v_es,
+             (CASE WHEN list_contains(tk,'le') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'la') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'les') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'est') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'une') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'dans') THEN 1 ELSE 0 END +
+              CASE WHEN list_contains(tk,'pas') THEN 1 ELSE 0 END) AS v_fr
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE
+             WHEN text IS NULL OR text = '' THEN 'und'
+             WHEN LENGTH(head) > 0
+                  AND LENGTH(regexp_replace(head, '[^\u4e00-\u9fff]', '', 'g'))
+                      > 0.05 * LENGTH(head) THEN 'zh'
+             WHEN GREATEST(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+             WHEN v_de = GREATEST(v_de, v_en, v_es, v_fr) THEN 'de'
+             WHEN v_en = GREATEST(v_de, v_en, v_es, v_fr) THEN 'en'
+             WHEN v_es = GREATEST(v_de, v_en, v_es, v_fr) THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM votes
+    """
+
+
+@register("doc_langid", _LANGID_SQL)  # mirrored SQL: marker votes + CJK share
 def doc_langid(sf_dir: str):
     from .functions import text as textfn
 
