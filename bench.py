@@ -35,6 +35,12 @@ SCRATCH = "/tmp/olu_ray_bench_scratch"
 HEADLINE_PAGES = 8_000_000
 
 
+def _pages_tag() -> str:
+    """Which cached page table a headline run reads: 'xl8' (default,
+    8M rows) or 'xl16' (16M, used by --scaling for steady-state walls)."""
+    return os.environ.get("BENCH_PAGES_TAG", "xl8")
+
+
 def build_bench_world(rd):
     """Deterministic bench inputs, cached across runs (untimed)."""
     from osm_live_updates_ray.sources import synthetic
@@ -56,6 +62,20 @@ def build_bench_world(rd):
             .write_parquet(os.path.join(BENCH_CACHE, "pages_xl8"))
         )
         open(os.path.join(BENCH_CACHE, "XL8_DONE"), "w").write("ok")
+    # scaling runs use a 2x input (16M): at 32 CPUs the 8M join ends in
+    # ~12 s, so the ~2 s pipeline ramp alone costs ~17% of the wall —
+    # measured as "inefficiency" that is really fixed startup.  The
+    # steady-state regime (what a multi-hour 100 TB job lives in) needs
+    # walls long enough that ramp is noise at BOTH sizes.
+    if _pages_tag() == "xl16" and not os.path.exists(
+        os.path.join(BENCH_CACHE, "XL16_DONE")
+    ):
+        (
+            rd.range(2 * HEADLINE_PAGES, override_num_blocks=512)
+            .map_batches(gen, batch_format="numpy", batch_size=16384)
+            .write_parquet(os.path.join(BENCH_CACHE, "pages_xl16"))
+        )
+        open(os.path.join(BENCH_CACHE, "XL16_DONE"), "w").write("ok")
     if os.path.exists(done):
         return
     t = synthetic.TIERS["bench"]
@@ -110,7 +130,8 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
         precompute_candidates=True,
     )
     # warm the page cache so we measure compute + shuffle, not cold disk
-    pages = rd.read_parquet(os.path.join(BENCH_CACHE, "pages_xl8"))
+    pages_dir = os.path.join(BENCH_CACHE, f"pages_{_pages_tag()}")
+    pages = rd.read_parquet(pages_dir)
     n_pages = pages.count()
 
     # FUSED single pool (geocode+join in one actor): no two-pool fill
@@ -118,7 +139,7 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
     # CPUs vs ~430k for the best split; also faster at 8 CPUs
     def one_run(tag: str) -> float:
         t0 = time.time()
-        pages_ = rd.read_parquet(os.path.join(BENCH_CACHE, "pages_xl8"), columns=["url", "html"])
+        pages_ = rd.read_parquet(pages_dir, columns=["url", "html"])
         # join-key-only flow: html never crosses the object store again
         joined = spatial.fused_geocode_join(pages_, cfg, layer_refs=layer_refs)
         joined.write_parquet(out_dir + tag)
@@ -264,17 +285,36 @@ def run_scaling(n_sessions: int = 3) -> dict:
     plus the best pair."""
 
     def one(n: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_HEADLINE_ONLY="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_PAGES_TAG="xl16",
+        )
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd=REPO,
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
+    def wait_calm(thresh: float = 2.0, max_wait: float = 240.0) -> float:
+        """Best-effort co-tenant load gate: the 32-CPU runs need 32 free
+        host threads, so starting one into a load spike measures the
+        co-tenant, not the engine.  Bounded wait (the spike may be ours,
+        decaying, or may not pass at all); the load actually seen at
+        start is recorded per pair either way."""
+        t0 = time.time()
+        while os.getloadavg()[0] > thresh and time.time() - t0 < max_wait:
+            time.sleep(5)
+        return os.getloadavg()[0]
+
     pairs = []
     for _ in range(n_sessions):
-        load0 = os.getloadavg()[0]
+        load0 = wait_calm()
         r8 = one(8)
+        # gate again before the wide run — it is the load-sensitive one,
+        # and co-tenant spikes arriving mid-pair otherwise hit only it
+        load32 = wait_calm()
         r32 = one(32)
         pairs.append(
             {
@@ -290,6 +330,7 @@ def run_scaling(n_sessions: int = 3) -> dict:
                 # wide (32-CPU) runs are hit disproportionately, so
                 # the per-pair efficiency must be read against this
                 "host_load_1m_at_start": round(load0, 1),
+                "host_load_1m_at_32cpu_start": round(load32, 1),
             }
         )
     effs = sorted(p["scaling_efficiency"] for p in pairs)

@@ -170,6 +170,74 @@ def sq_dist_argmin(
     return best_id, best_d
 
 
+def padded_csr_argmin(
+    px: np.ndarray,
+    py: np.ndarray,
+    off0: np.ndarray,
+    cnt: np.ndarray,
+    indices: np.ndarray,
+    qx: np.ndarray,
+    qy: np.ndarray,
+    qid: np.ndarray,
+    row_chunk: int = 2048,
+    target_elems: int = 4_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-ROW exact nearest candidate over a CSR candidate layout.
+
+    Row i's candidates are ``indices[off0[i] : off0[i] + cnt[i]]``
+    (positions into qx/qy/qid); returns the candidate minimizing
+    ``(dist², id)`` per row — the ONE padded-gather pass shared by the
+    outer grid (`GridNodeIndex.knn_batch`) and the dense-cell sub-grid
+    (`_DenseCellSub.knn`), replacing per-bucket Python loops.
+
+    Rows are processed in ascending-candidate-count order and chunked
+    so each padded (rows × width) matrix stays ~``target_elems``
+    elements: wide rows (mega-cell neighbours with 40k-candidate sets)
+    simply get fewer rows per chunk instead of being excluded.
+    Rows with ``cnt == 0`` return (-1, inf).
+    """
+    n = len(px)
+    out_id = np.full(n, -1, dtype=np.int64)
+    out_d = np.full(n, np.inf)
+    idxs = np.flatnonzero(cnt > 0)
+    if not len(idxs):
+        return out_id, out_d
+    idxs = idxs[np.argsort(cnt[idxs], kind="stable")]
+    MAXI = np.iinfo(np.int64).max
+    i = 0
+    m = len(idxs)
+    while i < m:
+        # greedy chunk: rows are count-sorted, so the running width is
+        # the LAST row's count; stop before rows*width overshoots
+        j = i + 1
+        while (
+            j < m
+            and j - i < row_chunk
+            and (j - i + 1) * int(cnt[idxs[j]]) <= target_elems
+        ):
+            j += 1
+        g = idxs[i:j]
+        i = j
+        c_cnt = cnt[g]
+        mc = int(c_cnt[-1])  # count-sorted: last row is widest
+        cols = np.arange(mc, dtype=np.int64)
+        valid = cols[None, :] < c_cnt[:, None]
+        gat = off0[g][:, None] + np.where(valid, cols[None, :], 0)
+        cand = indices[gat]
+        dx = px[g][:, None] - qx[cand]
+        dy = py[g][:, None] - qy[cand]
+        dx *= dx
+        dy *= dy
+        dx += dy
+        dx[~valid] = np.inf
+        dmin = dx.min(axis=1)
+        qi = np.where(valid, qid[cand], MAXI)
+        idmin = np.where(dx == dmin[:, None], qi, MAXI).min(axis=1)
+        out_id[g] = idmin
+        out_d[g] = dmin
+    return out_id, out_d
+
+
 def point_segment_sq_dist(
     px: float, py: float, x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray
 ) -> np.ndarray:

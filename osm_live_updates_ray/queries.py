@@ -1006,6 +1006,52 @@ def minhash_near_dups(sf_dir: str):
     return pa.Table.from_pandas(comp, preserve_index=False)
 
 
+@register(
+    "ngram_jaccard_dups",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(nt, i, 5) AS sh
+      FROM norm,
+        LATERAL (SELECT unnest(generate_series(1, greatest(length(nt)-4, 1))) AS i) g
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, i / (ca.n + cb.n - i) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+    WHERE i / (ca.n + cb.n - i) >= 0.8e0
+    """,
+)
+def ngram_jaccard_dups_q(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (AllPairs/PPJoin prefix
+    filtering; no approximation) — the deterministic counterpart of
+    `minhash_near_dups`.  Oracle mirrors the shingle definition with
+    substr over the normalized text; the engine's Jaccard is
+    |A∩B| / |A∪B| on shingle STRINGS (not hashes), so a 64-bit hash
+    collision can never diverge from the SQL."""
+    from .stages import dedup_docs
+
+    rd = _rd()
+    docs_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = dedup_docs.ngram_jaccard_pairs(docs_ds, threshold=0.8, k=5).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=float)})
+    return out
+
+
 @register("simhash_near_dups")  # rows-only
 def simhash_near_dups_q(sf_dir: str):
     from .stages import dedup_docs
@@ -1015,8 +1061,33 @@ def simhash_near_dups_q(sf_dir: str):
     return dedup_docs.simhash_near_dups(ds)
 
 
-@register("doc_fingerprints")  # rows-only (rolling hash not SQL-expressible)
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        AS fingerprint
+    FROM (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(0::HUGEINT,
+            list_transform(range(1, length(text)+1),
+                           i -> ord(substr(text, i, 1))::HUGEINT)),
+          (h, b) -> (h * 1000003 + b) % 18446744073709551616::HUGEINT
+        ) AS h
+      FROM documents
+    )
+    """,
+)
 def doc_fingerprints(sf_dir: str):
+    """Rolling polynomial hash (Horner, base 1000003, mod 2^64) per doc.
+
+    The oracle mirrors the recurrence exactly: DuckDB ``list_reduce``
+    over the code points (documents are ASCII, so ord == UTF-8 byte)
+    in HUGEINT with an explicit mod-2^64, then a two's-complement fold
+    to BIGINT — matching the engine's uint64 wraparound → int64 view.
+    """
     from .functions import text as textfn
 
     rd = _rd()
@@ -1370,6 +1441,46 @@ def audio_features(sf_dir: str):
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+@register(
+    "video_frames",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, 1000 + (doc_id % 10) * 500 AS duration_ms, text
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(t AS INTEGER) AS frame_ms,
+           encode(substring(text, 1, 16)) AS frame_stub
+    FROM media,
+      LATERAL (SELECT unnest(generate_series(0, duration_ms - 1, 1000)) AS t) g
+    """,
+)
+def video_frames(sf_dir: str):
+    """Video frame sampling (flat_map expansion: one row per sampled
+    frame) through the actor-pool stage.  Decode is a marked stub
+    (payload byte prefix), but the deterministic media derivation makes
+    even the stub ORACLE-checkable: the SQL mirrors the duration
+    formula, the 1000 ms sampling grid, and the 16-byte frame payload
+    (documents are ASCII, so char prefix == byte prefix)."""
+    from .stages import multimodal
+
+    rd = _rd()
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(multimodal.media_from_documents, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "video")),
+            batch_format="pyarrow",
+        )
+        .select_columns(["media_id", "duration_ms", "payload"])
+        .map_batches(
+            multimodal.FrameSampler,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            batch_size=64,
+        )
+    )
 
 
 _SQL_KNN_WAY = (

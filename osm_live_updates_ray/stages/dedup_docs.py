@@ -419,3 +419,134 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby(["band", "key"])
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (AllPairs/PPJoin-style)
+# ---------------------------------------------------------------------------
+def _shingle_prefix_rows(
+    batch: pa.Table,
+    hot_df: dict,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int,
+) -> pa.Table:
+    """Per-doc prefix rows (sh, doc_id, pos, size) under the global
+    shingle order (df, hash64, sh).  `hot_df` holds document
+    frequencies only for FREQUENT shingles (everything absent counts
+    as df=1) — the order stays a pure function of the shingle, so
+    prefix-filter completeness holds, while the broadcast dict stays
+    bounded (|dict| <= total shingle rows / df_floor)."""
+    import math
+
+    out_sh: list[str] = []
+    out_id: list[int] = []
+    out_pos: list[int] = []
+    out_size: list[int] = []
+    for did, text in zip(
+        batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+    ):
+        s = set(hashing.shingles(text, k))
+        hs = hashing.hash_strings(list(s))
+        arr = sorted(
+            zip(s, hs.tolist()), key=lambda p: (hot_df.get(p[0], 1), p[1], p[0])
+        )
+        n = len(arr)
+        plen = max(n - math.ceil(threshold * n) + 1, 1)
+        out_sh.extend(p[0] for p in arr[:plen])
+        out_id.extend([did] * plen)
+        out_pos.extend(range(plen))
+        out_size.extend([n] * plen)
+    return pa.Table.from_pydict(
+        {
+            "sh": pa.array(out_sh, type=pa.string()),
+            id_col: pa.array(out_id, type=pa.int64()),
+            "pos": pa.array(out_pos, type=pa.int32()),
+            "size": pa.array(out_size, type=pa.int32()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 5,
+    hot_df_floor: int = 2,
+):
+    """EXACT n-gram-Jaccard similarity join: every pair with
+    Jaccard(shingles_k(a), shingles_k(b)) >= threshold, no
+    approximation (unlike MinHash, which is probabilistic).
+
+    Scale shape (AllPairs/PPJoin over Ray Data):
+      1. df pass: shingle explode -> groupby count; only shingles with
+         df >= hot_df_floor are broadcast (ray.put) — the frequent
+         tail is what must sort LAST in prefixes, rare dfs don't
+         matter for candidate quality and default to 1.
+      2. prefix emission: each doc indexes only its first
+         n - ceil(t*n) + 1 shingles under the global (df, hash, sh)
+         order.  Lemma: if |A∩B| >= ceil(t*|A|) the smallest common
+         shingle lies in both prefixes — no qualifying pair is missed.
+      3. bucket groupby on the shingle: candidate pairs filtered by
+         the exact length bound (t*max(|A|,|B|) <= min(|A|,|B|)) and
+         the PPJoin positional bound
+         (1 + min(|A|-pa-1, |B|-pb-1) >= ceil(t/(1+t)*(|A|+|B|))).
+      4. verification: pairs join back to the documents Dataset
+         (verify_pairs_distributed) — true Jaccard, never the corpus
+         on the driver.
+
+    Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh_out: list[str] = []
+        for text in t.column(text_col).to_pylist():
+            sh_out.extend(set(hashing.shingles(text, k)))
+        return pa.Table.from_pydict({"sh": pa.array(sh_out, type=pa.string())})
+
+    hot = (
+        docs_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Count(alias_name="df"))
+        .filter(expr=f"df >= {int(hot_df_floor)}")
+        .to_pandas()
+    )
+    hot_df = dict(zip(hot["sh"], hot["df"].astype(int)))
+    hot_ref = ray.put(hot_df)
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        return _shingle_prefix_rows(
+            t, ray.get(hot_ref), id_col, text_col, threshold, k
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        size = g["size"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        na, nb = size[ii], size[jj]
+        pa_, pb_ = pos[ii], pos[jj]
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        alpha = np.ceil(threshold / (1.0 + threshold) * (na + nb))
+        keep &= 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
+        keep &= ids[ii] != ids[jj]
+        a = np.minimum(ids[ii][keep], ids[jj][keep])
+        b = np.maximum(ids[ii][keep], ids[jj][keep])
+        return pd.DataFrame({"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)})
+
+    cand = (
+        docs_ds.map_batches(prefixes, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return verify_pairs_distributed(
+        cand, docs_ds, id_col=id_col, text_col=text_col, threshold=threshold, k=k
+    )

@@ -180,6 +180,161 @@ class PolygonIndex:
                                 buckets.setdefault(k, []).append(pid)
             self._sub[c] = buckets
         self.cells_with_candidates = np.array(sorted(self.by_cell), dtype=np.int64)
+        # ---- flat entry tables for the vectorized batch pretest ----
+        # one entry per (container, pid) where container is a normal
+        # cell or a dense cell's sub-bucket; entries carry the union
+        # outer bbox + area, so the page x candidate bbox pretest over a
+        # whole batch is ONE numpy expression (assign_batch) instead of
+        # thousands of tiny per-cell/per-polygon loops
+        pb: dict[int, tuple[float, float, float, float]] = {}
+        for pid, e in self.rings_by_poly.items():
+            bs = [b for _x, _y, b in e["outer"]]
+            pb[pid] = (
+                min(b[0] for b in bs), min(b[1] for b in bs),
+                max(b[2] for b in bs), max(b[3] for b in bs),
+            ) if bs else (np.inf, np.inf, -np.inf, -np.inf)
+        ents: list[int] = []
+        norm_cells = sorted(c for c in self.by_cell if c not in self._sub)
+        off = [0]
+        for c in norm_cells:
+            ents.extend(self.by_cell[c])
+            off.append(len(ents))
+        self._ent_cells = np.array(norm_cells, dtype=np.int64)
+        self._ent_cell_off = np.array(off, dtype=np.int64)
+        n2 = self.SUB_N * self.SUB_N
+        self._ent_sub: dict[int, np.ndarray] = {}
+        for c, buckets in self._sub.items():
+            so = np.empty(n2 + 1, dtype=np.int64)
+            so[0] = len(ents)
+            for k in range(n2):
+                ents.extend(buckets.get(k, ()))
+                so[k + 1] = len(ents)
+            self._ent_sub[c] = so
+        self._ent_pid = np.array(ents, dtype=np.int64)
+        self._ent_bbox = np.array(
+            [pb[p] for p in ents], dtype=np.float64
+        ).reshape(-1, 4)
+
+    def _inside(self, pid: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Exact containment of points in polygon ``pid`` (outer rings
+        minus inner rings, ring-level bbox pretest)."""
+        e = self.rings_by_poly[pid]
+        inside = np.zeros(len(px), dtype=bool)
+        for x, y, b in e["outer"]:
+            inbox = (px >= b[0]) & (px <= b[2]) & (py >= b[1]) & (py <= b[3])
+            if inbox.any():
+                ib = np.where(inbox)[0]
+                inside[ib] |= geo.points_in_ring(px[ib], py[ib], x, y)
+        if inside.any():
+            for x, y, b in e["inner"]:
+                cur = np.where(inside)[0]
+                if not len(cur):
+                    break
+                inside[cur] &= ~geo.points_in_ring(px[cur], py[cur], x, y)
+        return inside
+
+    def assign_batch(self, cells: np.ndarray, px: np.ndarray,
+                     py: np.ndarray) -> np.ndarray:
+        """Winning polygon_id per page for a WHOLE batch (same
+        semantics as :meth:`assign`: smallest (area, pid), -1 none).
+
+        Shape: per-page candidate entry slices (normal cells via the
+        cell CSR, dense cells via their sub-bucket CSR) are expanded to
+        (page, entry) pairs with the multi-range trick; ONE vectorized
+        bbox test drops most pairs; exact ring tests then run per
+        POLYGON over its few surviving pages; winners reduce by
+        lexsort((pid, area, page)) + first-per-page."""
+        n = len(px)
+        out = np.full(n, -1, dtype=np.int64)
+        if n == 0 or (len(self._ent_pid) == 0 and not self.global_pids):
+            return out
+        valid = cells >= 0
+        off = np.zeros(n, dtype=np.int64)
+        cnt = np.zeros(n, dtype=np.int64)
+        if len(self._ent_cells):
+            probe = np.where(valid, cells, self._ent_cells[0])
+            pos = np.searchsorted(self._ent_cells, probe)
+            pos = np.clip(pos, 0, len(self._ent_cells) - 1)
+            hit = valid & (self._ent_cells[pos] == cells)
+            off[hit] = self._ent_cell_off[pos[hit]]
+            cnt[hit] = self._ent_cell_off[pos[hit] + 1] - off[hit]
+        for c, so in self._ent_sub.items():
+            m = valid & (cells == c)
+            if not m.any():
+                continue
+            nsub = self.SUB_N
+            sub_res = self.cell_res / nsub
+            cx0 = (c >> 32) * self.cell_res - 180.0
+            cy0 = (c & 0xFFFFFFFF) * self.cell_res - 90.0
+            bx = np.clip(((px[m] - cx0) / sub_res).astype(np.int64), 0, nsub - 1)
+            by = np.clip(((py[m] - cy0) / sub_res).astype(np.int64), 0, nsub - 1)
+            key = bx * nsub + by
+            off[m] = so[key]
+            cnt[m] = so[key + 1] - so[key]
+        hits_page: list[np.ndarray] = []
+        hits_pid: list[np.ndarray] = []
+        hits_area: list[np.ndarray] = []
+        total = int(cnt.sum())
+        if total:
+            page_idx = np.repeat(np.arange(n), cnt)
+            nz = cnt > 0
+            st = off[nz]
+            ln = cnt[nz]
+            ent = np.ones(total, dtype=np.int64)
+            ent[0] = st[0]
+            jumps = np.cumsum(ln)[:-1]
+            ent[jumps] = st[1:] - (st[:-1] + ln[:-1] - 1)
+            np.cumsum(ent, out=ent)
+            bb = self._ent_bbox
+            ppx = px[page_idx]
+            ppy = py[page_idx]
+            keep = (
+                (ppx >= bb[ent, 0]) & (ppx <= bb[ent, 2])
+                & (ppy >= bb[ent, 1]) & (ppy <= bb[ent, 3])
+            )
+            pg = page_idx[keep]
+            pid_arr = self._ent_pid[ent[keep]]
+            if len(pid_arr):
+                order = np.argsort(pid_arr, kind="stable")
+                pg = pg[order]
+                pid_arr = pid_arr[order]
+                runs = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(pid_arr)) + 1, [len(pid_arr)]]
+                )
+                for s, e_ in zip(runs[:-1], runs[1:]):
+                    pid = int(pid_arr[s])
+                    g = pg[s:e_]
+                    ins = self._inside(pid, px[g], py[g])
+                    if ins.any():
+                        hg = g[ins]
+                        hits_page.append(hg)
+                        hits_pid.append(np.full(len(hg), pid, dtype=np.int64))
+                        hits_area.append(
+                            np.full(len(hg), self.rings_by_poly[pid]["area"])
+                        )
+        for pid in self.global_pids:
+            g = np.flatnonzero(valid)
+            if not len(g):
+                break
+            ins = self._inside(pid, px[g], py[g])
+            if ins.any():
+                hg = g[ins]
+                hits_page.append(hg)
+                hits_pid.append(np.full(len(hg), pid, dtype=np.int64))
+                hits_area.append(
+                    np.full(len(hg), self.rings_by_poly[pid]["area"])
+                )
+        if not hits_page:
+            return out
+        hp = np.concatenate(hits_page)
+        hq = np.concatenate(hits_pid)
+        ha = np.concatenate(hits_area)
+        order = np.lexsort((hq, ha, hp))
+        hp = hp[order]
+        hq = hq[order]
+        first = np.concatenate([[True], np.diff(hp) != 0])
+        out[hp[first]] = hq[first]
+        return out
 
     def assign(self, cell: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Winning polygon_id per point (smallest area, then id); -1 none."""
@@ -242,6 +397,53 @@ class PolygonIndex:
         return best_pid
 
 
+def _build_ring1_csr(ox: np.ndarray, oy: np.ndarray, nx: int, ny: int,
+                     node_offsets: np.ndarray,
+                     include_center: bool = True
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """CSR mapping EVERY grid cell -> node positions of its 3x3
+    (Chebyshev ring-1) occupied neighbours — the phase-1 candidate set
+    of the two-phase kNN.  Fully vectorized: each occupied cell
+    (ox[i], oy[i]) scatters its node range into its 9 neighbours;
+    ranges are concatenated target-sorted with the multi-range trick.
+    """
+    ncell = nx * ny
+    t_all: list[np.ndarray] = []
+    s_all: list[np.ndarray] = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if not include_center and dx == 0 and dy == 0:
+                continue
+            tx = ox + dx
+            ty = oy + dy
+            ok = (tx >= 0) & (tx < nx) & (ty >= 0) & (ty < ny)
+            t_all.append(tx[ok] * ny + ty[ok])
+            s_all.append(np.flatnonzero(ok))
+    t = np.concatenate(t_all)
+    s = np.concatenate(s_all)
+    order = np.argsort(t, kind="stable")
+    s = s[order]
+    t = t[order]
+    starts = node_offsets[s]
+    lens = node_offsets[s + 1] - starts
+    counts = np.zeros(ncell, dtype=np.int64)
+    np.add.at(counts, t, lens)
+    offsets = np.zeros(ncell + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return offsets, np.empty(0, dtype=np.int32)
+    nz = lens > 0
+    st = starts[nz]
+    ln = lens[nz]
+    out = np.ones(total, dtype=np.int64)
+    out[0] = st[0]
+    jumps = np.cumsum(ln)[:-1]
+    out[jumps] = st[1:] - (st[:-1] + ln[:-1] - 1)
+    np.cumsum(out, out=out)
+    return offsets, out.astype(np.int32)
+
+
 class _DenseCellSub:
     """Fine sub-grid over ONE dense cell's nodes (mega-cell skew: a
     20%-of-the-world hotspot cell would otherwise brute-force every
@@ -284,63 +486,93 @@ class _DenseCellSub:
                 break
         r_found[r_found < 0] = n
         self.R = np.ceil(np.sqrt(2.0) * (r_found + 1)).astype(np.int32) + 1
-        self._memo: dict[int, np.ndarray] = {}
+        # eager per-bucket candidate CSRs: built ONCE here (driver side,
+        # before ray.put), so every actor receives query-ready layouts.
+        # ring1 = phase-1 (3x3 buckets, small); full = phase-2 fallback
+        # for pages whose phase-1 nearest is not border-certified
+        self._csr_offsets, self._csr_indices = self._build_bucket_csr()
+        self._ring1_offsets, self._ring1_indices = _build_ring1_csr(
+            self.ukeys // n, self.ukeys % n, n, n, self.offsets
+        )
 
-    def _cands(self, kb: int) -> np.ndarray:
-        got = self._memo.get(kb)
-        if got is not None:
-            return got
+    def _build_bucket_csr(self) -> tuple[np.ndarray, np.ndarray]:
         n = self.N
-        bx, by = kb // n, kb % n
-        R = int(self.R[bx, by])
-        x0, x1 = max(bx - R, 0), min(bx + R, n - 1)
-        y0, y1 = max(by - R, 0), min(by + R, n - 1)
-        keys = (
-            np.arange(x0, x1 + 1, dtype=np.int64)[:, None] * n
-            + np.arange(y0, y1 + 1, dtype=np.int64)[None, :]
-        ).ravel()
-        pos = np.searchsorted(self.ukeys, keys)
-        ok = pos < len(self.ukeys)
-        pos = pos[ok]
-        hits = pos[self.ukeys[pos] == keys[ok]]
-        if not len(hits):
-            out = np.empty(0, dtype=np.int64)
-        else:
-            starts = self.offsets[hits]
-            lens = self.offsets[hits + 1] - starts
-            out = np.ones(int(lens.sum()), dtype=np.int64)
-            out[0] = starts[0]
-            jumps = np.cumsum(lens)[:-1]
-            out[jumps] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
-            np.cumsum(out, out=out)
-        self._memo[kb] = out
-        return out
+        offsets = np.zeros(n * n + 1, dtype=np.int64)
+        chunks: list[np.ndarray] = []
+        total = 0
+        for kb in range(n * n):
+            bx, by = kb // n, kb % n
+            R = int(self.R[bx, by])
+            x0, x1 = max(bx - R, 0), min(bx + R, n - 1)
+            y0, y1 = max(by - R, 0), min(by + R, n - 1)
+            keys = (
+                np.arange(x0, x1 + 1, dtype=np.int64)[:, None] * n
+                + np.arange(y0, y1 + 1, dtype=np.int64)[None, :]
+            ).ravel()
+            pos = np.searchsorted(self.ukeys, keys)
+            ok = pos < len(self.ukeys)
+            pos = pos[ok]
+            hits = pos[self.ukeys[pos] == keys[ok]]
+            if len(hits):
+                starts = self.offsets[hits]
+                lens = self.offsets[hits + 1] - starts
+                out = np.ones(int(lens.sum()), dtype=np.int64)
+                out[0] = starts[0]
+                jumps = np.cumsum(lens)[:-1]
+                out[jumps] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+                np.cumsum(out, out=out)
+                chunks.append(out.astype(np.int32))
+                total += len(out)
+            offsets[kb + 1] = total
+        indices = (
+            np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int32)
+        )
+        return offsets, indices
 
     def knn(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Exact nearest WITHIN this cell's nodes (per-bucket loop:
-        candidates are SHARED by all pages of a bucket, so slicing the
-        contiguous candidate arrays once per bucket beats per-page
-        padded gathers)."""
+        """Exact nearest WITHIN this cell's nodes — two-phase vectorized
+        search (shared padded-CSR kernel with the outer grid):
+
+        phase 1 scans only the 3x3 bucket ring; a page is DONE when its
+        best squared distance beats the squared distance to the nearest
+        unsearched side of that ring (strict <, so an outside tie with a
+        smaller id can never be missed).  Only uncertified pages rescan
+        with the conservative full-radius candidate set — the ~8x
+        candidate reduction this buys was the hot half of the fused join.
+        """
         n = self.N
         bx = np.clip(((px - self.x0) / self.sub).astype(np.int64), 0, n - 1)
         by = np.clip(((py - self.y0) / self.sub).astype(np.int64), 0, n - 1)
         key = bx * n + by
-        out_id = np.full(len(px), -1, dtype=np.int64)
-        out_d = np.full(len(px), np.inf)
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        runs = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1, [len(ks)]])
-        for s, e in zip(runs[:-1], runs[1:]):
-            g = order[s:e]
-            cand = self._cands(int(ks[s]))
-            if not len(cand):
-                continue
-            bid, bd = geo.sq_dist_argmin(
-                px[g], py[g], self.lons[cand], self.lats[cand], self.ids[cand]
+        off1 = self._ring1_offsets[key]
+        cnt1 = self._ring1_offsets[key + 1] - off1
+        bid, bd = geo.padded_csr_argmin(
+            px, py, off1, cnt1, self._ring1_indices,
+            self.lons, self.lats, self.ids,
+        )
+        # certificate: nodes of this CELL outside the 3x3 ring lie
+        # beyond the nearest in-cell ring side (sides clipped at the
+        # cell edge have no in-cell nodes beyond them -> +inf)
+        lx = self.x0 + (bx - 1) * self.sub
+        hx = self.x0 + (bx + 2) * self.sub
+        ly = self.y0 + (by - 1) * self.sub
+        hy = self.y0 + (by + 2) * self.sub
+        cert = np.where(bx >= 1, px - lx, np.inf)
+        cert = np.minimum(cert, np.where(bx + 1 <= n - 1, hx - px, np.inf))
+        cert = np.minimum(cert, np.where(by >= 1, py - ly, np.inf))
+        cert = np.minimum(cert, np.where(by + 1 <= n - 1, hy - py, np.inf))
+        unsafe = (bid < 0) | (bd >= cert * cert)
+        if unsafe.any():
+            u = np.flatnonzero(unsafe)
+            off0 = self._csr_offsets[key[u]]
+            cnt = self._csr_offsets[key[u] + 1] - off0
+            fid, fd = geo.padded_csr_argmin(
+                px[u], py[u], off0, cnt, self._csr_indices,
+                self.lons, self.lats, self.ids,
             )
-            out_id[g] = bid
-            out_d[g] = bd
-        return out_id, out_d
+            bid[u] = fid
+            bd[u] = fd
+        return bid, bd
 
 
 class GridNodeIndex:
@@ -374,6 +606,23 @@ class GridNodeIndex:
         self.max_r = max(self.nx, self.ny)
         self._memo: dict[int, np.ndarray] = {}
         self._radius_grid = self._build_radius_grid()
+        # phase-1 candidate CSR (3x3 cell ring) for the two-phase kNN:
+        # vectorized build (~9 scatters of the occupied-cell ranges), so
+        # it is ALWAYS available — including lazy/delta-re-join indexes
+        # that skip precompute_all_candidates
+        self._ring1_offsets, self._ring1_indices = _build_ring1_csr(
+            (self.ucells >> np.int64(32)).astype(np.int64),
+            (self.ucells & np.int64(0xFFFFFFFF)).astype(np.int64),
+            self.nx, self.ny, self.offsets,
+        )
+        # center-excluded variant: refines dense-cell BORDER pages (the
+        # sub-grid answers the own-cell side; these add the neighbours)
+        # without rescanning the mega cell's own thousands of nodes
+        self._ring8_offsets, self._ring8_indices = _build_ring1_csr(
+            (self.ucells >> np.int64(32)).astype(np.int64),
+            (self.ucells & np.int64(0xFFFFFFFF)).astype(np.int64),
+            self.nx, self.ny, self.offsets, include_center=False,
+        )
         # adaptive sub-grids for DENSE cells (mega-cell skew handling):
         # a cell holding > dense_threshold nodes gets an NxN sub-index
         self.dense_threshold = 2000
@@ -512,57 +761,68 @@ class GridNodeIndex:
         self._memo[cell] = out
         return out
 
-    def knn_batch(self, cells: np.ndarray, px: np.ndarray, py: np.ndarray,
-                  max_cand: int = 512) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Vectorized kNN ACROSS cells via padded CSR gathers.
-
-        Handles every page whose cell is non-dense and has <= max_cand
-        precomputed candidates in ONE numpy pass (no per-cell Python
-        loop); returns (best_id, best_d, handled_mask) — unhandled
-        pages (dense cells / big candidate sets / no CSR) fall back to
-        the per-cell path.
+    def knn_batch(self, cells: np.ndarray, px: np.ndarray, py: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized kNN ACROSS cells via the shared padded-CSR kernel
+        (`geo.padded_csr_argmin`): every non-dense cell's pages —
+        including mega-cell NEIGHBOURS with 40k-candidate sets — are
+        answered in adaptive-width numpy chunks, no per-cell Python
+        loop.  Returns (best_id, best_d, handled_mask); only DENSE
+        cells (which have their own vectorized sub-grid) and empty
+        candidate sets fall through to the per-cell path.
         """
         n = len(px)
         out_id = np.full(n, -1, dtype=np.int64)
         out_d = np.full(n, np.nan)
         handled = np.zeros(n, dtype=bool)
-        if self._csr_offsets is None or len(self.ids) == 0:
+        if len(self.ids) == 0:
             return out_id, out_d, handled
+        valid = cells >= 0
         ix = (cells >> np.int64(32))
         iy = cells & np.int64(0xFFFFFFFF)
-        k = ix * self.ny + iy
-        off0 = self._csr_offsets[k]
-        cnt = self._csr_offsets[k + 1] - off0
+        k = np.where(valid, ix * self.ny + iy, 0)  # no-geo rows: safe index
         if self._dense:
             dense_cells = np.fromiter(self._dense.keys(), dtype=np.int64)
             in_dense = np.isin(cells, dense_cells)
         else:
             in_dense = np.zeros(n, dtype=bool)
-        ok = (~in_dense) & (cnt > 0) & (cnt <= max_cand)
-        idxs = np.flatnonzero(ok)
-        # order by candidate count so padded chunks have uniform width
-        idxs = idxs[np.argsort(cnt[idxs], kind="stable")]
-        MAXI = np.iinfo(np.int64).max
-        for s_ in range(0, len(idxs), 2048):
-            g = idxs[s_ : s_ + 2048]
-            c_cnt = cnt[g]
-            mc = int(c_cnt.max())
-            cols = np.arange(mc, dtype=np.int64)
-            valid = cols[None, :] < c_cnt[:, None]
-            gat = off0[g][:, None] + np.where(valid, cols[None, :], 0)
-            cand = self._csr_indices[gat]
-            dx = px[g][:, None] - self.lons[cand]
-            dy = py[g][:, None] - self.lats[cand]
-            dx *= dx
-            dy *= dy
-            dx += dy
-            dx[~valid] = np.inf
-            dmin = dx.min(axis=1)
-            qid = np.where(valid, self.ids[cand], MAXI)
-            idmin = np.where(dx == dmin[:, None], qid, MAXI).min(axis=1)
-            out_id[g] = idmin
-            out_d[g] = dmin
-            handled[g] = True
+        ok = ~in_dense & valid
+        # phase 1: 3x3 ring + border certificate (strict <, so an
+        # outside tie with a smaller id can never be missed)
+        off1 = self._ring1_offsets[k]
+        cnt1 = self._ring1_offsets[k + 1] - off1
+        bid1, bd1 = geo.padded_csr_argmin(
+            px, py, off1, np.where(ok, cnt1, 0), self._ring1_indices,
+            self.lons, self.lats, self.ids,
+        )
+        res = self.cell_res
+        lx = (ix - 1) * res - 180.0
+        hx = (ix + 2) * res - 180.0
+        ly = (iy - 1) * res - 90.0
+        hy = (iy + 2) * res - 90.0
+        cert = np.where(ix >= 1, px - lx, np.inf)
+        cert = np.minimum(cert, np.where(ix + 1 <= self.nx - 1, hx - px, np.inf))
+        cert = np.minimum(cert, np.where(iy >= 1, py - ly, np.inf))
+        cert = np.minimum(cert, np.where(iy + 1 <= self.ny - 1, hy - py, np.inf))
+        safe = ok & (bid1 >= 0) & (bd1 < cert * cert)
+        out_id[safe] = bid1[safe]
+        out_d[safe] = bd1[safe]
+        handled[safe] = True
+        # phase 2: conservative full-radius CSR for uncertified pages
+        # (needs the precomputed CSR; without it they stay unhandled and
+        # the per-cell memo path answers them)
+        if self._csr_offsets is not None:
+            rem = ok & ~safe
+            off0 = self._csr_offsets[k]
+            cnt = self._csr_offsets[k + 1] - off0
+            ok2 = rem & (cnt > 0)
+            bid2, bd2 = geo.padded_csr_argmin(
+                px, py, off0, np.where(ok2, cnt, 0), self._csr_indices,
+                self.lons, self.lats, self.ids,
+            )
+            out_id[ok2] = bid2[ok2]
+            out_d[ok2] = bd2[ok2]
+            handled[ok2] = True
         return out_id, out_d, handled
 
     def knn1(self, cell: int, px: np.ndarray, py: np.ndarray
@@ -589,13 +849,53 @@ class GridNodeIndex:
             )
             unsafe = (bid == -1) | (bd > db * db)
             if unsafe.any():
-                cand = self.candidates(cell)
+                # border pages: the sub-grid answer is exact for the
+                # OWN cell; merge in the 8 neighbour cells' nodes
+                # (ring8 slice — shared by all pages of this cell),
+                # then certify against the 3x3 CELL square border;
+                # only pages whose nearest could lie beyond 3x3 cells
+                # (vanishing in a dense region) rescan the full set
                 u = np.flatnonzero(unsafe)
-                fid, fd = geo.sq_dist_argmin(
-                    px[u], py[u], self.lons[cand], self.lats[cand], self.ids[cand]
-                )
-                bid[u] = fid
-                bd[u] = fd
+                k = int(ix) * self.ny + int(iy)
+                c8 = self._ring8_indices[
+                    self._ring8_offsets[k] : self._ring8_offsets[k + 1]
+                ]
+                fid = np.full(len(u), -1, dtype=np.int64)
+                fd = np.full(len(u), np.inf)
+                if len(c8):
+                    fid, fd = geo.sq_dist_argmin(
+                        px[u], py[u],
+                        self.lons[c8], self.lats[c8], self.ids[c8],
+                    )
+                bu = bd[u]
+                iu = bid[u]
+                iu_key = np.where(iu < 0, np.iinfo(np.int64).max, iu)
+                bu_ = np.where(iu < 0, np.inf, bu)
+                take = (fd < bu_) | ((fd == bu_) & (fid < iu_key))
+                mid = np.where(take, fid, iu)
+                mdd = np.where(take, fd, bu_)
+                lx3 = (ix - 1) * res - 180.0
+                hx3 = (ix + 2) * res - 180.0
+                ly3 = (iy - 1) * res - 90.0
+                hy3 = (iy + 2) * res - 90.0
+                cert = np.where(ix >= 1, px[u] - lx3, np.inf)
+                cert = np.minimum(
+                    cert, np.where(ix + 1 <= self.nx - 1, hx3 - px[u], np.inf))
+                cert = np.minimum(cert, np.where(iy >= 1, py[u] - ly3, np.inf))
+                cert = np.minimum(
+                    cert, np.where(iy + 1 <= self.ny - 1, hy3 - py[u], np.inf))
+                still = (mid < 0) | (mdd >= cert * cert)
+                if still.any():
+                    cand = self.candidates(cell)
+                    w = np.flatnonzero(still)
+                    gid, gd = geo.sq_dist_argmin(
+                        px[u[w]], py[u[w]],
+                        self.lons[cand], self.lats[cand], self.ids[cand],
+                    )
+                    mid[w] = gid
+                    mdd[w] = gd
+                bid[u] = mid
+                bd[u] = mdd
             return bid, bd
         cand = self.candidates(cell)
         if not len(cand):
@@ -642,41 +942,32 @@ class SpatialJoiner:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         tile = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(cell)
-        pid = np.full(n, -1, dtype=np.int64)
         kid = np.full(n, -1, dtype=np.int64)
         kd = np.full(n, np.nan)
-        # 1) kNN for the common case: ONE vectorized pass across cells
-        #    (padded CSR gathers); dense/oversized cells fall through
+        # 1) kNN for the common case: ONE vectorized two-phase pass
+        #    across cells (padded CSR gathers); dense cells fall through
         bid, bd, handled = self.nindex.knn_batch(cell, lon, lat)
         kid[handled] = bid[handled]
         kd[handled] = bd[handled]
-        # 2) per-cell loop ONLY where needed: unhandled kNN, or cells
-        #    that actually have polygon candidates (most cells have none)
-        pc_cells = self.pindex.cells_with_candidates
-        pos = np.searchsorted(pc_cells, cell)
-        pos = np.clip(pos, 0, max(0, len(pc_cells) - 1))
-        has_poly = (
-            (pc_cells[pos] == cell) if len(pc_cells) else np.zeros(n, dtype=bool)
-        )
-        if self.pindex.global_pids:
-            has_poly |= True
-        need = (cell >= 0) & (~handled | has_poly)
-        idxs = np.flatnonzero(need)
+        # 2) polygon assignment: ONE vectorized batch call (bbox pretest
+        #    over all page x candidate pairs, ring tests on survivors)
+        pid = self.pindex.assign_batch(cell, lon, lat)
+        # 3) per-cell loop ONLY for kNN pages knn_batch left unhandled
+        #    (dense sub-grid cells / indexes without a precomputed CSR)
+        idxs = np.flatnonzero((cell >= 0) & ~handled)
         order = idxs[np.argsort(cell[idxs], kind="stable")]
         cs = cell[order]
         run_starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]]
-        )
+        ) if len(cs) else np.array([0, 0])
         for s, e in zip(run_starts[:-1], run_starts[1:]):
+            if s == e:
+                continue
             c = int(cs[s])
             g = order[s:e]
-            if has_poly[g[0]]:
-                pid[g] = self.pindex.assign(c, lon[g], lat[g])
-            todo = g[~handled[g]]
-            if len(todo):
-                bid2, bd2 = self.nindex.knn1(c, lon[todo], lat[todo])
-                kid[todo] = bid2
-                kd[todo] = bd2
+            bid2, bd2 = self.nindex.knn1(c, lon[g], lat[g])
+            kid[g] = bid2
+            kd[g] = bd2
         arrays = [
             urls.combine_chunks(),
             pa.array(cell),

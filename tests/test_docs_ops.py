@@ -261,3 +261,75 @@ class TestAudioFeaturizer:
         a = [np.array(f) for f in out.sort_values("media_id")["mfcc_stub"]]
         b = [np.array(f) for f in out2.sort_values("media_id")["mfcc_stub"]]
         assert all((x == y).all() for x, y in zip(a, b))
+
+
+class TestNgramJaccardJoin:
+    def test_equals_brute_force(self, ray_session):
+        """The prefix-filtered similarity join (AllPairs/PPJoin) finds
+        EXACTLY the brute-force pair set — completeness of the
+        (df, hash, sh) prefix order plus the length and positional
+        filters, and jaccard values match the set formula."""
+        import itertools
+
+        import ray.data as rd
+
+        from osm_live_updates_ray.functions import hashing
+
+        rng = np.random.RandomState(7)
+        vocab = [f"w{i:03d}" for i in range(60)]
+        texts = []
+        for _ in range(40):
+            texts.append(" ".join(rng.choice(vocab, size=25)))
+        for i in range(12):  # planted near-dups: one word swapped
+            base = texts[i].split()
+            base[rng.randint(len(base))] = rng.choice(vocab)
+            texts.append(" ".join(base))
+        t = pa.Table.from_pydict({"doc_id": list(range(len(texts))), "text": texts})
+
+        got = (
+            dedup_docs.ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.7, k=5)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+        sets = {d: set(hashing.shingles(s, 5)) for d, s in zip(range(len(texts)), texts)}
+        want = []
+        for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+            u = len(sa | sb)
+            j = len(sa & sb) / u if u else 1.0
+            if j >= 0.7:
+                want.append((a, b, j))
+        assert len(want) >= 12  # the planted dups are found by brute force
+        assert list(got["id_a"]) == [w[0] for w in want]
+        assert list(got["id_b"]) == [w[1] for w in want]
+        assert np.allclose(got["jaccard"], [w[2] for w in want], rtol=0, atol=0)
+
+    def test_hot_shingles_leave_prefixes(self):
+        """Frequency-ordered prefixes push ubiquitous shingles OUT of the
+        index: a shingle every doc shares must not become a mega-bucket."""
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": list(range(30)),
+                "text": [
+                    # long shared head + a unique tail WIDER than the
+                    # prefix length, so a frequency-ordered prefix can
+                    # consist entirely of rare shingles
+                    f"common prefix shared by all docs variant "
+                    f"tok{i:02d} mark{i:02d} tail{i:02d}"
+                    for i in range(30)
+                ],
+            }
+        )
+        hot = {}
+        from osm_live_updates_ray.functions import hashing
+
+        for s in t.column("text").to_pylist():
+            for sh in set(hashing.shingles(s, 5)):
+                hot[sh] = hot.get(sh, 0) + 1
+        rows = dedup_docs._shingle_prefix_rows(
+            t, hot, "doc_id", "text", threshold=0.8, k=5
+        ).to_pandas()
+        df_of = rows["sh"].map(hot)
+        # every doc's prefix consists of its RAREST shingles
+        assert df_of.max() < 30
