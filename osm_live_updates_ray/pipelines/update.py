@@ -348,9 +348,23 @@ def apply_changes(
     # config — which derived columns exist was decided at bootstrap
     cfg = store.discovered_config(cfg)
     if enforce_watermark and store.watermark:
-        # resume semantics: drop rows at or below the committed seq
-        # (reference decideStartSequenceNumber, OsmUpdater.cpp:169-236)
-        keep = pc.greater(changes.column("seq"), store.watermark["seq"])
+        # resume semantics (reference decideStartSequenceNumber,
+        # OsmUpdater.cpp:169-236): the stored sequence number is only
+        # comparable when this window comes from the SAME replication
+        # source; otherwise fall back to the timestamp — exactly the
+        # tree in pipelines/watermark.py, applied per-row because a raw
+        # window has no states list to map ts -> seq against.
+        wm = store.watermark
+        if source is not None and source == wm.get("source"):
+            keep = pc.greater(changes.column("seq"), wm["seq"])
+        else:
+            from datetime import datetime
+
+            wm_ts = datetime.strptime(wm["ts"], "%Y-%m-%dT%H:%M:%S")
+            keep = pc.greater(
+                changes.column("ts"),
+                pa.scalar(wm_ts, type=changes.schema.field("ts").type),
+            )
         changes = changes.filter(keep)
 
     import time as _time

@@ -1540,13 +1540,18 @@ _SQL_KNN_WAY = (
 )
 
 
-@register("knn_way", _SQL_KNN_WAY)
-def knn_way(sf_dir: str):
-    """kNN to nearest WAY (segment distance, exact grid ring search) —
-    north_rule: 'kNN to nearest way/node'."""
+_SEGMENT_INDEX_CACHE: dict[str, Any] = {}
+
+
+def _segment_index(sf_dir: str):
+    """GridSegmentIndex over the adapter way-segment layer, cached per
+    sf tier (the build is the dominant cost of knn_way; the battery and
+    repeated driver calls reuse it)."""
+    key = os.path.abspath(sf_dir)
+    if key in _SEGMENT_INDEX_CACHE:
+        return _SEGMENT_INDEX_CACHE[key]
     from .stages import spatial
 
-    # build the segment layer from adapter way edges + node coords
     edges = td.way_edges(sf_dir)
     nodes = td.nodes_table(sf_dir)
     e = edges.to_pandas().merge(
@@ -1559,6 +1564,15 @@ def knn_way(sf_dir: str):
     sidx = spatial.GridSegmentIndex(
         segs["way_id"], segs["pos"], segs["x1"], segs["y1"], segs["x2"], segs["y2"]
     )
+    _SEGMENT_INDEX_CACHE[key] = sidx
+    return sidx
+
+
+@register("knn_way", _SQL_KNN_WAY)
+def knn_way(sf_dir: str):
+    """kNN to nearest WAY (segment distance, exact grid ring search) —
+    north_rule: 'kNN to nearest way/node'."""
+    sidx = _segment_index(sf_dir)
 
     def nw(t: pa.Table) -> pa.Table:
         cells = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)

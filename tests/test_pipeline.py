@@ -116,6 +116,24 @@ class TestIncrementalSemantics:
         s = update.apply_changes(A, t1_world["changes"], enforce_watermark=True)
         assert s["empty"]
 
+    def test_watermark_cross_source_replay(self, replayed, t1_world):
+        """A seq-less window from another source (reference .osc
+        fixture, real-world 2024 timestamp) advances the watermark ts
+        but resets the stored seq to 0.  Replaying the ORIGINAL window
+        with enforcement must still be a no-op: without a matching
+        replication source the seq is not comparable and the filter
+        falls back to the timestamp (decideStartSequenceNumber tree)."""
+        from osm_live_updates_ray import cli
+
+        A, _, _ = replayed
+        osc = cli._load_changes(
+            ["/root/reference/tests/data/insert_node.osc"], max_seq=None
+        )
+        update.apply_changes(A, osc)
+        assert A.watermark["seq"] == 0  # regressed by the foreign window
+        s = update.apply_changes(A, t1_world["changes"], enforce_watermark=True)
+        assert s["empty"]
+
     def test_idempotent_replay_without_enforcement(
         self, ray_session, t1_world, tmp_path_factory
     ):
