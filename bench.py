@@ -269,6 +269,7 @@ def run_once() -> dict:
         "delta_changes_per_sec": round(delta["changes_per_sec"], 1),
         "delta_small_sec": round(small["sec"], 3),
         "delta_small_invalidation_sec": small["timers"].get("invalidation_scan"),
+        "delta_small_timers": small["timers"],
         "queries": qtimes,
         "sf": sf_dir,
         "num_cpus": num_cpus,

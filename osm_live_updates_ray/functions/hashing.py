@@ -81,6 +81,114 @@ def lsh_band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return out
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def shingle_hashes_batch(
+    texts: list[str], k: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized char-k-shingle hashing for a whole BATCH of texts.
+
+    Returns ``(hashes, offsets)``: uint64 polynomial hashes of every
+    k-shingle of every normalized text (lowercased, whitespace
+    collapsed — same normalization as :func:`shingles`), concatenated
+    in document order, plus CSR offsets (len = n_docs + 1).  A text
+    with <= k characters contributes ONE whole-text shingle, matching
+    :func:`shingles`.  No per-shingle Python objects are created: texts
+    become uint32 code-point arrays, the k-gram hash is k shifted
+    multiply-adds over the concatenated buffer, and a splitmix64
+    finalizer scrambles the polynomial into a uniform 64-bit value.
+    """
+    n = len(texts)
+    norm = [" ".join(t.lower().split()) for t in texts]
+    lens = np.fromiter((len(t) for t in norm), dtype=np.int64, count=n)
+    counts = np.maximum(lens - k + 1, 1)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    buf = np.frombuffer("".join(norm).encode("utf-32-le"), dtype=np.uint32)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint64)
+    # long docs (len > k): hash EVERY buffer window with k shifted-slice
+    # multiply-adds (contiguous, no gathers), then keep only windows
+    # that start inside a doc and don't cross its end
+    long_mask = lens > k
+    if long_mask.any() and len(buf) >= k:
+        nwin = len(buf) - k + 1
+        acc = np.zeros(nwin, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc = acc * _SHINGLE_BASE + buf[j : j + nwin].astype(np.uint64)
+        # validity mask: drop the k-1 window starts before each doc end
+        # and every window of short docs
+        valid = np.zeros(nwin, dtype=bool)
+        li = np.flatnonzero(long_mask)
+        span = np.repeat(starts[li], 2)
+        span[1::2] = starts[li + 1] - k + 1
+        delta = np.zeros(nwin + 1, dtype=np.int32)
+        np.add.at(delta, span[0::2], 1)
+        np.add.at(delta, span[1::2], -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        vals = hash_int64(acc[valid]).view(np.uint64)
+        dest = np.zeros(int(offsets[-1]) + 1, dtype=np.int32)
+        dest[offsets[li]] += 1
+        dest[offsets[li + 1]] -= 1
+        out[np.cumsum(dest[:-1]) > 0] = vals
+    # short docs: one whole-text shingle each
+    for i in np.flatnonzero(~long_mask).tolist():
+        seg = buf[starts[i] : starts[i + 1]].astype(np.uint64)
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for c in seg:
+                acc = acc * _SHINGLE_BASE + c
+        out[offsets[i]] = hash_int64(np.array([acc], dtype=np.uint64))[0]
+    return out, offsets
+
+
+def minhash_signatures_batch(
+    shingle_hashes: np.ndarray, offsets: np.ndarray, num_perm: int = 64,
+    seed: int = 1,
+) -> np.ndarray:
+    """MinHash signatures for a CSR batch of shingle hashes:
+    (n_docs, num_perm) uint64.  One vectorized pass per permutation
+    over the WHOLE batch (``np.minimum.reduceat`` per doc) — no per-doc
+    loop, same h_i(x) = (a_i*x + b_i) mod (2^61-1) as
+    :func:`minhash_signature`."""
+    a, b = _minhash_params(num_perm, seed)
+    x = shingle_hashes.view(np.uint64) % np.uint64(MERSENNE61)
+    n = len(offsets) - 1
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    sig = np.empty((n, num_perm), dtype=np.uint64)
+    # every doc has >= 1 shingle by construction (whole-text shingle for
+    # short docs), so offsets are strictly increasing — reduceat-safe
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            prod = (a[p] * x + b[p]) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            red = (prod >> np.uint64(61)) + (prod & np.uint64(MERSENNE61))
+            red = np.where(red >= MERSENNE61, red - MERSENNE61, red)
+            sig[:, p] = np.minimum.reduceat(red, starts)
+    return sig
+
+
+def lsh_band_keys_batch(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Band bucket keys for a SIGNATURE MATRIX (n_docs, num_perm) ->
+    (n_docs, bands) int64 — FNV-1a folded over each band's rows,
+    vectorized across documents (identical values to
+    :func:`lsh_band_keys` row by row)."""
+    n, num_perm = sig.shape
+    assert bands * rows == num_perm
+    out = np.empty((n, bands), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            h = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+            for r in range(rows):
+                h = (h ^ sig[:, b * rows + r]) * np.uint64(1099511628211)
+            out[:, b] = h.view(np.int64)
+    return out
+
+
 def simhash64(token_hashes: np.ndarray) -> np.int64:
     """64-bit SimHash of pre-hashed tokens (unweighted)."""
     if len(token_hashes) == 0:

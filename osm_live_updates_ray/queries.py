@@ -1305,6 +1305,25 @@ def ann_topk_lsh(sf_dir: str):
     )
 
 
+@register("ann_topk_ivf")  # rows-only (approximate; recall tested in pytest)
+def ann_topk_ivf(sf_dir: str):
+    """IVF-partitioned ANN (coarse k-means quantizer, nprobe nearest
+    inverted lists scanned per query) — the partition-pruning scale
+    path next to the LSH variant."""
+    from .stages.similarity import _stack, ivf_topk
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
+    return ivf_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        q.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(q, "embedding"),
+        k=10, nlist=16, nprobe=4,
+        train_vecs=_stack(emb, "embedding"),
+    )
+
+
 @register(
     "events_hourly",
     """

@@ -60,23 +60,24 @@ def minhash_batch(
     bands: int = 16,
     shingle_k: int = 5,
 ) -> pa.Table:
-    """Per-doc MinHash signatures exploded to LSH band rows."""
+    """Batch MinHash signatures exploded to LSH band rows — fully
+    vectorized: one rolling-hash pass shingles EVERY doc in the batch
+    (no per-shingle Python strings), one ``reduceat`` pass per
+    permutation signs them, and band keys fold across the whole
+    signature matrix (`functions/hashing.py` batch kernels)."""
     rows_per_band = num_perm // bands
-    ids, band_idx, band_hash = [], [], []
-    for did, text in zip(
-        batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-    ):
-        sh = hashing.hash_strings(hashing.shingles(text, shingle_k)).view(np.uint64)
-        sig = hashing.minhash_signature(sh, num_perm)
-        keys = hashing.lsh_band_keys(sig, bands, rows_per_band)
-        ids.extend([did] * bands)
-        band_idx.extend(range(bands))
-        band_hash.extend(keys.tolist())
+    n = batch.num_rows
+    sh, offsets = hashing.shingle_hashes_batch(
+        batch.column(text_col).to_pylist(), shingle_k
+    )
+    sig = hashing.minhash_signatures_batch(sh, offsets, num_perm)
+    keys = hashing.lsh_band_keys_batch(sig, bands, rows_per_band)  # (n, bands)
+    doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.Table.from_pydict(
         {
-            id_col: pa.array(ids, type=pa.int64()),
-            "band": pa.array(band_idx, type=pa.int32()),
-            "band_hash": pa.array(band_hash, type=pa.int64()),
+            id_col: pa.array(np.repeat(doc_ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(keys.reshape(-1)),
         }
     )
 
@@ -347,19 +348,38 @@ def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.Dat
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    sigs = []
-    for text in batch.column(text_col).to_pylist():
-        toks = text.lower().split()
-        sigs.append(
-            int(hashing.simhash64(hashing.hash_strings(toks))) if toks else 0
+    """Batch SimHash: ONE ``hash_strings`` call over every token of
+    every doc, bit votes folded per doc with ``add.reduceat`` — no
+    per-doc hashing loop (same bit definition as
+    ``hashing.simhash64``)."""
+    tok_lists = [t.lower().split() for t in batch.column(text_col).to_pylist()]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    n = len(counts)
+    sigs = np.zeros(n, dtype=np.uint64)
+    flat = [tok for toks in tok_lists for tok in toks]
+    if flat:
+        h = hashing.hash_strings(flat).view(np.uint64)
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int32)
+        # reduceat over NON-EMPTY docs only (strictly increasing starts;
+        # empty docs keep signature 0)
+        ne = np.flatnonzero(counts > 0)
+        ne_counts = counts[ne]
+        starts = np.zeros(len(ne), dtype=np.int64)
+        np.cumsum(ne_counts[:-1], out=starts[1:])
+        votes = np.add.reduceat(bits, starts, axis=0)
+        word = (votes * 2 > ne_counts[:, None]).astype(np.uint64)
+        sigs[ne] = (word << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
         )
-    out = pa.Table.from_pydict(
+    return pa.Table.from_pydict(
         {
             id_col: batch.column(id_col),
-            "simhash": pa.array(sigs, type=pa.int64()),
+            "simhash": pa.array(sigs.view(np.int64), type=pa.int64()),
         }
     )
-    return out
 
 
 def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",

@@ -148,6 +148,147 @@ def lsh_bucketed_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
     return top[["query_id", "neighbor_id", "rank", "score"]]
 
 
+def train_ivf_centroids(train_vecs: np.ndarray, nlist: int = 32,
+                        iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic coarse quantizer: k-means++ seeding + Lloyd
+    iterations on a TRAINING SAMPLE (driver-side — the sample is small
+    by construction; the corpus itself never leaves the cluster).
+    Returns (nlist, d) float64 centroids."""
+    X = np.asarray(train_vecs, dtype=np.float64)
+    n = len(X)
+    nlist = min(nlist, n)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    cents = [X[int(rng.randint(n))]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, nlist):
+        diff = X - cents[-1]
+        d2 = np.minimum(d2, np.einsum("ij,ij->i", diff, diff))
+        tot = d2.sum()
+        if tot <= 0:
+            cents.append(X[int(rng.randint(n))])
+            continue
+        r = rng.random_sample() * tot
+        cents.append(X[int(np.searchsorted(np.cumsum(d2), r))])
+    C = np.stack(cents)
+    for _ in range(iters):
+        # assign: argmin ||x-c||² = argmax (x·c - ½||c||²)
+        half = 0.5 * np.einsum("ij,ij->i", C, C)
+        a = np.argmax(X @ C.T - half[None, :], axis=1)
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+class IvfScorer:
+    """Actor stage for IVF-partitioned ANN: assigns each batch vector to
+    its nearest coarse centroid (one matmul), keeps only vectors whose
+    list is probed by SOME query, and scores them against exactly the
+    queries probing that list.  At scale the corpus would be written
+    partitioned by ``list_id`` so probes prune at the READ; this stage
+    is the streaming form of the same math."""
+
+    def __init__(self, ref, k: int):
+        import ray
+
+        q = ray.get(ref) if hasattr(ref, "hex") else ref
+        self.qids = q["ids"]          # (nq,)
+        self.Q = q["vecs"]            # (nq, d)
+        self.C = q["centroids"]       # (nlist, d)
+        self.probe = q["probe"]       # (nq, nprobe) list ids per query
+        self.chalf = 0.5 * np.einsum("ij,ij->i", self.C, self.C)
+        self.wanted = np.unique(self.probe)
+        # reverse map: list id -> query indices probing it
+        self.by_list: dict[int, np.ndarray] = {
+            int(l): np.unique(np.nonzero(self.probe == l)[0])
+            for l in self.wanted
+        }
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _stack(batch, "embedding")
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = np.argmax(X @ self.C.T - self.chalf[None, :], axis=1)
+        keep = np.isin(assign, self.wanted)
+        X, ids, assign = X[keep], ids[keep], assign[keep]
+        rows_q: list[np.ndarray] = []
+        rows_n: list[np.ndarray] = []
+        rows_s: list[np.ndarray] = []
+        order = np.argsort(assign, kind="stable")
+        runs = np.concatenate(
+            [[0], np.flatnonzero(np.diff(assign[order])) + 1, [len(order)]]
+        ) if len(order) else np.array([0, 0])
+        for s, e in zip(runs[:-1], runs[1:]):
+            if s == e:
+                continue
+            g = order[s:e]
+            lst = int(assign[g[0]])
+            qidx = self.by_list[lst]
+            S = self.Q[qidx] @ X[g].T  # (nq_probing, n_in_list)
+            kk = min(self.k, S.shape[1])
+            part = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            for row, qi in enumerate(qidx):
+                sel = part[row]
+                rows_q.append(np.full(len(sel), self.qids[qi], dtype=np.int64))
+                rows_n.append(ids[g][sel])
+                rows_s.append(S[row, sel])
+        if not rows_q:
+            return pa.Table.from_pydict(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        return pa.Table.from_pydict(
+            {"query_id": pa.array(np.concatenate(rows_q)),
+             "neighbor_id": pa.array(np.concatenate(rows_n)),
+             "score": pa.array(np.concatenate(rows_s))}
+        )
+
+
+def ivf_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
+             k: int = 10, nlist: int = 32, nprobe: int = 4,
+             train_vecs: np.ndarray | None = None,
+             train_sample: int = 16384, seed: int = 7) -> pd.DataFrame:
+    """IVF-partitioned approximate top-k (the ANN scale path next to
+    LSH): a coarse quantizer (k-means over a driver-side sample) splits
+    the corpus into ``nlist`` inverted lists; each query scans only its
+    ``nprobe`` nearest lists.  Candidate fraction ~ nprobe/nlist of the
+    corpus with recall governed by quantizer quality — at 100 TB the
+    lists are the Parquet partitioning key and probing prunes whole
+    files at the read."""
+    import ray
+
+    if train_vecs is None:
+        sample = ds.limit(train_sample).take_all()
+        train_vecs = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
+        )
+    C = train_ivf_centroids(train_vecs, nlist=nlist, seed=seed)
+    Q = query_vecs.astype(np.float64)
+    chalf = 0.5 * np.einsum("ij,ij->i", C, C)
+    scores = Q @ C.T - chalf[None, :]
+    npb = min(nprobe, C.shape[0])
+    probe = np.argpartition(-scores, kth=npb - 1, axis=1)[:, :npb].astype(np.int64)
+    ref = ray.put({"ids": query_ids.astype(np.int64), "vecs": Q,
+                   "centroids": C, "probe": probe})
+    parts = ds.map_batches(
+        IvfScorer, fn_constructor_args=(ref, k), batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [],
+                             "score": []})
+    parts = parts.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank", "score"]]
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (the dedup-by-embedding op of the brief)
 # ---------------------------------------------------------------------------

@@ -110,6 +110,34 @@ class TestSimilarity:
         for qi in (0, 1):
             assert qi in out[out["query_id"] == qi]["neighbor_id"].tolist()
 
+    def test_ivf_recall_vs_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        t = self.vecs(n=200, d=16)
+        from osm_live_updates_ray.stages.similarity import _stack
+
+        Q = _stack(t.slice(0, 3), "embedding")
+        qids = np.array([0, 1, 2])
+        exact = similarity.brute_force_topk(rd.from_arrow(t), qids, Q, k=10)
+        approx = similarity.ivf_topk(
+            rd.from_arrow(t), qids, Q, k=10, nlist=8, nprobe=3,
+            train_vecs=_stack(t, "embedding"),
+        )
+        # determinism: a rerun returns the identical frame
+        approx2 = similarity.ivf_topk(
+            rd.from_arrow(t), qids, Q, k=10, nlist=8, nprobe=3,
+            train_vecs=_stack(t, "embedding"),
+        )
+        assert approx.equals(approx2)
+        hits = total = 0
+        for qi in qids:
+            e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            assert qi in a  # the query's own list is always probed
+            hits += len(e & a)
+            total += len(e)
+        assert hits / total >= 0.5  # nprobe 3/8 of a random corpus
+
 
 class TestMultimodal:
     def test_featurize_plumbing(self, ray_session):
