@@ -46,8 +46,13 @@ class EngineConfig:
     #: reading its own partition files.
     broadcast_node_rows: int = 5_000_000
     #: dirty-row counts above this re-join as a distributed Ray
-    #: pipeline; at or below, a single driver-side joiner (no ramp).
-    rejoin_driver_rows: int = 50_000
+    #: pipeline; at or below, a THREADED driver-side joiner (no Ray
+    #: ramp — measured breakeven vs the ~2s pipeline ramp is ~600k
+    #: rows with 8 threads on this kernel).
+    rejoin_driver_rows: int = 500_000
+    #: thread-pool width for the driver-side re-join (numpy kernel
+    #: releases the GIL; chunks are independent).
+    rejoin_driver_threads: int = 4
     #: touched-tile counts at or above this rewrite COW tiles as Ray
     #: tasks (merge + rollup per tile off-driver); below, the driver
     #: threadpool path (cheaper for a handful of tiles).

@@ -600,20 +600,43 @@ def apply_changes(
                 list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
             )
         else:
+            # driver path: a Ray pipeline costs ~2s of ramp, which
+            # LOSES to one thread below ~600k rows — so build the two
+            # indexes concurrently and fan the join out on a thread
+            # pool (the kernel is numpy, which releases the GIL; the
+            # indexes are read-only apart from the per-cell candidate
+            # memo, where racing threads compute identical entries)
+            from concurrent.futures import ThreadPoolExecutor
+
             nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
-            joiner = spatial.SpatialJoiner(
-                spatial.PolygonIndex(rings_all, cfg.cell_res_deg),
-                spatial.GridNodeIndex(
+            with ThreadPoolExecutor(2) as ex:
+                pf = ex.submit(spatial.PolygonIndex, rings_all, cfg.cell_res_deg)
+                nf = ex.submit(
+                    spatial.GridNodeIndex,
                     nodes_all.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
                     nodes_all.column("lon").to_numpy(zero_copy_only=False),
                     nodes_all.column("lat").to_numpy(zero_copy_only=False),
                     cfg.cell_res_deg,
-                ),
-                cfg,
-                keep_lonlat=True,
+                )
+                joiner = spatial.SpatialJoiner(
+                    pf.result(), nf.result(), cfg, keep_lonlat=True
+                )
+            nthreads = max(
+                1, min(cfg.rejoin_driver_threads,
+                       rejoin_input.num_rows // 16384 + 1)
             )
-            recomputed = joiner(rejoin_input)
+            if nthreads == 1:
+                recomputed = joiner(rejoin_input)
+            else:
+                step = -(-rejoin_input.num_rows // nthreads)
+                chunks = [
+                    rejoin_input.slice(i, step)
+                    for i in range(0, rejoin_input.num_rows, step)
+                ]
+                with ThreadPoolExecutor(nthreads) as ex:
+                    recomputed = pa.concat_tables(list(ex.map(joiner, chunks)))
         recomputed = recomputed.cast(dirty_rows.schema)
+        timers["rejoin"] = _time.time() - _t0
         touch_tiles = np.unique(
             np.concatenate(
                 [

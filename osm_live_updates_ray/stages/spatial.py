@@ -111,20 +111,40 @@ class PolygonIndex:
         self.cell_res = cell_res
         pids = rings.column("polygon_id").to_numpy(zero_copy_only=False)
         roles = np.asarray(rings.column("role").to_pylist(), dtype=object)
-        lons = rings.column("lons").to_pylist()
-        lats = rings.column("lats").to_pylist()
         areas = rings.column("area").to_numpy(zero_copy_only=False)
+        # flat coordinate views + per-ring bboxes, all vectorized (no
+        # per-ring Python list materialization): ring i's coords are
+        # flat[offs[i]:offs[i+1]] — zero-copy slices of the Arrow buffer
+        lons_col = rings.column("lons").combine_chunks()
+        lats_col = rings.column("lats").combine_chunks()
+        flat_x = lons_col.values.to_numpy(zero_copy_only=False)
+        flat_y = lats_col.values.to_numpy(zero_copy_only=False)
+        offs = lons_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = rings.num_rows
+        if n:
+            bx0 = np.minimum.reduceat(flat_x, offs[:-1])
+            by0 = np.minimum.reduceat(flat_y, offs[:-1])
+            bx1 = np.maximum.reduceat(flat_x, offs[:-1])
+            by1 = np.maximum.reduceat(flat_y, offs[:-1])
+            gx0, gy0 = cellfn.cell_xy(bx0, by0, cell_res)
+            gx1, gy1 = cellfn.cell_xy(bx1, by1, cell_res)
         # per-polygon structures; each ring keeps its own bbox
         self.rings_by_poly: dict[int, dict] = {}
-        for pid, role, lx, ly, ar in zip(pids, roles, lons, lats, areas):
+        ring_idx_by_poly: dict[int, list[int]] = {}
+        for i in range(n):
+            pid = int(pids[i])
             e = self.rings_by_poly.setdefault(
-                int(pid), {"outer": [], "inner": [], "area": 0.0}
+                pid, {"outer": [], "inner": [], "area": 0.0}
             )
-            x = np.asarray(lx)
-            y = np.asarray(ly)
-            bbox = (x.min(), y.min(), x.max(), y.max())
-            e[role if role in ("outer", "inner") else "outer"].append((x, y, bbox))
-            e["area"] += float(ar) if role != "inner" else -float(ar)
+            role = roles[i]
+            x = flat_x[offs[i] : offs[i + 1]]
+            y = flat_y[offs[i] : offs[i + 1]]
+            bbox = (bx0[i], by0[i], bx1[i], by1[i])
+            outer = role not in ("outer", "inner") or role == "outer"
+            e["outer" if outer else "inner"].append((x, y, bbox))
+            e["area"] += float(areas[i]) if role != "inner" else -float(areas[i])
+            if outer:
+                ring_idx_by_poly.setdefault(pid, []).append(i)
         # cell -> candidate polygon ids, registered PER OUTER RING bbox
         # (a multipolygon's union bbox can span the world; a point can
         # only be inside it within some outer ring's own bbox)
@@ -145,11 +165,16 @@ class PolygonIndex:
                 self.global_pids.append(pid)
                 continue
             seen: set[int] = set()
-            for _x, _y, b in e["outer"]:
-                for c in cellfn.cells_covering_bbox(b[0], b[1], b[2], b[3], cell_res):
-                    if int(c) not in seen:
-                        seen.add(int(c))
-                        self.by_cell.setdefault(int(c), []).append(pid)
+            for i in ring_idx_by_poly.get(pid, []):
+                # integer cover loop over the precomputed grid bounds
+                # (tiny ranges; avoids a numpy meshgrid per ring)
+                for cx in range(int(gx0[i]), int(gx1[i]) + 1):
+                    base = cx << 32
+                    for cy in range(int(gy0[i]), int(gy1[i]) + 1):
+                        c = base | cy
+                        if c not in seen:
+                            seen.add(c)
+                            self.by_cell.setdefault(c, []).append(pid)
         # dense-cell subdivision (mega-cell skew): cells with many
         # candidate polygons get an NxN sub-bucket map so each point
         # only tests polygons whose rings touch its sub-bucket

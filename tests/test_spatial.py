@@ -201,6 +201,29 @@ class TestNearestWay:
         assert w[0] == -1
 
 
+class TestThreadedDriverJoin:
+    def test_threaded_chunks_equal_single_call(self, joined):
+        """The delta re-join's driver thread-pool path (chunked slices
+        through one shared SpatialJoiner) must equal the single-call
+        result exactly, including under memo races — run it twice."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+
+        w, rings, pg, na, out = joined
+        for _ in range(2):
+            joiner = spatial.SpatialJoiner(
+                spatial.PolygonIndex(rings), spatial.GridNodeIndex(
+                    na["id"], na["lon"], na["lat"]
+                )
+            )
+            step = max(1, -(-pg.num_rows // 4))
+            chunks = [pg.slice(i, step) for i in range(0, pg.num_rows, step)]
+            with ThreadPoolExecutor(4) as ex:
+                got = pa.concat_tables(list(ex.map(joiner, chunks)))
+            assert got.equals(out)
+
+
 class TestShardedJoin:
     def test_sharded_equals_broadcast(self, ray_session, joined):
         """spatial_join_sharded (cell-range node shards, no broadcast)
