@@ -586,7 +586,10 @@ class StateStore:
         drop_set = pa.array(np.unique(np.concatenate([up_keys, delete_keys])))
         gen = self._manifest["generation"] + 1
         entry = dict(self._manifest["tables"].get(name, {}))
-        for p in touched.tolist():
+
+        def rewrite(p: int) -> tuple[int, str, int]:
+            # independent per-partition read->filter->write; parquet IO
+            # releases the GIL, so a thread pool overlaps the rewrites
             old_file = entry.get(str(p))
             if old_file:
                 old = pq.read_table(os.path.join(self.root, name, old_file))
@@ -599,10 +602,21 @@ class StateStore:
             merged = pa.concat_tables([old, add]).sort_by(key)
             fname = f"part-{p:04d}-g{gen}.parquet"
             pq.write_table(merged, os.path.join(self.root, name, fname))
+            return p, fname, merged.num_rows
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        plist = touched.tolist()
+        if len(plist) > 1:
+            with ThreadPoolExecutor(min(8, len(plist))) as ex:
+                results = list(ex.map(rewrite, plist))
+        else:
+            results = [rewrite(p) for p in plist]
+        for p, fname, nrows in results:  # deterministic lineage order
             entry[str(p)] = fname
             self._pending_lineage.append(
                 {"table": name, "partition": p, "file": fname,
-                 "rows": merged.num_rows, "op": op}
+                 "rows": nrows, "op": op}
             )
         self._manifest["tables"][name] = entry
 
@@ -637,7 +651,7 @@ class StateStore:
         owner_set = pa.array(np.unique(np.asarray(owner_ids, dtype=np.int64)))
         gen = self._manifest["generation"] + 1
         entry = dict(self._manifest["tables"].get(name, {}))
-        for p in touched.tolist():
+        def rewrite(p: int) -> tuple[int, str, int]:
             old_file = entry.get(str(p))
             if old_file:
                 old = pq.read_table(os.path.join(self.root, name, old_file))
@@ -649,10 +663,21 @@ class StateStore:
             merged = pa.concat_tables([old, add]).sort_by(key)
             fname = f"part-{p:04d}-g{gen}.parquet"
             pq.write_table(merged, os.path.join(self.root, name, fname))
+            return p, fname, merged.num_rows
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        plist = touched.tolist()
+        if len(plist) > 1:
+            with ThreadPoolExecutor(min(8, len(plist))) as ex:
+                results = list(ex.map(rewrite, plist))
+        else:
+            results = [rewrite(p) for p in plist]
+        for p, fname, nrows in results:
             entry[str(p)] = fname
             self._pending_lineage.append(
                 {"table": name, "partition": p, "file": fname,
-                 "rows": merged.num_rows, "op": "edge-delta"}
+                 "rows": nrows, "op": "edge-delta"}
             )
         self._manifest["tables"][name] = entry
 
