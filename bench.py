@@ -138,12 +138,17 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
     # phase, no static split to mis-size — measured 600k+ pages/s at 32
     # CPUs vs ~430k for the best split; also faster at 8 CPUs
     def one_run(tag: str) -> float:
+        shutil.rmtree(out_dir + tag, ignore_errors=True)
         t0 = time.time()
         pages_ = rd.read_parquet(pages_dir, columns=["url", "html"])
         # join-key-only flow: html never crosses the object store again
         joined = spatial.fused_geocode_join(pages_, cfg, layer_refs=layer_refs)
         joined.write_parquet(out_dir + tag)
-        return time.time() - t0
+        sec = time.time() - t0
+        # a tagged run leaves ~1 GB on disk; repeated bench/scaling
+        # sessions must not accumulate scratch (untimed cleanup)
+        shutil.rmtree(out_dir + tag, ignore_errors=True)
+        return sec
 
     # best of three (fresh actor pools each execution; report steady
     # state — single-run walls vary up to 2x with co-tenant host load)
@@ -221,7 +226,9 @@ def battery(sf_dir: str) -> dict:
 
     times = {}
     for name in ("tpch_q1", "tpch_q3", "assignments", "tile_rollup",
-                 "classify_changes", "dirty_ways"):
+                 "classify_changes", "dirty_ways",
+                 "doc_stats", "dedup_exact", "minhash_near_dups",
+                 "ann_topk"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

@@ -987,21 +987,41 @@ def minhash_near_dups(sf_dir: str):
     """MinHash+LSH candidate pairs, Jaccard-verified by joining the
     pairs back to the documents Dataset (no driver-side corpus text),
     with connected components (shingle->minhash->band->bucket groupby)."""
+    import pyarrow.parquet as _pq
+
     from .stages import dedup_docs
 
     rd = _rd()
     docs_ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    cand = dedup_docs.minhash_candidate_pairs(docs_ds)
+    # materialize: count() + the verify stage must not re-execute the
+    # shingle+groupby lineage a second time
+    cand = dedup_docs.minhash_candidate_pairs(docs_ds).materialize()
     if cand.count() == 0:
         return pa.table(
             {"doc_id": pa.array([], type=pa.int64()),
              "component": pa.array([], type=pa.int64())}
         )
-    verified = dedup_docs.verify_pairs_distributed(
-        cand, docs_ds, threshold=0.8
-    ).to_pandas()
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    if n_docs <= 100_000:
+        # work-based shape switch (same rule as the delta paths): the
+        # distributed verify is two hash joins + two groupbys — ~6
+        # pipeline ramps that dwarf corpus-size work below ~100k docs.
+        # The driver path holds only ≤100k texts; the distributed one
+        # stays the default above and is equality-tested in pytest.
+        docs_tbl = td.read(sf_dir, "documents", ["doc_id", "text"])
+        texts = dict(
+            zip(docs_tbl.column("doc_id").to_pylist(),
+                docs_tbl.column("text").to_pylist())
+        )
+        verified = dedup_docs.verify_pairs(
+            cand.to_pandas(), texts, threshold=0.8
+        )
+    else:
+        verified = dedup_docs.verify_pairs_distributed(
+            cand, docs_ds, threshold=0.8
+        ).to_pandas()
     comp = dedup_docs.connected_components(verified)
     return pa.Table.from_pandas(comp, preserve_index=False)
 

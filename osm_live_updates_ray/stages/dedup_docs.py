@@ -134,8 +134,18 @@ def verify_pairs(
     if not len(pairs_df):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     pairs_df = pairs_df.drop_duplicates(subset=["id_a", "id_b"])
+    # shingle each doc ONCE (a doc appears in many candidate pairs;
+    # re-shingling per pair dominated the verify cost)
+    sets: dict = {}
+
+    def sset(i):
+        s = sets.get(i)
+        if s is None:
+            s = sets[i] = set(hashing.shingles(texts[i], k))
+        return s
+
     sims = [
-        ngram_jaccard(texts[a], texts[b], k)
+        hashing.jaccard(sset(a), sset(b))
         for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])
     ]
     out = pairs_df.assign(jaccard=sims)
@@ -181,9 +191,18 @@ def verify_pairs_distributed(
     j = docs_b.join(j, join_type="inner", num_partitions=4, on=("id_b",))
 
     def score(t: pa.Table) -> pa.Table:
+        # per-batch shingle-set cache: a doc recurs across its pairs
+        sets: dict = {}
+
+        def sset(txt):
+            s = sets.get(txt)
+            if s is None:
+                s = sets[txt] = set(hashing.shingles(txt, k))
+            return s
+
         sims = np.fromiter(
             (
-                ngram_jaccard(a, b, k)
+                hashing.jaccard(sset(a), sset(b))
                 for a, b in zip(
                     t.column("text_a").to_pylist(), t.column("text_b").to_pylist()
                 )

@@ -297,6 +297,9 @@ class TestShardedDeltaRejoin:
                 DEFAULT_CONFIG, broadcast_node_rows=0, driver_scan_rows=0,
                 rejoin_driver_rows=0,
             ),
+            # broadcast-distributed re-join branch (Ray pipeline with
+            # the node layer broadcast; driver path disabled)
+            dataclasses.replace(DEFAULT_CONFIG, rejoin_driver_rows=0),
         ):
             root = str(tmp_path_factory.mktemp("shardrejoin"))
             st = static_join.build_state(
@@ -305,8 +308,9 @@ class TestShardedDeltaRejoin:
             )
             update.apply_changes(st, w["changes"], cfg=cfg)
             outs.append(st.read_tiles("assignments").sort_by("url"))
-        a, b = outs
-        assert a.equals(b.cast(a.schema))
+        a = outs[0]
+        for b in outs[1:]:
+            assert a.equals(b.cast(a.schema))
 
 
 class TestFusedGeocodeJoin:
