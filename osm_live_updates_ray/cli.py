@@ -101,6 +101,9 @@ def main(argv=None) -> int:
     b.add_argument("--nodes", required=True)
     b.add_argument("--ways", required=True)
     b.add_argument("--relations", required=True)
+    b.add_argument("--resume", action="store_true",
+                   help="re-open an existing state dir and skip phases "
+                        "already committed (crash recovery)")
 
     args = ap.parse_args(argv)
 
@@ -125,6 +128,7 @@ def main(argv=None) -> int:
                 pq.read_table(args.nodes),
                 pq.read_table(args.ways),
                 pq.read_table(args.relations),
+                resume=args.resume,
             )
             print(json.dumps({"status": "ok", "state": args.state}))
             return 0

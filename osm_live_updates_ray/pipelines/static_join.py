@@ -65,6 +65,7 @@ def build_state(
     ways: pa.Table,
     relations: pa.Table,
     cfg: EngineConfig = DEFAULT_CONFIG,
+    resume: bool = False,
 ) -> StateStore:
     """Bootstrap the full state store; returns the committed store.
 
@@ -72,58 +73,79 @@ def build_state(
     layers are broadcast-sized Arrow tables (at planet scale these
     arrive as Datasets and the layer build itself distributes — the
     layout written here is identical).
-    """
-    store = StateStore.build(
-        root, nodes=nodes, ways=ways, relations=relations, config=cfg
-    )
-    lookup = geometry.NodeCoordLookup.from_table(nodes)
 
-    store.begin()
-    n_obj = nodes.num_rows + ways.num_rows + relations.num_rows
-    if n_obj >= GEOM_DISTRIBUTE_THRESHOLD:
-        rings = geometry.build_rings_distributed(ways, relations, lookup)
-        geoms = _append_gid(
-            geometry.build_geoms_distributed(nodes, ways, relations, lookup, cfg)
-        )
+    ``resume=True`` re-opens an existing root and SKIPS every phase
+    whose tables are already committed (each phase ends in an atomic
+    manifest commit, so a crash leaves a clean prefix); only the
+    phases after the crash point are recomputed.  The caller must pass
+    the same inputs as the interrupted run — resuming never validates
+    input equality beyond the store's persisted option set.
+    """
+    import os as _os
+
+    if resume and _os.path.exists(_os.path.join(root, "manifest.json")):
+        store = StateStore(root, cfg)
+        cfg = store.discovered_config(cfg)
     else:
-        rings = geometry.polygon_rings_from_osm(ways, relations, lookup)
-        geoms = build_geoms_table(nodes, ways, relations, lookup, cfg)
-    store.apply_upserts_deletes(
-        "polygon_rings", rings, np.empty(0, dtype=np.int64), op="bootstrap"
-    )
-    store.apply_upserts_deletes(
-        "geoms", geoms, np.empty(0, dtype=np.int64), op="bootstrap"
-    )
-    store.commit()
+        store = StateStore.build(
+            root, nodes=nodes, ways=ways, relations=relations, config=cfg
+        )
+    have = store._manifest["tables"]
+    n_obj = nodes.num_rows + ways.num_rows + relations.num_rows
+    if "polygon_rings" not in have or "geoms" not in have:
+        lookup = geometry.NodeCoordLookup.from_table(nodes)
+        store.begin()
+        if n_obj >= GEOM_DISTRIBUTE_THRESHOLD:
+            rings = geometry.build_rings_distributed(ways, relations, lookup)
+            geoms = _append_gid(
+                geometry.build_geoms_distributed(nodes, ways, relations, lookup, cfg)
+            )
+        else:
+            rings = geometry.polygon_rings_from_osm(ways, relations, lookup)
+            geoms = build_geoms_table(nodes, ways, relations, lookup, cfg)
+        store.apply_upserts_deletes(
+            "polygon_rings", rings, np.empty(0, dtype=np.int64), op="bootstrap"
+        )
+        store.apply_upserts_deletes(
+            "geoms", geoms, np.empty(0, dtype=np.int64), op="bootstrap"
+        )
+        store.commit()
+    else:
+        rings = store.read_all("polygon_rings")
 
     # pages: geocode + cell encode, tile-partitioned write (streaming)
-    pages_geo = spatial.geocode(pages_ds, cfg)
-    store.init_tile_table("pages", pages_geo)
+    if "tile:pages" not in store._manifest["tables"]:
+        pages_geo = spatial.geocode(pages_ds, cfg)
+        store.init_tile_table("pages", pages_geo)
 
     # assignments: spatial join over the freshly written pages table
     # (read back => the join input is the committed state, and a retry
     # of this phase is idempotent)
-    node_tbl = pa.Table.from_pydict(
-        {
-            "id": nodes.column("id"),
-            "lon": nodes.column("lon"),
-            "lat": nodes.column("lat"),
-        }
-    )
-    pages_back = store.read_tiles_dataset(
-        "pages", columns=["url", "lon", "lat", "cell_id", "tile_id"]
-    )
-    assignments = spatial.spatial_join(
-        pages_back, rings, node_tbl, cfg, keep_lonlat=True
-    )
-    store.init_tile_table("assignments", assignments)
+    if "tile:assignments" not in store._manifest["tables"]:
+        node_tbl = pa.Table.from_pydict(
+            {
+                "id": nodes.column("id"),
+                "lon": nodes.column("lon"),
+                "lat": nodes.column("lat"),
+            }
+        )
+        pages_back = store.read_tiles_dataset(
+            "pages", columns=["url", "lon", "lat", "cell_id", "tile_id"]
+        )
+        assignments = spatial.spatial_join(
+            pages_back, rings, node_tbl, cfg, keep_lonlat=True
+        )
+        store.init_tile_table("assignments", assignments)
 
     # tile rollups (A6) over the committed assignments
     from ..stages import tiles as tilestage
 
-    store.init_tile_table(
-        "rollups", tilestage.tile_rollup(store.read_tiles_dataset("assignments"))
-    )
+    if "tile:rollups" not in store._manifest["tables"]:
+        store.init_tile_table(
+            "rollups", tilestage.tile_rollup(store.read_tiles_dataset("assignments"))
+        )
+    if "cell_summaries" in store._manifest["tables"]:
+        return store
     # per-cell kNN-bound summary: the delta path's invalidation prune
     # index (candidate cells only, never a full assignments scan).
     # Cell-count-sized — stored as a compact hash-partitioned state

@@ -107,3 +107,55 @@ def test_sigkill_mid_apply_then_resume(ray_session, t1_world, tmp_path_factory, 
     fb = _state_fingerprint(rootB)
     fa.pop("generation"), fb.pop("generation")
     assert fa == fb
+
+
+def test_bootstrap_crash_then_resume(ray_session, t1_world, tmp_path_factory,
+                                     monkeypatch):
+    """A bootstrap that dies AFTER the geometry-phase commit must be
+    resumable: ``build_state(resume=True)`` skips the committed phases
+    (the polygon_rings files are left untouched, not rebuilt) and the
+    finished store equals a clean single-shot build byte-for-byte."""
+    import glob
+
+    import ray.data as rd
+
+    from osm_live_updates_ray.pipelines import static_join
+    from osm_live_updates_ray.stages import spatial
+
+    w = t1_world
+    rootA = str(tmp_path_factory.mktemp("bootA"))
+    rootB = str(tmp_path_factory.mktemp("bootB"))
+
+    # crash injection: the first phase AFTER the rings/geoms commit is
+    # the pages geocode — make it explode once
+    real_geocode = spatial.geocode
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash after geometry commit")
+
+    monkeypatch.setattr(static_join.spatial, "geocode", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        static_join.build_state(
+            rootA, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"],
+        )
+    monkeypatch.setattr(static_join.spatial, "geocode", real_geocode)
+
+    ring_files_after_crash = sorted(glob.glob(os.path.join(rootA, "polygon_rings", "*")))
+    assert ring_files_after_crash  # geometry phase WAS committed
+
+    # resume finishes only the missing phases
+    static_join.build_state(
+        rootA, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+        w["osm_relations"], resume=True,
+    )
+    assert sorted(glob.glob(os.path.join(rootA, "polygon_rings", "*"))) == \
+        ring_files_after_crash  # phase skipped, not rebuilt
+
+    static_join.build_state(
+        rootB, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+        w["osm_relations"],
+    )
+    fa, fb = _state_fingerprint(rootA), _state_fingerprint(rootB)
+    fa.pop("generation"), fb.pop("generation")
+    assert fa == fb
