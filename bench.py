@@ -221,6 +221,69 @@ def delta_replay_small(num_cpus: int) -> dict:
     )
 
 
+def replication_catchup(num_cpus: int, n_windows: int = 10,
+                        window_changes: int = 300) -> dict:
+    """Steady-state operating mode (the reference's minute-diff loop):
+    a directory of seq-numbered change windows pulled one at a time
+    through the FULL watermark machinery — decide_start_sequence
+    (same-source resume) -> apply -> watermark advance -> up-to-date
+    exit.  Reports sustained windows/min against the 1M-page state."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_live_updates_ray.pipelines import update
+    from osm_live_updates_ray.pipelines import watermark as wmk
+    from osm_live_updates_ray.sources import synthetic
+    from osm_live_updates_ray.state.store import StateStore
+
+    t = synthetic.TIERS["bench"]
+    repl_dir = os.path.join(SCRATCH, "replication")
+    shutil.rmtree(repl_dir, ignore_errors=True)
+    os.makedirs(repl_dir)
+    for w in range(n_windows):
+        chw = synthetic.gen_changes(
+            window_changes, t["nodes"], t["ways"], t["rels"],
+            seed_offset=900_000 + w * window_changes,
+        )
+        chw = chw.set_column(
+            chw.schema.get_field_index("seq"), "seq",
+            pa.array(np.full(chw.num_rows, w + 1, dtype=np.int32)),
+        )
+        pq.write_table(chw, os.path.join(repl_dir, f"{w + 1}.parquet"))
+    # states.json (the state.txt analog): window 1 is marked older than
+    # the store so the MAX-object-ts fallback resolves to it (a fresh
+    # bootstrap predates the stream; reference semantics would otherwise
+    # throw "no matching state", OsmReplicationServerHelper.cpp:168-169)
+    states = [{"seq": 1, "ts": "2000-01-01T00:00:00"}] + [
+        {"seq": w + 1, "ts": f"2024-06-01T00:{w:02d}:00"}
+        for w in range(1, n_windows)
+    ]
+    with open(os.path.join(repl_dir, "states.json"), "w") as fh:
+        json.dump(states, fh)
+    state_cache = _ensure_bench_state()
+    work = os.path.join(SCRATCH, "state_repl")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(state_cache, work)
+    store = StateStore(work)
+    src = wmk.LocalReplicationSource(repl_dir)
+    t0 = time.time()
+    applied = 0
+    while True:
+        try:
+            start = wmk.decide_start_sequence(src.states(), store, source=src.uri)
+        except wmk.DatabaseUpToDate:
+            break
+        ch = src.window(start, start)  # one window per apply (minute loop)
+        update.apply_changes(store, ch, source=src.uri)
+        applied += 1
+    sec = time.time() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return {"sec": sec, "windows": applied,
+            "changes_per_sec": applied * window_changes / sec,
+            "windows_per_min": applied / sec * 60.0}
+
+
 def battery(sf_dir: str) -> dict:
     from osm_live_updates_ray import queries as Q
 
@@ -265,6 +328,7 @@ def run_once() -> dict:
         return result
     delta = delta_replay(num_cpus)
     small = delta_replay_small(num_cpus)
+    repl = replication_catchup(num_cpus)
     qtimes = battery(sf_dir)
     result = {
         "metric": "spatial_join_tile_assignment",
@@ -277,6 +341,9 @@ def run_once() -> dict:
         "delta_small_sec": round(small["sec"], 3),
         "delta_small_invalidation_sec": small["timers"].get("invalidation_scan"),
         "delta_small_timers": small["timers"],
+        "replication_windows_per_min": round(repl["windows_per_min"], 1),
+        "replication_sec": round(repl["sec"], 3),
+        "replication_windows": repl["windows"],
         "queries": qtimes,
         "sf": sf_dir,
         "num_cpus": num_cpus,
