@@ -1490,7 +1490,7 @@ def audio_features(sf_dir: str):
       FROM documents WHERE doc_id % 3 = 2
     )
     SELECT media_id, CAST(t AS INTEGER) AS frame_ms,
-           encode(substring(text, 1, 16)) AS frame_stub
+           substring(text, 1, 16) AS frame_stub
     FROM media,
       LATERAL (SELECT unnest(generate_series(0, duration_ms - 1, 1000)) AS t) g
     """,
@@ -1500,9 +1500,16 @@ def video_frames(sf_dir: str):
     frame) through the actor-pool stage.  Decode is a marked stub
     (payload byte prefix), but the deterministic media derivation makes
     even the stub ORACLE-checkable: the SQL mirrors the duration
-    formula, the 1000 ms sampling grid, and the 16-byte frame payload
-    (documents are ASCII, so char prefix == byte prefix)."""
+    formula, the 1000 ms sampling grid, and the 16-byte frame payload.
+    The stage emits BINARY frames (the realistic shape); the battery
+    entry casts the stub to utf-8 so both sides hash as strings — a
+    DuckDB BLOB round-trips to pandas as unhashable bytearray, and the
+    documents corpus is ASCII so char prefix == byte prefix."""
     from .stages import multimodal
+
+    def stub_to_str(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("frame_stub")
+        return t.set_column(i, "frame_stub", t.column("frame_stub").cast(pa.string()))
 
     rd = _rd()
     return (
@@ -1519,6 +1526,7 @@ def video_frames(sf_dir: str):
             concurrency=(1, 4),
             batch_size=64,
         )
+        .map_batches(stub_to_str, batch_format="pyarrow")
     )
 
 
