@@ -145,6 +145,10 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
         joined = spatial.fused_geocode_join(pages_, cfg, layer_refs=layer_refs)
         joined.write_parquet(out_dir + tag)
         sec = time.time() - t0
+        if os.environ.get("BENCH_PRINT_STATS") and tag == "_a":
+            # per-stage execution audit (read -> fused pool -> write):
+            # shows wall-time sits in the fused stage, not glue
+            sys.stderr.write(joined.stats() + "\n")
         # a tagged run leaves ~1 GB on disk; repeated bench/scaling
         # sessions must not accumulate scratch (untimed cleanup)
         shutil.rmtree(out_dir + tag, ignore_errors=True)
