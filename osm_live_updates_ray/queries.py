@@ -1379,6 +1379,54 @@ def events_hourly(sf_dir: str):
 
 
 @register(
+    "events_sliding",
+    """
+    SELECT event_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_sliding(sf_dir: str):
+    """SLIDING windowed aggregate (the streaming-window op beyond the
+    tumbling `events_hourly`): per event, count and sum of same-type
+    events within the trailing hour.  Partition by event_type
+    (groupby), then ONE sort + two vectorized ``searchsorted`` passes
+    per group — no per-row loop; prefix-sum differences give the window
+    sums (ROUND(_, 2) absorbs the summation-tree difference vs the SQL
+    RANGE window, per the engine's float-mirroring rules).  RANGE
+    semantics (ties on ts are peers, included on both ends) are matched
+    by side='left' on ts-1h and side='right' on ts."""
+    rd = _rd()
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy()
+        lo = np.searchsorted(t, t - 3_600_000_000, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "n_1h": (hi - lo).astype(np.int64),
+                "sum_1h": _round(cs[hi] - cs[lo], 2),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "event_type", "value"],
+        )
+        .groupby("event_type")
+        .map_groups(win, batch_format="pandas")
+    )
+
+
+@register(
     "user_sessions",
     """
     SELECT user_id, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions

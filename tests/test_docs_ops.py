@@ -361,3 +361,34 @@ class TestNgramJaccardJoin:
         df_of = rows["sh"].map(hot)
         # every doc's prefix consists of its RAREST shingles
         assert df_of.max() < 30
+
+
+class TestSlidingWindow:
+    def test_events_sliding_equals_bruteforce(self, ray_session):
+        """The searchsorted sliding-window kernel must equal a per-row
+        brute-force trailing-hour scan (RANGE semantics: ties on ts are
+        peers, both frame ends inclusive)."""
+        import pandas as pd
+
+        from osm_live_updates_ray import queries
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            queries.QUERIES["events_sliding"](sf)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        ev = pd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_id", "ts", "event_type", "value"])
+        H = pd.Timedelta(hours=1)
+        n_exp, s_exp = [], []
+        for _, r in ev.iterrows():
+            m = (ev["event_type"] == r["event_type"]) & \
+                (ev["ts"] >= r["ts"] - H) & (ev["ts"] <= r["ts"])
+            n_exp.append(int(m.sum()))
+            s_exp.append(float(ev.loc[m, "value"].sum()))
+        ev = ev.assign(n=n_exp, s=s_exp).sort_values("event_id")
+        assert got["n_1h"].tolist() == ev["n"].tolist()
+        assert np.allclose(got["sum_1h"].to_numpy(), np.round(ev["s"], 2),
+                           atol=1e-9)
