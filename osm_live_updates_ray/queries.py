@@ -1379,6 +1379,118 @@ def events_hourly(sf_dir: str):
 
 
 @register(
+    "doc_length_quantiles",
+    """
+    SELECT lang,
+           ROUND(quantile_cont(LENGTH(text), 0.5), 4) AS p50,
+           ROUND(quantile_cont(LENGTH(text), 0.9), 4) AS p90,
+           ROUND(quantile_cont(LENGTH(text), 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles via histogram partials (the data-
+    profiling op): doc lengths are bounded ints, so per-batch
+    (lang, n_chars) counts -> one small groupby-sum shuffle -> exact
+    interpolated quantiles from the cumulative histogram.  No sort, no
+    full-column materialization — the exchange is one row per DISTINCT
+    (lang, length) pair.  The interpolation mirrors quantile_cont:
+    h = (n-1)*q; v = x[floor(h)] + (h - floor(h)) * (x[floor(h)+1] -
+    x[floor(h)]) on the sorted values."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+
+    def lengths(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "lang": t.column("lang"),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        .map_batches(lengths, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+
+    def q_from_hist(x: np.ndarray, c: np.ndarray, q: float) -> float:
+        # cumulative-histogram form of quantile_cont's interpolation
+        n = int(c.sum())
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        cum = np.cumsum(c)
+        xl = x[np.searchsorted(cum, lo + 1)]
+        xu = x[np.searchsorted(cum, lo + 2)] if lo + 1 < n else xl
+        return float(xl) + (h - np.floor(h)) * (float(xu) - float(xl))
+
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        x = g["n_chars"].to_numpy()
+        c = g["cnt"].to_numpy()
+        rows.append(
+            {
+                "lang": lang,
+                "p50": _round(np.array([q_from_hist(x, c, 0.5)]), 4)[0],
+                "p90": _round(np.array([q_from_hist(x, c, 0.9)]), 4)[0],
+                "p99": _round(np.array([q_from_hist(x, c, 0.99)]), 4)[0],
+                "n": int(c.sum()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@register(
+    "lang_top_docs",
+    """
+    SELECT lang, doc_id, n_chars, rnk FROM (
+      SELECT lang, doc_id, LENGTH(text) AS n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY LENGTH(text) DESC, doc_id
+             ) AS rnk
+      FROM documents
+    ) WHERE rnk <= 5
+    """,
+)
+def lang_top_docs(sf_dir: str):
+    """GROUPED top-k (per-language 5 longest docs): project to
+    (lang, doc_id, n_chars) in map_batches, then per-group sort+head —
+    the per-key-top-k shape that global sort+limit cannot express.
+    Deterministic tie-break (length DESC, doc_id ASC) mirrored by the
+    ROW_NUMBER ordering."""
+    rd = _rd()
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "lang": t.column("lang"),
+                "doc_id": t.column("doc_id"),
+                "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                          kind="stable").head(5)
+        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "text"]
+        )
+        .map_batches(proj, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+@register(
     "events_sliding",
     """
     SELECT event_id,
