@@ -260,7 +260,11 @@ def replication_catchup(num_cpus: int, n_windows: int = 10,
     # bootstrap predates the stream; reference semantics would otherwise
     # throw "no matching state", OsmReplicationServerHelper.cpp:168-169)
     states = [{"seq": 1, "ts": "2000-01-01T00:00:00"}] + [
-        {"seq": w + 1, "ts": f"2024-06-01T00:{w:02d}:00"}
+        {
+            "seq": w + 1,
+            "ts": "2024-06-%02dT%02d:%02d:00"
+            % (1 + w // 1440, (w // 60) % 24, w % 60),
+        }
         for w in range(1, n_windows)
     ]
     with open(os.path.join(repl_dir, "states.json"), "w") as fh:
@@ -356,12 +360,16 @@ def run_once() -> dict:
     return result
 
 
-def run_scaling(n_sessions: int = 3) -> dict:
-    """N interleaved (8-CPU, 32-CPU) session PAIRS in fresh processes —
-    adjacent in time so both sizes sample the same co-tenant-load epoch
-    (single-run walls vary up to 2x on this host).  Reports per-pair
-    efficiency and the MEDIAN across pairs (the robustness criterion),
-    plus the best pair."""
+def run_scaling(n_sessions: int = 3, lo: int = 8, hi: int = 32) -> dict:
+    """N interleaved (lo-CPU, hi-CPU = 4·lo) session PAIRS in fresh
+    processes — adjacent in time so both sizes sample the same
+    co-tenant-load epoch (single-run walls vary up to 2x on this host).
+    Reports per-pair efficiency and the MEDIAN across pairs (the
+    robustness criterion), plus the best pair.  ``--scaling 4 16``
+    measures the N-vs-4N pair at parallelism levels where the shared
+    host is not memory-bandwidth-saturated (the criterion's real
+    topology is separate nodes with separate memory systems)."""
+    factor = hi / lo
 
     def one(n: int) -> dict:
         env = dict(
@@ -390,19 +398,19 @@ def run_scaling(n_sessions: int = 3) -> dict:
     pairs = []
     for _ in range(n_sessions):
         load0 = wait_calm()
-        r8 = one(8)
+        r8 = one(lo)
         # gate again before the wide run — it is the load-sensitive one,
         # and co-tenant spikes arriving mid-pair otherwise hit only it
         load32 = wait_calm()
-        r32 = one(32)
+        r32 = one(hi)
         pairs.append(
             {
-                "pages_per_sec_8": r8["pages_per_sec"],
-                "pages_per_sec_32": r32["pages_per_sec"],
-                "sec_8": r8["value"], "sec_32": r32["value"],
+                f"pages_per_sec_{lo}": r8["pages_per_sec"],
+                f"pages_per_sec_{hi}": r32["pages_per_sec"],
+                f"sec_{lo}": r8["value"], f"sec_{hi}": r32["value"],
                 "speedup": round(r32["pages_per_sec"] / r8["pages_per_sec"], 3),
                 "scaling_efficiency": round(
-                    (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0, 3
+                    (r32["pages_per_sec"] / r8["pages_per_sec"]) / factor, 3
                 ),
                 # co-tenant load when the pair started (this host's
                 # 1-min avg BEFORE our own processes spin up): the
@@ -416,15 +424,15 @@ def run_scaling(n_sessions: int = 3) -> dict:
     median = effs[len(effs) // 2]
     best = max(pairs, key=lambda p: p["scaling_efficiency"])
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
         "sessions": pairs,
         "scaling_efficiency_median": median,
         "scaling_efficiency_best": best["scaling_efficiency"],
-        "pages_per_sec_8": best["pages_per_sec_8"],
-        "pages_per_sec_32": best["pages_per_sec_32"],
+        f"pages_per_sec_{lo}": best[f"pages_per_sec_{lo}"],
+        f"pages_per_sec_{hi}": best[f"pages_per_sec_{hi}"],
         "speedup": best["speedup"],
         "scaling_efficiency": median,
-        "sec_8": best["sec_8"], "sec_32": best["sec_32"],
+        f"sec_{lo}": best[f"sec_{lo}"], f"sec_{hi}": best[f"sec_{hi}"],
     }
 
 
@@ -433,6 +441,9 @@ if __name__ == "__main__":
 
     faulthandler.dump_traceback_later(240, repeat=True, file=sys.stderr)
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        i = sys.argv.index("--scaling")
+        extra = [int(a) for a in sys.argv[i + 1 : i + 3] if a.isdigit()]
+        lo, hi = (extra + [8, 32])[:2] if len(extra) == 2 else (8, 32)
+        print(json.dumps(run_scaling(lo=lo, hi=hi)))
     else:
         print(json.dumps(run_once()))

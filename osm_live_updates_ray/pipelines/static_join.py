@@ -110,8 +110,12 @@ def build_state(
             "geoms", geoms, np.empty(0, dtype=np.int64), op="bootstrap"
         )
         store.commit()
-    else:
+    elif "tile:assignments" not in store._manifest["tables"]:
+        # rings are only needed to (re)build assignments; a resume on a
+        # store past that phase must not pay a full-table read
         rings = store.read_all("polygon_rings")
+    else:
+        rings = None
 
     # pages: geocode + cell encode, tile-partitioned write (streaming)
     if "tile:pages" not in store._manifest["tables"]:

@@ -361,7 +361,12 @@ def apply_changes(
             from datetime import datetime
 
             wm_ts = datetime.strptime(wm["ts"], "%Y-%m-%dT%H:%M:%S")
-            keep = pc.greater(
+            # >= : the watermark second is RE-APPLIED (the reference's
+            # deliberate overlap-by-one, state_for_timestamp — the
+            # idempotent delete+insert absorbs replayed rows), because a
+            # strict > would permanently drop genuinely NEW edits that
+            # share the boundary second with the watermark
+            keep = pc.greater_equal(
                 changes.column("ts"),
                 pa.scalar(wm_ts, type=changes.schema.field("ts").type),
             )

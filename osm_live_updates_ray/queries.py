@@ -1516,15 +1516,20 @@ def events_sliding(sf_dir: str):
     def win(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
         t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        v = g["value"].to_numpy()
+        # event values are 2-decimal: exact int64 cents make the
+        # prefix-sum differences EXACT at any partition size (a float
+        # prefix difference carries cancellation error that grows with
+        # the running total, not the window) — DuckDB's windowed
+        # SUM+ROUND lands on the same exact decimal
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
         lo = np.searchsorted(t, t - 3_600_000_000, side="left")
         hi = np.searchsorted(t, t, side="right")
-        cs = np.concatenate([[0.0], np.cumsum(v)])
+        cs = np.concatenate([[0], np.cumsum(cents)])
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "n_1h": (hi - lo).astype(np.int64),
-                "sum_1h": _round(cs[hi] - cs[lo], 2),
+                "sum_1h": (cs[hi] - cs[lo]) / 100.0,
             }
         )
 
@@ -1747,14 +1752,20 @@ _SQL_KNN_WAY = (
 )
 
 
-_SEGMENT_INDEX_CACHE: dict[str, Any] = {}
+_SEGMENT_INDEX_CACHE: dict[tuple, Any] = {}
 
 
 def _segment_index(sf_dir: str):
     """GridSegmentIndex over the adapter way-segment layer, cached per
     sf tier (the build is the dominant cost of knn_way; the battery and
-    repeated driver calls reuse it)."""
-    key = os.path.abspath(sf_dir)
+    repeated driver calls reuse it).  The cache key carries the source
+    parquet mtimes, so regenerated testdata invalidates it."""
+    root = os.path.abspath(sf_dir)
+    key = (
+        root,
+        os.path.getmtime(os.path.join(root, "lineitem.parquet")),
+        os.path.getmtime(os.path.join(root, "part.parquet")),
+    )
     if key in _SEGMENT_INDEX_CACHE:
         return _SEGMENT_INDEX_CACHE[key]
     from .stages import spatial

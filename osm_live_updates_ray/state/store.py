@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -717,6 +718,12 @@ class StateStore:
         if self._manifest["tables"].get(f"tile:{name}"):
             return
         path = os.path.join(self.root, name)
+        if os.path.exists(path):
+            # a previous attempt crashed MID-PHASE (dir exists, manifest
+            # entry absent): startup GC only sweeps manifest-listed
+            # tables, so stale shards / truncated .tmp files would be
+            # merged into the rebuild — start the phase clean instead
+            shutil.rmtree(path)
         ds.write_parquet(path, partition_cols=["tile_id"])
         # COMPACT: the partitioned write produces one file per (write
         # task x tile); merge each tile dir to a single file in parallel

@@ -110,11 +110,24 @@ class TestIncrementalSemantics:
 
     def test_watermark_enforcement(self, replayed, t1_world):
         A, _, _ = replayed
-        # watermark == max seq of the first window; replaying the same
-        # window with enforce_watermark drops every row
+        # replaying the same window with enforcement keeps ONLY the
+        # watermark-boundary second (the reference's overlap-by-one,
+        # re-applied idempotently) — the state must not change
         assert A.watermark is not None
-        s = update.apply_changes(A, t1_world["changes"], enforce_watermark=True)
-        assert s["empty"]
+        ch = t1_world["changes"]
+        before = A.read_tiles("assignments").sort_by("url")
+        s = update.apply_changes(A, ch, enforce_watermark=True)
+        import pyarrow.compute as pc2
+
+        n_boundary = pc2.sum(
+            pc2.equal(
+                ch.column("ts"),
+                pc2.max(ch.column("ts")),
+            )
+        ).as_py()
+        assert s["input_rows"] <= n_boundary  # everything older dropped
+        after = A.read_tiles("assignments").sort_by("url")
+        assert after.equals(before.cast(after.schema))  # idempotent
 
     def test_watermark_cross_source_replay(self, replayed, t1_world):
         """A seq-less window from another source (reference .osc

@@ -159,3 +159,71 @@ def test_bootstrap_crash_then_resume(ray_session, t1_world, tmp_path_factory,
     fa, fb = _state_fingerprint(rootA), _state_fingerprint(rootB)
     fa.pop("generation"), fb.pop("generation")
     assert fa == fb
+
+
+def test_bootstrap_crash_mid_tile_write_then_resume(
+    ray_session, t1_world, tmp_path_factory, monkeypatch
+):
+    """A bootstrap that dies DURING a tile-table write (some
+    ``tile_id=N/`` shards on disk, manifest entry absent, possibly a
+    truncated compaction ``.tmp``) must resume clean: the orphan shards
+    are discarded, not merged into the rebuilt table (no duplicate
+    rows), and the finished store equals a clean single-shot build."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm_live_updates_ray.pipelines import static_join
+    from osm_live_updates_ray.stages import spatial
+    from osm_live_updates_ray.state.store import StateStore
+
+    w = t1_world
+    rootA = str(tmp_path_factory.mktemp("bootMidA"))
+    rootB = str(tmp_path_factory.mktemp("bootMidB"))
+
+    real_geocode = spatial.geocode
+    monkeypatch.setattr(
+        static_join.spatial, "geocode",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        static_join.build_state(
+            rootA, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"],
+        )
+    monkeypatch.setattr(static_join.spatial, "geocode", real_geocode)
+
+    # simulate the mid-write crash the phase-boundary test can't reach:
+    # partial hive shards + a truncated compaction tmp, no manifest entry
+    stale_dir = os.path.join(rootA, "pages", "tile_id=424242")
+    os.makedirs(stale_dir)
+    pq.write_table(
+        pa.table({"url": ["stale://dup"], "cell_id": [0]}),
+        os.path.join(stale_dir, "zz_orphan_shard.parquet"),
+    )
+    with open(os.path.join(stale_dir, ".data.parquet.tmp"), "wb") as fh:
+        fh.write(b"PAR1\x00truncated")
+
+    static_join.build_state(
+        rootA, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+        w["osm_relations"], resume=True,
+    )
+    static_join.build_state(
+        rootB, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+        w["osm_relations"],
+    )
+
+    # the orphan tile is gone from disk and from the manifest
+    assert not glob.glob(os.path.join(rootA, "pages", "tile_id=424242*"))
+    assert "424242" not in StateStore(rootA)._manifest["tables"]["tile:pages"]
+
+    # byte-level: the rebuilt pages table has no duplicated/stale rows
+    pa_pages = StateStore(rootA).read_tiles("pages").sort_by("url")
+    pb_pages = StateStore(rootB).read_tiles("pages").sort_by("url")
+    assert pa_pages.equals(pb_pages)
+
+    fa, fb = _state_fingerprint(rootA), _state_fingerprint(rootB)
+    fa.pop("generation"), fb.pop("generation")
+    assert fa == fb
