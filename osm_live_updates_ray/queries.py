@@ -1576,6 +1576,81 @@ def user_sessions(sf_dir: str):
     )
 
 
+def _events_by_type(sf_dir: str, etype: str, columns: list[str]):
+    """Pruned, pre-filtered event stream (one type) as a Dataset."""
+    rd = _rd()
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("event_type"), etype)).drop(
+            ["event_type"]
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=columns + ["event_type"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+@register(
+    "events_asof",
+    """
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS prior_view_id,
+           v.value    AS prior_view_value,
+           date_diff('microseconds', v.ts, p.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_asof(sf_dir: str):
+    """AS-OF join (each purchase -> the same user's most recent
+    prior-or-simultaneous view): tagged-union co-shuffle on a
+    user-hash bucket, C merge_asof kernel per bucket — no broadcast
+    side, no per-user group explosion (stages/temporal.py)."""
+    from .stages import temporal
+
+    return temporal.asof_join(
+        _events_by_type(sf_dir, "purchase", ["event_id", "ts", "user_id"]),
+        _events_by_type(sf_dir, "view", ["event_id", "ts", "user_id", "value"]),
+    )
+
+
+@register(
+    "events_range_join",
+    """
+    SELECT e.event_id AS incident_id,
+           COUNT(*) AS n_probes,
+           ROUND(SUM(c.value), 2) AS probe_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def events_range_join(sf_dir: str):
+    """Pure RANGE join (no equi key): clicks landing inside the
+    10-minute window opened by each error event, counted + value-summed
+    per window.  Time-banded at the window length so each window
+    replicates to <=2 bands and band partials stay disjoint — the
+    shuffle is event-sized, never the |windows| x |probes| cross
+    product (stages/temporal.py)."""
+    from .stages import temporal
+
+    agg = temporal.banded_range_join(
+        _events_by_type(sf_dir, "error", ["event_id", "ts"]),
+        _events_by_type(sf_dir, "click", ["event_id", "ts", "value"]),
+        window_us=600_000_000,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        pv = t.column("cents").to_numpy(zero_copy_only=False) / 100.0
+        return t.drop(["cents"]).append_column(
+            "probe_value", pa.array(pv, type=pa.float64())
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 @register("image_features")  # rows-only (stubbed decode; plumbing real)
 def image_features(sf_dir: str):
     """Media derived from the sf_dir documents corpus (payload = text

@@ -392,3 +392,104 @@ class TestSlidingWindow:
         assert got["n_1h"].tolist() == ev["n"].tolist()
         assert np.allclose(got["sum_1h"].to_numpy(), np.round(ev["s"], 2),
                            atol=1e-9)
+
+
+class TestTemporalJoins:
+    """AS-OF and banded range join vs per-row brute force (the DuckDB
+    oracle covers SQL parity; these pin the kernel semantics on edge
+    placement: <= for as-of, [ts, ts+W) for the range window)."""
+
+    def test_asof_equals_bruteforce(self, ray_session):
+        import pandas as pd
+
+        from osm_live_updates_ray import queries
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            queries.QUERIES["events_asof"](sf)
+            .to_pandas()
+            .sort_values("purchase_id")
+            .reset_index(drop=True)
+        )
+        ev = pd.read_parquet(f"{sf}/events.parquet")
+        p = ev[ev["event_type"] == "purchase"]
+        v = ev[ev["event_type"] == "view"]
+        rows = []
+        for _, r in p.iterrows():
+            cand = v[(v["user_id"] == r["user_id"]) & (v["ts"] <= r["ts"])]
+            if not len(cand):
+                continue  # inner semantics
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            rows.append(
+                (r["event_id"], best["event_id"], best["value"],
+                 int((r["ts"] - best["ts"]).value // 1000))
+            )
+        exp = pd.DataFrame(
+            rows, columns=["purchase_id", "prior_view_id",
+                           "prior_view_value", "gap_us"]
+        ).sort_values("purchase_id").reset_index(drop=True)
+        assert got["purchase_id"].tolist() == exp["purchase_id"].tolist()
+        assert got["prior_view_id"].tolist() == exp["prior_view_id"].tolist()
+        assert got["gap_us"].tolist() == exp["gap_us"].tolist()
+        assert np.allclose(got["prior_view_value"], exp["prior_view_value"])
+
+    def test_range_join_equals_bruteforce(self, ray_session):
+        import pandas as pd
+
+        from osm_live_updates_ray import queries
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            queries.QUERIES["events_range_join"](sf)
+            .to_pandas()
+            .sort_values("incident_id")
+            .reset_index(drop=True)
+        )
+        ev = pd.read_parquet(f"{sf}/events.parquet")
+        e = ev[ev["event_type"] == "error"]
+        c = ev[ev["event_type"] == "click"]
+        W = pd.Timedelta(minutes=10)
+        rows = []
+        for _, r in e.iterrows():
+            m = (c["ts"] >= r["ts"]) & (c["ts"] < r["ts"] + W)
+            if not m.any():
+                continue  # inner semantics
+            rows.append((r["event_id"], int(m.sum()),
+                         round(float(c.loc[m, "value"].sum()), 2)))
+        exp = pd.DataFrame(
+            rows, columns=["incident_id", "n_probes", "probe_value"]
+        ).sort_values("incident_id").reset_index(drop=True)
+        assert got["incident_id"].tolist() == exp["incident_id"].tolist()
+        assert got["n_probes"].tolist() == exp["n_probes"].tolist()
+        assert np.allclose(got["probe_value"], exp["probe_value"], atol=1e-9)
+
+    def test_range_join_band_straddle(self, ray_session):
+        """A window that straddles a band boundary must count probes
+        from BOTH bands exactly once (the <=2-replica invariant)."""
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import temporal
+
+        W = 600_000_000  # 10 min in us
+        base = np.int64(1_700_000_000_000_000)
+        # align so the window [start, start+W) crosses a band edge
+        start = (base // W) * W + W - 120_000_000  # 2 min before the edge
+        win = pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([start], pa.int64()).cast(pa.timestamp("us")),
+        })
+        # probes: one in the same band, one past the edge (in-window),
+        # one past the window end, one before the start
+        pts = [start + 60_000_000, start + 300_000_000,
+               start + W, start - 1]
+        probes = pa.table({
+            "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "ts": pa.array(pts, pa.int64()).cast(pa.timestamp("us")),
+            "value": pa.array([1.25, 2.5, 100.0, 100.0]),
+        })
+        out = temporal.banded_range_join(
+            rd.from_arrow(win), rd.from_arrow(probes), window_us=W
+        ).to_pandas()
+        assert len(out) == 1
+        assert int(out["n_probes"].iloc[0]) == 2
+        assert int(out["cents"].iloc[0]) == 375
