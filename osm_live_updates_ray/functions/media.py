@@ -1,0 +1,188 @@
+"""Real media codecs for the multimodal stages — no imaging libraries
+required for the uncompressed formats:
+
+- **P6 PPM** image decode/encode (pure numpy header parse + frombuffer)
+- **24-bit uncompressed BMP** decode (BITMAPINFOHEADER, bottom-up rows,
+  4-byte row padding)
+- **PCM WAV** decode/encode (stdlib ``wave``; 16-bit mono/stereo)
+- **PPMV** — a trivial length-prefixed concatenation of P6 frames used
+  as the video container for tests (real frame extraction: seek by the
+  frame index, no full decode of the other frames)
+
+Compressed formats (PNG/JPEG/...) are gated behind an import-try of
+PIL and raise ``NotImplementedError`` when it is absent (it is absent
+in this container); callers treat that as a decode failure (null row).
+
+Format sniffing (:func:`sniff`) lets the actor stages run REAL decodes
+when the payload is one of these containers and fall back to the
+deterministic byte-feature stub otherwise, so corpus-derived payloads
+(utf-8 text standing in for media) keep their existing oracles.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+
+def sniff(payload: bytes) -> str:
+    """Container sniff: 'ppm' | 'bmp' | 'wav' | 'ppmv' | 'unknown'."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"PPMV":
+        return "ppmv"
+    return "unknown"
+
+
+# -- images -----------------------------------------------------------------
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary P6 PPM."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM -> HxWx3 uint8 (comments tolerated in the header)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> HxWx3 uint8 (RGB)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    bottom_up = h > 0
+    h = abs(h)
+    row = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row * h, offset=data_off
+    ).reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[..., ::-1]  # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniffed decode: PPM/BMP natively; anything else needs PIL."""
+    kind = sniff(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    try:
+        from PIL import Image  # noqa: F401  (absent in this container)
+    except ImportError:
+        raise NotImplementedError(
+            f"compressed image decode needs PIL (payload kind: {kind})"
+        )
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (vectorized index gather)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]
+
+
+# -- audio ------------------------------------------------------------------
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(rate)
+        fh.writeframes(np.ascontiguousarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float32 mono samples in [-1, 1], sample rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as fh:
+        nch, sw, rate = fh.getnchannels(), fh.getsampwidth(), fh.getframerate()
+        raw = fh.readframes(fh.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit WAV not supported")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+# -- video (PPMV: length-prefixed P6 frame sequence) ------------------------
+def encode_ppmv(frames: list[np.ndarray], frame_ms: int = 500) -> bytes:
+    """Frames (HxWx3 uint8) -> PPMV container.
+
+    Layout: b'PPMV' | u32 n_frames | u32 frame_ms | n x (u32 size, P6)."""
+    blobs = [encode_ppm(f) for f in frames]
+    head = b"PPMV" + struct.pack("<II", len(blobs), frame_ms)
+    return head + b"".join(struct.pack("<I", len(b)) + b for b in blobs)
+
+
+def ppmv_info(payload: bytes) -> tuple[int, int]:
+    """(n_frames, frame_ms) without touching frame data."""
+    if payload[:4] != b"PPMV":
+        raise ValueError("not a PPMV container")
+    return struct.unpack_from("<II", payload, 4)
+
+
+def ppmv_frame_bytes(payload: bytes, index: int) -> bytes:
+    """The raw P6 bytes of ONE frame (seeks by the size prefixes — real
+    frame extraction, no decode of the frames before it)."""
+    n, _ = ppmv_info(payload)
+    if not 0 <= index < n:
+        raise IndexError(f"frame {index} of {n}")
+    pos = 12
+    for _ in range(index):
+        pos += 4 + struct.unpack_from("<I", payload, pos)[0]
+    size = struct.unpack_from("<I", payload, pos)[0]
+    return payload[pos + 4 : pos + 4 + size]
+
+
+def decode_ppmv_frame(payload: bytes, index: int) -> np.ndarray:
+    return decode_ppm(ppmv_frame_bytes(payload, index))

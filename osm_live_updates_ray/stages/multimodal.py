@@ -2,17 +2,27 @@
 metadata; decode / feature-extract / resize / frame-sample as
 actor-pool map_batches stages.
 
-The decode kernels are STUBBED (no image/audio libraries in this
-container — clearly marked below); the Ray-side plumbing is real and
-tested: schemas, actor signature, per-actor "model" initialization,
-batch sizing for large binary payloads, output layout.  Swapping the
-stub for Pillow/torchaudio is a one-function change per stage.
+Decode is format-sniffed (``functions/media.py``):
+
+- **REAL decode, no libraries needed**: P6 PPM + 24-bit BMP images
+  (numpy header parse + frombuffer, nearest-neighbor resize), PCM WAV
+  audio (stdlib ``wave``; per-window log-spectrum bands via np.fft),
+  and PPMV frame sequences (length-prefixed P6 frames; the sampler
+  seeks to the requested frame without touching the others).
+- **Compressed formats** (PNG/JPEG/...) are gated behind an import-try
+  of PIL and surface as decode-failure null rows in this container.
+- **Unknown payloads** fall back to the deterministic byte-feature
+  stub (clearly marked below) — this keeps the corpus-derived battery
+  entries, whose payloads are utf-8 text standing in for media, on
+  their existing oracles.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions import media as _media
 
 MEDIA = pa.schema(
     [
@@ -52,14 +62,17 @@ def _deterministic_fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
 
 
 class ImageFeaturizer:
-    """Actor-pool stage: decode+resize+featurize images.
+    """Actor-pool stage: decode + resize + featurize images.
 
-    ``__init__`` is the once-per-actor model load (here: dimensions
-    and a seed-derived projection standing in for weights); batches
-    should be SMALL for large payloads (see :func:`featurize_images`).
+    PPM/BMP payloads take the REAL path: numpy decode -> nearest
+    resize -> per-column grayscale means -> learned-weight-shaped
+    projection.  Unknown payloads take the byte stub; undecodable
+    recognized formats yield a null row.  ``__init__`` is the
+    once-per-actor model load; batches stay SMALL for large payloads
+    (see :func:`featurize_images`).
     """
 
-    VERSION = 1
+    VERSION = 2  # 2 = real PPM/BMP decode path
 
     def __init__(self, out_dim: int = 64, resize: tuple[int, int] = (224, 224)):
         self.out_dim = out_dim
@@ -67,11 +80,20 @@ class ImageFeaturizer:
         rng = np.random.RandomState(7)
         self.proj = rng.standard_normal((out_dim, out_dim)).astype(np.float32)
 
+    def _raw(self, payload: bytes) -> np.ndarray:
+        if _media.sniff(payload) in ("ppm", "bmp"):
+            img = _media.decode_image(payload)
+            img = _media.resize_nearest(img, *self.resize)
+            col = img.astype(np.float32).mean(axis=(0, 2))  # per-column gray
+            reps = int(np.ceil(self.out_dim / len(col)))
+            return np.tile(col, reps)[: self.out_dim] / 255.0
+        return _deterministic_fake_decode(payload, self.out_dim)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, w, h = [], [], []
         for payload in batch.column("payload").to_pylist():
             try:
-                raw = _deterministic_fake_decode(payload or b"", self.out_dim)
+                raw = self._raw(payload or b"")
             except Exception:
                 # decode failures yield a null row, never a crash
                 feats.append(None)
@@ -151,19 +173,52 @@ AUDIO_FEATURES = pa.schema(
 
 
 class AudioFeaturizer:
-    """Actor-pool audio stage (STUB decode): windows the payload bytes
-    into fixed-length frames and emits deterministic pseudo-MFCCs —
-    the windowed-feature shape (n_windows x dim flattened) a real
-    torchaudio pipeline produces.  ``__init__`` is the once-per-actor
-    model load; batches stay small for large payloads."""
+    """Actor-pool audio stage: PCM WAV payloads take the REAL path —
+    stdlib decode to float samples, fixed-length windows, per-window
+    log-magnitude spectrum pooled into ``dim`` bands (np.rfft) — the
+    windowed-feature shape (n_windows x dim flattened) a torchaudio
+    MFCC pipeline produces.  Unknown payloads take the byte stub.
+    ``__init__`` is the once-per-actor model load; batches stay small
+    for large payloads."""
 
-    VERSION = 1
+    VERSION = 2  # 2 = real PCM WAV decode path
 
     def __init__(self, dim: int = 13, window_bytes: int = 256,
-                 max_windows: int = 16):
+                 max_windows: int = 16, window_samples: int = 400):
         self.dim = dim
         self.window_bytes = window_bytes
         self.max_windows = max_windows
+        self.window_samples = window_samples
+
+    def _windows(self, payload: bytes) -> np.ndarray:
+        if _media.sniff(payload) == "wav":
+            x, _rate = _media.decode_wav(payload)
+            ws = self.window_samples
+            nw = min(self.max_windows, max(1, -(-len(x) // ws)))
+            out = np.zeros((nw, self.dim), dtype=np.float32)
+            for w in range(nw):
+                seg = x[w * ws : (w + 1) * ws]
+                if not len(seg):
+                    continue
+                spec = np.log1p(np.abs(np.fft.rfft(seg, n=ws)))
+                bands = np.array_split(spec, self.dim)
+                out[w] = [b.mean() for b in bands]
+            return out
+        nw = min(
+            self.max_windows,
+            max(1, (len(payload) + self.window_bytes - 1) // self.window_bytes),
+        )
+        out = np.zeros((nw, self.dim), dtype=np.float32)
+        for w in range(nw):
+            chunk = np.frombuffer(
+                payload[w * self.window_bytes : (w + 1) * self.window_bytes],
+                dtype=np.uint8,
+            ).astype(np.float32)
+            if len(chunk):
+                # STUB decode: per-window moments stand in for MFCCs
+                reps = int(np.ceil(self.dim / len(chunk)))
+                out[w] = np.tile(chunk, reps)[: self.dim] / 255.0
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, feats, counts = [], [], []
@@ -171,21 +226,8 @@ class AudioFeaturizer:
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            payload = payload or b""
-            nw = min(
-                self.max_windows,
-                max(1, (len(payload) + self.window_bytes - 1) // self.window_bytes),
-            )
-            out = np.zeros((nw, self.dim), dtype=np.float32)
-            for w in range(nw):
-                chunk = np.frombuffer(
-                    payload[w * self.window_bytes : (w + 1) * self.window_bytes],
-                    dtype=np.uint8,
-                ).astype(np.float32)
-                if len(chunk):
-                    # STUB decode: per-window moments stand in for MFCCs
-                    reps = int(np.ceil(self.dim / len(chunk)))
-                    out[w] = np.tile(chunk, reps)[: self.dim] / 255.0
+            out = self._windows(payload or b"")
+            nw = len(out)
             ids.append(mid)
             feats.append(out.ravel().tolist())
             counts.append(nw)
@@ -213,9 +255,12 @@ def featurize_audio(media_ds, concurrency=(1, 8)):
 
 
 class FrameSampler:
-    """Video frame-sampling stage (STUB decode): emits one row per
-    sampled frame with deterministic frame offsets — the flat_map-shaped
-    expansion a real pipeline uses for per-frame inference."""
+    """Video frame-sampling stage: one row per sampled timestamp — the
+    flat_map-shaped expansion a real pipeline uses for per-frame
+    inference.  PPMV payloads take the REAL path: the frame covering
+    each sampled timestamp is extracted by seeking the container's
+    size prefixes (its raw P6 bytes emitted; no other frame touched).
+    Unknown payloads emit the 16-byte prefix stub."""
 
     def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms
@@ -228,11 +273,19 @@ class FrameSampler:
             batch.column("payload").to_pylist(),
         ):
             dur = dur or 0
+            payload = payload or b""
+            is_ppmv = _media.sniff(payload) == "ppmv"
+            if is_ppmv:
+                n_frames, frame_ms = _media.ppmv_info(payload)
             for t in range(0, max(dur, 1), self.every_ms):
                 ids.append(mid)
                 offs.append(t)
-                # STUB: a real implementation decodes the frame at t
-                frames.append((payload or b"")[:16])
+                if is_ppmv:
+                    idx = min(t // frame_ms, n_frames - 1)
+                    frames.append(_media.ppmv_frame_bytes(payload, idx))
+                else:
+                    # STUB fallback for unrecognized containers
+                    frames.append(payload[:16])
         return pa.Table.from_pydict(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
@@ -243,16 +296,43 @@ class FrameSampler:
 
 
 def gen_media(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+    """Deterministic synthetic media table with REAL containers:
+    P6 PPM images, PCM WAV audio, PPMV frame sequences — so tests
+    exercise the real decode paths end-to-end."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
+    payloads, width, height, dur, mimes = [], [], [], [], []
+    for i in range(n):
+        k = i % 3
+        if k == 0:
+            w, h = 48 + (i % 4) * 16, 32 + (i % 3) * 16
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(_media.encode_ppm(img))
+            width.append(w), height.append(h), dur.append(None)
+            mimes.append("image/x-portable-pixmap")
+        elif k == 1:
+            t = np.arange(1600 + (i % 5) * 400)
+            x = (8000 * np.sin(2 * np.pi * (110 + 13 * i) * t / 16000)).astype(
+                np.int16
+            )
+            payloads.append(_media.encode_wav(x))
+            width.append(None), height.append(None), dur.append(None)
+            mimes.append("audio/wav")
+        else:
+            frames = [
+                rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                for _ in range(6)
+            ]
+            payloads.append(_media.encode_ppmv(frames, frame_ms=500))
+            width.append(None), height.append(None), dur.append(3000)
+            mimes.append("video/x-ppm-seq")
     rows = {
         "media_id": list(range(n)),
         "kind": [kinds[i % 3] for i in range(n)],
-        "payload": [rng.bytes(256 + (i % 512)) for i in range(n)],
-        "mime": ["application/octet-stream"] * n,
-        "width": [640 if i % 3 == 0 else None for i in range(n)],
-        "height": [480 if i % 3 == 0 else None for i in range(n)],
-        "duration_ms": [3000 if i % 3 == 2 else None for i in range(n)],
+        "payload": payloads,
+        "mime": mimes,
+        "width": width,
+        "height": height,
+        "duration_ms": dur,
     }
     return pa.Table.from_pydict(rows, schema=MEDIA)

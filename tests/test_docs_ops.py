@@ -493,3 +493,102 @@ class TestTemporalJoins:
         assert len(out) == 1
         assert int(out["n_probes"].iloc[0]) == 2
         assert int(out["cents"].iloc[0]) == 375
+
+
+class TestRealMediaDecode:
+    """The uncompressed-format decode paths are REAL (numpy + stdlib):
+    round-trips and known-pixel checks, no imaging libraries."""
+
+    def test_ppm_roundtrip(self):
+        from osm_live_updates_ray.functions import media
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+        assert (media.decode_ppm(media.encode_ppm(img)) == img).all()
+
+    def test_ppm_header_comment(self):
+        from osm_live_updates_ray.functions import media
+
+        img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+        raw = media.encode_ppm(img)
+        commented = b"P6\n# a comment\n2 2\n255\n" + raw.split(b"\n", 3)[3]
+        assert (media.decode_ppm(commented) == img).all()
+
+    def test_bmp_24bit_decode(self):
+        import struct
+
+        from osm_live_updates_ray.functions import media
+
+        # handcraft a 2x2 bottom-up 24-bit BMP: rows padded to 4 bytes
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [9, 8, 7]]],
+            dtype=np.uint8,
+        )  # RGB, top-down truth
+        rows = b""
+        for y in (1, 0):  # bottom-up storage
+            row = b""
+            for x in range(2):
+                r, g, b = px[y, x]
+                row += bytes([b, g, r])  # BGR
+            rows += row + b"\x00" * ((4 - len(row) % 4) % 4)
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        hdr += struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                           len(rows), 0, 0, 0, 0)
+        assert (media.decode_bmp(hdr + rows) == px).all()
+
+    def test_wav_roundtrip(self):
+        from osm_live_updates_ray.functions import media
+
+        x = (np.sin(np.linspace(0, 20, 800)) * 20000).astype(np.int16)
+        y, rate = media.decode_wav(media.encode_wav(x, rate=8000))
+        assert rate == 8000
+        assert np.allclose(y, x / 32768.0, atol=1e-6)
+
+    def test_ppmv_frame_seek(self):
+        from osm_live_updates_ray.functions import media
+
+        frames = [np.full((3, 3, 3), i * 10, dtype=np.uint8) for i in range(5)]
+        payload = media.encode_ppmv(frames, frame_ms=250)
+        assert media.ppmv_info(payload) == (5, 250)
+        for i in (0, 2, 4):
+            assert (media.decode_ppmv_frame(payload, i) == frames[i]).all()
+
+    def test_image_featurizer_uses_real_pixels(self, ray_session):
+        """A constant-color PPM must produce the projection of a
+        constant vector — proving the feature came from decoded pixels,
+        not payload bytes."""
+        fz = multimodal.ImageFeaturizer(out_dim=8, resize=(16, 16))
+        img = np.full((10, 10, 3), 200, dtype=np.uint8)
+        from osm_live_updates_ray.functions import media
+
+        t = pa.table({
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([media.encode_ppm(img)], pa.binary()),
+        })
+        out = fz(t)
+        expected = fz.proj @ np.full(8, 200 / 255.0, dtype=np.float32)
+        got = np.array(out.column("feat").to_pylist()[0], dtype=np.float32)
+        assert np.allclose(got, expected, rtol=1e-5)
+
+    def test_frame_sampler_extracts_right_frame(self, ray_session):
+        from osm_live_updates_ray.functions import media
+
+        frames = [np.full((4, 4, 3), i, dtype=np.uint8) for i in range(6)]
+        payload = media.encode_ppmv(frames, frame_ms=500)
+        t = pa.table({
+            "media_id": pa.array([7], pa.int64()),
+            "duration_ms": pa.array([3000], pa.int32()),
+            "payload": pa.array([payload], pa.binary()),
+        })
+        out = multimodal.FrameSampler(every_ms=1000)(t)
+        assert out.num_rows == 3  # t = 0, 1000, 2000
+        for row, t_ms in zip(range(3), (0, 1000, 2000)):
+            blob = out.column("frame_stub")[row].as_py()
+            idx = t_ms // 500
+            assert (media.decode_ppm(blob) == frames[idx]).all()
+
+    def test_compressed_decode_gated(self):
+        from osm_live_updates_ray.functions import media
+
+        with pytest.raises(NotImplementedError):
+            media.decode_image(b"\x89PNG\r\n\x1a\nrest")
