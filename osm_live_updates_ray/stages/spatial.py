@@ -1041,12 +1041,14 @@ def fused_geocode_join(pages_ds, config: EngineConfig = DEFAULT_CONFIG,
         poly_ref, node_ref = broadcast_layers(polygons, nodes, config)
     if concurrency is None:
         n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        # reserve ~n/4 cores (capped at 6) for read/write TASKS: parquet
-        # scan is ~7x cheaper per page than the join, but a fixed 3-core
-        # reserve starves reads at 32 CPUs.  Measured optima on the
-        # 16M-page bench input: 8 CPUs -> pool 6, 16 -> 12, 32 -> 26
+        # reserve ~n/4 cores (capped at 6, floor 1) for read/write
+        # TASKS: parquet scan is ~7x cheaper per page than the join,
+        # but a fixed 3-core reserve starves reads at 32 CPUs and a
+        # 2-core floor starves the POOL at 4.  Measured optima on the
+        # 16M-page bench input: 4 CPUs -> pool 3 (pool=2 gave 142k
+        # pages/s, pool=3 gave 200k), 8 -> 6, 16 -> 12, 32 -> 26
         # (pool=29 gave 545k pages/s; pool=26 gave 882k)
-        pool = max(2, n - max(2, min(6, n // 4)))
+        pool = max(2, n - max(1, min(6, n // 4)))
         concurrency = (pool, pool)
     return pages_ds.map_batches(
         FusedGeocodeJoin,
