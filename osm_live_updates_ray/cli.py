@@ -14,8 +14,11 @@ Mapping to the reference flags:
   --bbox             <- --bbox (clip the change window to a region)
   --batch-size       <- --batch-size (lookup chunking)
   --statistics       <- --statistics (print the summary counters/timers)
-  --dry-run          <- -o/--output file mode: compute everything,
-                        report the would-be mutation, do NOT commit
+  --output           <- -o/--output file mode: compute everything, write
+                        the delete/insert op stream to files, do NOT
+                        commit (SparqlWrapper.cpp:88-146 short-circuit)
+  --dry-run          <- classification-only probe: report the would-be
+                        mutation counts, compute no geometry
 """
 
 from __future__ import annotations
@@ -91,8 +94,14 @@ def main(argv=None) -> int:
                         "-s/--extract-strategy)")
     a.add_argument("--batch-size", type=int, default=None)
     a.add_argument("--statistics", action="store_true")
+    a.add_argument("--output", default=None, metavar="DIR",
+                   help="file-sink audit mode (reference -o/--output): "
+                        "compute the full delta, write the would-be "
+                        "delete/insert op stream to DIR as Parquet + "
+                        "ops.jsonl, commit NOTHING")
     a.add_argument("--dry-run", action="store_true",
-                   help="compute, report, do not commit")
+                   help="compute the classification, report counts, "
+                        "do not commit")
     a.add_argument("--enforce-watermark", action="store_true")
 
     b = sub.add_parser("bootstrap", help="build a state store")
@@ -202,14 +211,15 @@ def main(argv=None) -> int:
             return 0
         summary = update.apply_changes(
             store, changes, cfg, enforce_watermark=args.enforce_watermark,
-            source=source,
+            source=source, emit_ops_dir=args.output,
         )
         if args.statistics:
             print(json.dumps(summary, indent=1))
         else:
             print(json.dumps({k: summary[k] for k in
                               ("deduped_rows", "dirty_cells", "tiles_rewritten",
-                               "empty") if k in summary}))
+                               "empty", "emitted_ops", "ops_dir")
+                              if k in summary}))
         return 0
     finally:
         if owns_ray:

@@ -335,15 +335,55 @@ def _dirty_assignment_rows(
     return pa.concat_tables([b.select(cols) for b in batches]).cast(ASSIGNMENTS_STATE)
 
 
+def _write_op_stream(out_dir: str, ops: list[tuple[str, str, pa.Table]]) -> list[dict]:
+    """File-sink audit mode (reference §3.3: ``-o out.sparql`` writes the
+    UPDATE operations to a file instead of POSTing,
+    src/sparql/SparqlWrapper.cpp:88-146 short-circuiting perform() at
+    :134).  Each op lands as Parquet; ``ops.jsonl`` is the ordered
+    manifest of the would-be mutation (one line per table+op)."""
+    import json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    lines = []
+    for table, op, payload in ops:
+        fname = f"{table}.{op}.parquet"
+        _pq.write_table(payload, os.path.join(out_dir, fname))
+        lines.append({"table": table, "op": op, "rows": payload.num_rows,
+                      "file": fname})
+    with open(os.path.join(out_dir, "ops.jsonl"), "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+    return lines
+
+
+def _ids_table(ids: np.ndarray, name: str = "id") -> pa.Table:
+    return pa.Table.from_pydict(
+        {name: pa.array(np.asarray(ids, dtype=np.int64), type=pa.int64())}
+    )
+
+
 def apply_changes(
     store: StateStore,
     changes: pa.Table,
     cfg: EngineConfig = DEFAULT_CONFIG,
     enforce_watermark: bool = False,
     source: str | None = None,
+    emit_ops_dir: str | None = None,
 ) -> dict:
     """Apply one change window; returns the run's counter/summary dict
-    (the reference's StatisticsHandler analog, ST5)."""
+    (the reference's StatisticsHandler analog, ST5).
+
+    ``emit_ops_dir``: audit/file-sink mode — compute the whole delta
+    (classification, reconstruction, geometry, invalidation) against the
+    CURRENT store, write the would-be delete/insert op stream there, and
+    return WITHOUT mutating any state (reference §3.3 ``-o``: reads
+    still hit the endpoint, writes go to the file).  The derived tile
+    rewrite is represented by the invalidated assignment rows
+    (``assignments.invalidate``) — their re-join output depends on the
+    post-mutation layers, which an uncommitted run never has."""
     # ST2: the store's persisted option set wins over the caller's
     # config — which derived columns exist was decided at bootstrap
     cfg = store.discovered_config(cfg)
@@ -524,6 +564,54 @@ def apply_changes(
     )
     summary["rejoined_pages"] = int(dirty_rows.num_rows)
     timers["invalidation_scan"] = _time.time() - _t0
+
+    if emit_ops_dir is not None:
+        ops = _write_op_stream(
+            emit_ops_dir,
+            [
+                ("nodes", "upsert", node_upserts),
+                ("nodes", "delete", _ids_table(plan.deleted_nodes)),
+                ("ways", "upsert", way_upserts),
+                ("ways", "delete", _ids_table(plan.deleted_ways)),
+                ("relations", "upsert", rel_upserts),
+                ("relations", "delete", _ids_table(plan.deleted_relations)),
+                ("geoms", "upsert", new_geoms),
+                (
+                    "geoms",
+                    "delete",
+                    _ids_table(
+                        np.concatenate(
+                            [
+                                pack_gid("node", plan.deleted_nodes),
+                                pack_gid("way", plan.deleted_ways),
+                                pack_gid("relation", plan.deleted_relations),
+                            ]
+                        ),
+                        "gid",
+                    ),
+                ),
+                ("polygon_rings", "upsert", new_rings),
+                ("polygon_rings", "delete",
+                 _ids_table(affected_poly_ids, "polygon_id")),
+                # edge tables: delete every edge OWNED by a touched
+                # way/relation, insert the re-exploded member lists
+                # (same semantics as apply_owned_edges below)
+                ("way_members_by_node", "delete_owners",
+                 _ids_table(all_ways, "way_id")),
+                ("way_members_by_node", "upsert",
+                 explode_way_members(way_upserts)),
+                ("rel_members_by_member", "delete_owners",
+                 _ids_table(all_rels, "rel_id")),
+                ("rel_members_by_member", "upsert",
+                 explode_rel_members(rel_upserts)),
+                ("assignments", "invalidate", dirty_rows),
+            ],
+        )
+        summary.update(
+            emitted_ops=len(ops), ops_dir=emit_ops_dir,
+            tiles_rewritten=0, empty=False, timers=timers,
+        )
+        return summary
 
     # --- apply state mutations (COW partitions; commit at the end)
     _t0 = _time.time()

@@ -381,6 +381,236 @@ def tpch_q12(sf_dir: str):
     return out
 
 
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(sf_dir: str):
+    """EXISTS semi-join as a distributed shape: fact ⋈ fact hash join,
+    per-row predicate, then DISTINCT via a two-level groupby (never a
+    driver-side id set).  The testdata lineitem has no commit/receipt
+    dates; 'shipped >30 days after ordering' stands in for the
+    reference's late-line predicate, mirrored in the oracle."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    # join the DENSE sides first (a 2.49 hash join aborts on an empty
+    # shuffle partition), apply the quarter window + late predicate after
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def late(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (
+            (od >= np.datetime64("1996-07-01", "us"))
+            & (od < np.datetime64("1996-10-01", "us"))
+            & (sd > od + np.timedelta64(30, "D"))
+        )
+        return t.filter(pa.array(keep)).select(["o_orderpriority", "l_orderkey"])
+
+    out = (
+        joined.map_batches(late, batch_format="pyarrow")
+        # EXISTS = at least one late line: collapse per order first …
+        .groupby(["o_orderpriority", "l_orderkey"])
+        .aggregate(Count(alias_name="_lines"))
+        # … then count distinct orders per priority
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .to_pandas()
+    )
+    return out[["o_orderpriority", "order_count"]]
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0e0 END), 2)
+             AS promo_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           ROUND(100e0
+                 * ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0e0 END), 2)
+                 / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2), 4)
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def tpch_q14(sf_dir: str):
+    """Promo-revenue ratio: part is a true dimension — broadcast once as
+    sorted key + bool arrays, probed with searchsorted inside
+    map_batches; one Dataset.aggregate computes both sums in a single
+    pass.  The ratio is derived from the ROUNDED sums on both sides so
+    summation-order ulps cannot move it."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    part = td.read(sf_dir, "part", ["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = pc.starts_with(part.column("p_type"), "PROMO").to_numpy(
+        zero_copy_only=False
+    )
+    order_ = np.argsort(pk)
+    pk, promo = pk[order_], promo[order_]
+
+    def probe(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (sd >= np.datetime64("1996-01-01", "us")) & (
+            sd < np.datetime64("1997-01-01", "us")
+        )
+        t = t.filter(pa.array(keep))
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t.column("l_extendedprice").to_numpy(zero_copy_only=False) * (
+            1.0 - t.column("l_discount").to_numpy(zero_copy_only=False)
+        )
+        if len(pk):
+            pos = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            found = pk[pos] == lp
+        else:
+            pos = np.zeros(len(lp), dtype=np.int64)
+            found = np.zeros(len(lp), dtype=bool)
+        is_promo = promo[pos] & found
+        return pa.Table.from_pydict(
+            {
+                "rev": pa.array(rev[found], type=pa.float64()),
+                "promo_rev": pa.array(
+                    np.where(is_promo[found], rev[found], 0.0), type=pa.float64()
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(probe, batch_format="pyarrow")
+    agg = ds.aggregate(Sum("promo_rev"), Sum("rev"))
+    p, tot = agg.get("sum(promo_rev)"), agg.get("sum(rev)")
+    if tot is None or not tot:
+        return pd.DataFrame(
+            {"promo_revenue": [np.nan], "total_revenue": [np.nan],
+             "promo_pct": [np.nan]}
+        )
+    pr = float(_round(np.array([p]), 2)[0])
+    tr = float(_round(np.array([tot]), 2)[0])
+    pct = float(_round(np.array([100.0 * pr / tr]), 4)[0])
+    return pd.DataFrame(
+        {"promo_revenue": [pr], "total_revenue": [tr], "promo_pct": [pct]}
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING ROUND(SUM(l_quantity), 2) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q18(sf_dir: str):
+    """Large-volume-customer shape: grouped HAVING filter produces a
+    SMALL key set (~1% of orders), which then drives streamed is_in
+    probes of orders and customer — the fact tables are never
+    materialized, only the having-selected rows come to the driver.
+    The HAVING compares the ROUNDED sum on both sides so a boundary
+    ulp cannot flip membership."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    qty = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    _round(t.column("sum_qty").to_numpy(zero_copy_only=False), 2)
+                    > 250.0
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    big = pa.concat_tables(
+        list(qty.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    )  # HAVING-selected: small by construction
+    okeys = np.sort(big.column("l_orderkey").to_numpy(zero_copy_only=False))
+    o_sel = pa.concat_tables(
+        list(
+            rd.read_parquet(
+                f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            )
+            .map_batches(
+                lambda t: t.filter(
+                    pc.is_in(t.column("o_orderkey"), value_set=pa.array(okeys))
+                ),
+                batch_format="pyarrow",
+            )
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        )
+    )
+    ckeys = np.unique(o_sel.column("o_custkey").to_numpy(zero_copy_only=False))
+    c_sel = pa.concat_tables(
+        list(
+            rd.read_parquet(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+            )
+            .map_batches(
+                lambda t: t.filter(
+                    pc.is_in(t.column("c_custkey"), value_set=pa.array(ckeys))
+                ),
+                batch_format="pyarrow",
+            )
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+        )
+    )
+    # three small sides merge on the driver
+    df = o_sel.to_pandas()
+    qdf = big.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+    cdf = c_sel.to_pandas()
+    out = df.merge(qdf, on="o_orderkey").merge(cdf, left_on="o_custkey",
+                                               right_on="c_custkey")
+    out["sum_qty"] = _round(out["sum_qty"].to_numpy(), 2)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
 # ===========================================================================
 # Geospatial pipeline over the adapter world (the engine's core surface)
 # ===========================================================================
@@ -1121,6 +1351,57 @@ def doc_fingerprints(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fp, batch_format="pyarrow")
+
+
+@register(
+    "doc_sample_stratified",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+        list_reduce(
+          list_prepend(0::HUGEINT,
+            list_transform(range(1, length(text)+1),
+                           i -> ord(substr(text, i, 1))::HUGEINT)),
+          (h, b) -> (h * 1000003 + b) % 18446744073709551616::HUGEINT
+        ) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+    FROM h
+    WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                             WHEN 'fr' THEN 20 ELSE 10 END
+    """,
+)
+def doc_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling — the downsample step of a
+    training-data mix.  The sampling decision is a pure function of the
+    document bytes (rolling-hash fingerprint mod 100 vs a per-language
+    rate), so the sample is reproducible across runs, resumable
+    mid-corpus, and needs NO shuffle or shared RNG state: each batch
+    filters independently inside map_batches.  Rates: en 50%, de 30%,
+    fr 20%, all other languages 10%."""
+    from .functions import text as textfn
+
+    rd = _rd()
+    rates = {"en": 50, "de": 30, "fr": 20}
+
+    def samp(t: pa.Table) -> pa.Table:
+        buckets = np.array(
+            [
+                (textfn.fingerprint64(s) % (1 << 64)) % 100
+                for s in t.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        langs = t.column("lang").to_pylist()
+        thr = np.fromiter((rates.get(l, 10) for l in langs), np.int64, len(langs))
+        keep = buckets < thr
+        t = t.append_column("bucket", pa.array(buckets, type=pa.int64()))
+        return t.filter(pa.array(keep)).select(["doc_id", "lang", "bucket"])
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(samp, batch_format="pyarrow")
 
 
 _LANGID_SQL = """

@@ -103,6 +103,13 @@ def _schema_of(name: str) -> pa.Schema:
     return _TABLE_SCHEMAS[name]
 
 
+# Tables where the key is a PRIMARY key (exactly one live row per id).
+# A lookup returning duplicate keys from one of these means the store is
+# corrupt — the engine analog of the reference erroring when the
+# endpoint returns more rows than requested ids
+# (src/osm/OsmDataFetcherQLever.cpp:126-129, 161-166).
+_UNIQUE_KEYED = {"nodes", "ways", "relations", "geoms"}
+
 _TABLE_KEYS = {
     "nodes": "id",
     "ways": "id",
@@ -472,6 +479,13 @@ class StateStore:
         if not files:
             t = schema.empty_table()
             return t.select(columns) if columns else t
+        # For primary-keyed tables, scan the key even when the caller
+        # didn't ask for it so duplicate rows can be detected (see
+        # _UNIQUE_KEYED); delta-sized results make the extra column cheap.
+        guard = name in _UNIQUE_KEYED and key == _TABLE_KEYS[name]
+        scan_columns = columns
+        if guard and columns is not None and key not in columns:
+            scan_columns = list(columns) + [key]
         dset = pads.dataset(files)
         out = []
         bs = self.config.batch_size
@@ -479,11 +493,25 @@ class StateStore:
             chunk = ids[s : s + bs]
             out.append(
                 dset.to_table(
-                    columns=columns,
+                    columns=scan_columns,
                     filter=pads.field(key).isin(pa.array(chunk)),
                 )
             )
-        return pa.concat_tables(out)
+        result = pa.concat_tables(out)
+        if guard and result.num_rows:
+            keys = result.column(key).to_numpy(zero_copy_only=False)
+            n_unique = len(np.unique(keys))
+            if n_unique != result.num_rows:
+                raise RuntimeError(
+                    f"state table '{name}' returned {result.num_rows} rows "
+                    f"for {n_unique} distinct {key}s — duplicate live rows "
+                    "mean a corrupt store (reference hard-errors when the "
+                    "endpoint returns more rows than requested, "
+                    "src/osm/OsmDataFetcherQLever.cpp:126-129)"
+                )
+        if scan_columns is not columns and columns is not None:
+            result = result.select(columns)
+        return result
 
     def count(self, name: str) -> int:
         return sum(pq.read_metadata(f).num_rows for f in self._files(name))

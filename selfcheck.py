@@ -2,7 +2,8 @@
 at a given sf tier, compared with its oracle_sql() via DuckDB
 (row-count + schema + exact values, order-insensitive).
 
-Usage: python selfcheck.py [SF_DIR]   (default /root/testdata/sf0.01)
+Usage: python selfcheck.py [SF_DIR] [QUERY ...]
+(default /root/testdata/sf0.01, all queries)
 Exits non-zero if any oracle-backed entry mismatches."""
 import os, sys, json
 sys.path.insert(0, "/root/repo"); os.chdir("/root/repo")
@@ -18,6 +19,12 @@ import __ray_entry__ as E
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 qs, sqls = E.queries(), E.oracle_sql()
+if len(sys.argv) > 2:
+    only = set(sys.argv[2:])
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}")
+    qs = {k: v for k, v in qs.items() if k in only}
 con = duckdb.connect()
 for tb in ["region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings"]:

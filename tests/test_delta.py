@@ -235,3 +235,10 @@ class TestMultiFileMerge:
     def test_427_dataset_roundtrip(self, ray_session):
         ds = osc.read_osc_dataset([f"{REF}/427.osc"])
         assert ds.count() == 4613
+
+    def test_427_gz_identical_to_plain(self):
+        # the replication server serves gzipped diffs; decompression
+        # must be transparent (reference fetches .osc.gz)
+        plain = osc.read_osc_file(f"{REF}/427.osc")
+        gz = osc.read_osc_file(f"{REF}/427.osc.gz")
+        assert gz.equals(plain)

@@ -223,6 +223,98 @@ class TestCli:
         assert t.num_rows == 1
 
 
+class TestOpStreamEmit:
+    """§3.3 file-sink parity: ``--output DIR`` writes the delete/insert
+    op stream and commits NOTHING; applying the emitted ops by hand must
+    reproduce the real apply's partitioned state exactly."""
+
+    def test_emit_then_manual_apply_equals_real_apply(
+        self, ray_session, t1_world, tmp_path_factory
+    ):
+        import json
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from osm_live_updates_ray.state.store import (
+            explode_rel_members,
+            explode_way_members,
+        )
+
+        w = t1_world
+        # hermetic real-apply reference (the shared `replayed` store is
+        # mutated by other tests when the whole suite runs)
+        rootA = str(tmp_path_factory.mktemp("emit_ref"))
+        A = static_join.build_state(
+            rootA, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"]
+        )
+        update.apply_changes(A, w["changes"])
+        root = str(tmp_path_factory.mktemp("emit_state"))
+        st = static_join.build_state(
+            root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"]
+        )
+        gen_before = st._manifest["generation"]
+        ops_dir = str(tmp_path_factory.mktemp("ops"))
+        s = update.apply_changes(st, w["changes"], emit_ops_dir=ops_dir)
+        assert s["emitted_ops"] > 0 and s["tiles_rewritten"] == 0
+        # nothing committed
+        assert st._manifest["generation"] == gen_before
+        assert json.load(open(f"{root}/manifest.json"))["generation"] == gen_before
+
+        manifest = [json.loads(l) for l in open(f"{ops_dir}/ops.jsonl")]
+        by_op = {(m["table"], m["op"]): m for m in manifest}
+        load = lambda tb, op: pq.read_table(f"{ops_dir}/{by_op[(tb, op)]['file']}")
+
+        # old edge touch-keys must come from the PRE-mutation state
+        old_way_edges = explode_way_members(
+            st.lookup("ways", load("way_members_by_node",
+                                   "delete_owners").column("way_id").to_numpy())
+        )
+        old_rel_edges = explode_rel_members(
+            st.lookup("relations", load("rel_members_by_member",
+                                        "delete_owners").column("rel_id").to_numpy())
+        )
+        st.begin()
+        for tb in ("nodes", "ways", "relations"):
+            st.apply_upserts_deletes(
+                tb, load(tb, "upsert"),
+                load(tb, "delete").column("id").to_numpy(),
+            )
+        st.apply_upserts_deletes(
+            "geoms", load("geoms", "upsert"),
+            load("geoms", "delete").column("gid").to_numpy(),
+        )
+        st.apply_upserts_deletes(
+            "polygon_rings", load("polygon_rings", "upsert"),
+            load("polygon_rings", "delete").column("polygon_id").to_numpy(),
+        )
+        st.apply_owned_edges(
+            "way_members_by_node", load("way_members_by_node", "upsert"),
+            owner_col="way_id",
+            owner_ids=load("way_members_by_node",
+                           "delete_owners").column("way_id").to_numpy(),
+            touch_keys=old_way_edges.column("node_id").to_numpy(),
+        )
+        st.apply_owned_edges(
+            "rel_members_by_member", load("rel_members_by_member", "upsert"),
+            owner_col="rel_id",
+            owner_ids=load("rel_members_by_member",
+                           "delete_owners").column("rel_id").to_numpy(),
+            touch_keys=old_rel_edges.column("member_id").to_numpy(),
+        )
+        st.commit()
+
+        for table, keys in [
+            ("nodes", ["id"]), ("ways", ["id"]), ("relations", ["id"]),
+            ("geoms", ["gid"]), ("polygon_rings", ["polygon_id", "ring_idx"]),
+            ("way_members_by_node", ["way_id", "pos"]),
+            ("rel_members_by_member", ["rel_id", "pos"]),
+        ]:
+            assert_tables_equal(st.read_all(table), A.read_all(table), keys)
+
+
 class TestRelationOnlyModify:
     def test_relation_modify_without_member_ways(
         self, ray_session, t1_world, tmp_path_factory

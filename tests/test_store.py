@@ -45,6 +45,28 @@ class TestLookups:
         expect_w = {m["ref"] for m in rel["members"] if m["type"] == "way"}
         assert set(w.tolist()) == expect_w
 
+    def test_duplicate_live_rows_hard_error(self, store, t1_world):
+        # reference parity: the fetcher hard-errors when the endpoint
+        # returns more rows than requested ids
+        # (src/osm/OsmDataFetcherQLever.cpp:126-129).  Inject a
+        # duplicate node row into a committed partition file and the
+        # next lookup touching it must refuse.
+        import pyarrow.parquet as pq
+
+        dup = t1_world["osm_nodes"].slice(0, 1)
+        dup_id = dup.column("id")[0].as_py()
+        part = store._files_for_keys("nodes", np.array([dup_id]))[0]
+        import pyarrow.compute as pc
+
+        pa_tbl = pq.read_table(part)
+        dup_row = pa_tbl.filter(pc.equal(pa_tbl.column("id"), dup_id))
+        pq.write_table(pa.concat_tables([pa_tbl, dup_row]), part)
+        with pytest.raises(RuntimeError, match="duplicate live rows"):
+            store.lookup("nodes", np.array([dup_id]))
+        # even when the caller projects away the key column
+        with pytest.raises(RuntimeError, match="duplicate live rows"):
+            store.lookup("nodes", np.array([dup_id]), columns=["lon", "lat"])
+
 
 class TestCow:
     def test_upsert_delete_and_reopen(self, store, t1_world):
