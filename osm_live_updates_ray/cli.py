@@ -113,6 +113,11 @@ def main(argv=None) -> int:
     b.add_argument("--resume", action="store_true",
                    help="re-open an existing state dir and skip phases "
                         "already committed (crash recovery)")
+    b.add_argument("--pages-shards", type=int, default=0,
+                   help="split the pages input into N shard groups and "
+                        "build the two big phases MID-PHASE-resumably: "
+                        "a killed run redoes only unsealed shards "
+                        "(combine with --resume)")
 
     args = ap.parse_args(argv)
 
@@ -131,6 +136,17 @@ def main(argv=None) -> int:
 
             from .pipelines import static_join
 
+            shards = None
+            if args.pages_shards:
+                import os as _os
+
+                files = sorted(
+                    glob.glob(_os.path.join(args.pages, "*.parquet"))
+                ) or [args.pages]
+                import numpy as _np
+
+                k = max(1, min(args.pages_shards, len(files)))
+                shards = [list(g) for g in _np.array_split(files, k)]
             static_join.build_state(
                 args.state,
                 rd.read_parquet(args.pages),
@@ -138,6 +154,7 @@ def main(argv=None) -> int:
                 pq.read_table(args.ways),
                 pq.read_table(args.relations),
                 resume=args.resume,
+                pages_shards=shards,
             )
             print(json.dumps({"status": "ok", "state": args.state}))
             return 0

@@ -66,6 +66,7 @@ def build_state(
     relations: pa.Table,
     cfg: EngineConfig = DEFAULT_CONFIG,
     resume: bool = False,
+    pages_shards: list[list[str]] | None = None,
 ) -> StateStore:
     """Bootstrap the full state store; returns the committed store.
 
@@ -80,6 +81,13 @@ def build_state(
     phases after the crash point are recomputed.  The caller must pass
     the same inputs as the interrupted run — resuming never validates
     input equality beyond the store's persisted option set.
+
+    ``pages_shards`` (list of parquet file groups) switches the two
+    BIG phases — the pages write and the spatial-join assignments
+    write — to the MID-PHASE-resumable sharded path
+    (``StateStore.init_tile_table_sharded``): a killed run re-executes
+    only the unsealed shards of the phase it died in, not the whole
+    phase.  Use it when one phase is hours long (planet bootstrap).
     """
     import os as _os
 
@@ -119,8 +127,15 @@ def build_state(
 
     # pages: geocode + cell encode, tile-partitioned write (streaming)
     if "tile:pages" not in store._manifest["tables"]:
-        pages_geo = spatial.geocode(pages_ds, cfg)
-        store.init_tile_table("pages", pages_geo)
+        if pages_shards:
+            import ray.data as rd
+
+            store.init_tile_table_sharded(
+                "pages", pages_shards,
+                lambda files: spatial.geocode(rd.read_parquet(files), cfg),
+            )
+        else:
+            store.init_tile_table("pages", spatial.geocode(pages_ds, cfg))
 
     # assignments: spatial join over the freshly written pages table
     # (read back => the join input is the committed state, and a retry
@@ -133,13 +148,30 @@ def build_state(
                 "lat": nodes.column("lat"),
             }
         )
-        pages_back = store.read_tiles_dataset(
-            "pages", columns=["url", "lon", "lat", "cell_id", "tile_id"]
-        )
-        assignments = spatial.spatial_join(
-            pages_back, rings, node_tbl, cfg, keep_lonlat=True
-        )
-        store.init_tile_table("assignments", assignments)
+        join_cols = ["url", "lon", "lat", "cell_id", "tile_id"]
+        if pages_shards:
+            # shard by tile-id ranges of the COMMITTED pages table: each
+            # shard re-reads only its tiles, so a resumed run skips the
+            # sealed ranges of this (typically dominant) phase too
+            tids = sorted(store.tile_ids("pages"))
+            k = max(1, min(len(tids), len(pages_shards)))
+            groups = [list(map(int, g)) for g in np.array_split(tids, k)]
+            store.init_tile_table_sharded(
+                "assignments", groups,
+                lambda tile_ids: spatial.spatial_join(
+                    store.read_tiles_dataset(
+                        "pages", tile_ids=tile_ids, columns=join_cols
+                    ),
+                    rings, node_tbl, cfg, keep_lonlat=True,
+                ),
+            )
+        else:
+            pages_back = store.read_tiles_dataset("pages", columns=join_cols)
+            store.init_tile_table(
+                "assignments",
+                spatial.spatial_join(pages_back, rings, node_tbl, cfg,
+                                     keep_lonlat=True),
+            )
 
     # tile rollups (A6) over the committed assignments
     from ..stages import tiles as tilestage

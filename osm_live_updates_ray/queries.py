@@ -1135,6 +1135,84 @@ def doc_stats(sf_dir: str):
 
 
 @register(
+    "doc_pack_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum_before // 512 AS BIGINT) AS chunk_start,
+           CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS chunk_end,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_chunk
+    FROM c
+    """,
+)
+def doc_pack_chunks(sf_dir: str):
+    """Sequence packing for training: concatenate the corpus in doc_id
+    order and split at fixed 512-token boundaries — every doc gets the
+    chunk range it lands in (docs may straddle a boundary, exactly the
+    concat-and-chunk layout LLM pretraining uses).
+
+    Distributed shape = the classic two-phase PREFIX SUM, which no
+    single groupby expresses: (1) per-partition token totals (partition
+    = doc_id range bucket, so the exchange is one row per bucket);
+    (2) driver computes the tiny exclusive-offset table; (3) each
+    bucket independently sorts its own docs and adds its offset to a
+    local cumsum.  No stage ever sees more than its bucket; the
+    offsets table is two ints per bucket.  At real scale the
+    (doc_id, n_tokens) projection would be persisted instead of
+    recomputed for pass 2."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    SPAN, B = 4096, 512
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
+                "part": (df["doc_id"] // SPAN).astype("int64"),
+            }
+        )
+
+    proj_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(proj, batch_format="pandas").materialize()
+    sums = (
+        proj_ds.groupby("part").aggregate(Sum("n_tokens", alias_name="tok")).to_pandas()
+    ).sort_values("part")
+    offsets = dict(
+        zip(sums["part"], np.concatenate([[0], np.cumsum(sums["tok"].to_numpy())[:-1]]))
+    )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        tok = df["n_tokens"].to_numpy()
+        cum_before = int(offsets[df["part"].iloc[0]]) + np.concatenate(
+            [[0], np.cumsum(tok)[:-1]]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": tok,
+                "chunk_start": cum_before // B,
+                "chunk_end": (cum_before + tok - 1) // B,
+                "offset_in_chunk": cum_before % B,
+            }
+        )
+
+    return proj_ds.groupby("part").map_groups(pack, batch_format="pandas")
+
+
+@register(
     "doc_quality",
     """
     SELECT doc_id,

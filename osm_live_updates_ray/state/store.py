@@ -794,6 +794,93 @@ class StateStore:
         ]
         self.commit()
 
+    def init_tile_table_sharded(
+        self, name: str, shards: list, transform
+    ) -> None:
+        """MID-SHUFFLE-resumable bulk tile build (north-star: a killed
+        driver resumes mid-shuffle, not just at phase boundaries).
+
+        ``transform(shard) -> Dataset`` turns one shard spec (a file
+        group, a tile-id range — anything deterministic) into its slice
+        of the table.  Each shard is written independently under
+        ``<name>.stage/shard=K/tile_id=N/`` and sealed with an atomic
+        ``_DONE`` marker; a killed run re-executes ONLY unsealed
+        shards — sealed shard output is never touched.  When every
+        shard is sealed, a compaction pass merges the shard outputs per
+        tile (deterministic shard order) into the final
+        ``<name>/tile_id=N/data.parquet`` layout and the manifest commit
+        publishes the table atomically.  The stage dir lives outside the
+        manifest, so startup GC never sweeps it (see ``_gc``).
+
+        Correctness requires ``transform`` to be per-row deterministic
+        and shard-independent (true for geocode and the broadcast
+        spatial join: no cross-shard state).
+        """
+        if self._manifest["tables"].get(f"tile:{name}"):
+            return
+        import ray.data as rd
+
+        stage = os.path.join(self.root, f"{name}.stage")
+        final = os.path.join(self.root, name)
+        for k, shard in enumerate(shards):
+            sdir = os.path.join(stage, f"shard={k}")
+            done = os.path.join(sdir, "_DONE")
+            if os.path.exists(done):
+                continue
+            if os.path.exists(sdir):
+                shutil.rmtree(sdir)  # unsealed partial attempt
+            transform(shard).write_parquet(sdir, partition_cols=["tile_id"])
+            tmp = done + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("1")
+            os.replace(tmp, done)
+        # compaction is itself idempotent: a crash here leaves the
+        # sealed stage intact and an unlisted final dir, which the next
+        # attempt rebuilds from scratch
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        shard_dirs = sorted(
+            (d for d in os.listdir(stage) if d.startswith("shard=")),
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+        per_tile: dict[str, list[str]] = {}
+        for sd in shard_dirs:
+            sp = os.path.join(stage, sd)
+            for td in os.listdir(sp):
+                if td.startswith("tile_id="):
+                    tp = os.path.join(sp, td)
+                    per_tile.setdefault(td, []).extend(
+                        os.path.join(tp, f) for f in sorted(os.listdir(tp))
+                    )
+
+        def compact(batch: pa.Table) -> pa.Table:
+            for td in batch.column("dir").to_pylist():
+                merged = pa.concat_tables(
+                    [pq.read_table(f) for f in per_tile[td]]
+                )
+                dpath = os.path.join(final, td)
+                os.makedirs(dpath, exist_ok=True)
+                tmp = os.path.join(dpath, ".data.parquet.tmp")
+                pq.write_table(merged, tmp)
+                os.replace(tmp, os.path.join(dpath, "data.parquet"))
+            return pa.Table.from_pydict({"n": [batch.num_rows]})
+
+        if per_tile:
+            (
+                rd.from_arrow(pa.Table.from_pydict({"dir": sorted(per_tile)}))
+                .map_batches(compact, batch_format="pyarrow", batch_size=4)
+                .count()
+            )
+        entry = {td.split("=", 1)[1]: ["data.parquet"] for td in per_tile}
+        self._manifest["tables"][f"tile:{name}"] = entry
+        self.begin()
+        self._pending_lineage = [
+            {"table": name, "tile": t, "files": 1, "op": "bootstrap-sharded"}
+            for t in entry
+        ]
+        self.commit()
+        shutil.rmtree(stage, ignore_errors=True)
+
     def tile_ids(self, name: str) -> list[int]:
         return [int(t) for t in self._manifest["tables"].get(f"tile:{name}", {})]
 

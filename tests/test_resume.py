@@ -227,3 +227,83 @@ def test_bootstrap_crash_mid_tile_write_then_resume(
     fa, fb = _state_fingerprint(rootA), _state_fingerprint(rootB)
     fa.pop("generation"), fb.pop("generation")
     assert fa == fb
+
+
+def test_sharded_bootstrap_mid_phase_resume(
+    ray_session, t1_world, tmp_path_factory, monkeypatch
+):
+    """``pages_shards``: a sharded bootstrap killed MID-PHASE (two of
+    four pages shards sealed) must, on resume, re-execute ONLY the
+    unsealed shards — sealed shard output is reused, the stage dir is
+    cleaned up after the final commit, and the finished store equals a
+    clean plain (unsharded) build."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm_live_updates_ray.pipelines import static_join
+    from osm_live_updates_ray.stages import spatial
+    from osm_live_updates_ray.state.store import StateStore
+
+    w = t1_world
+    pdir = tmp_path_factory.mktemp("pshards")
+    n = w["pages"].num_rows
+    step = -(-n // 4)
+    shards = []
+    for i in range(4):
+        f = str(pdir / f"pages-{i:02d}.parquet")
+        pq.write_table(w["pages"].slice(i * step, step), f)
+        shards.append([f])
+    all_files = [f for g in shards for f in g]
+    rootA = str(tmp_path_factory.mktemp("shardA"))
+    rootB = str(tmp_path_factory.mktemp("shardB"))
+
+    real_geocode = spatial.geocode
+    calls = {"n": 0}
+
+    def flaky(ds, cfg):
+        calls["n"] += 1
+        if calls["n"] == 3:  # dies while processing shard 2 of 0..3
+            raise RuntimeError("injected shard crash")
+        return real_geocode(ds, cfg)
+
+    monkeypatch.setattr(static_join.spatial, "geocode", flaky)
+    with pytest.raises(RuntimeError, match="injected shard"):
+        static_join.build_state(
+            rootA, rd.read_parquet(all_files), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"], pages_shards=shards,
+        )
+
+    stage = os.path.join(rootA, "pages.stage")
+    sealed = sorted(glob.glob(os.path.join(stage, "shard=*", "_DONE")))
+    assert len(sealed) == 2  # shards 0 and 1 sealed before the crash
+
+    counted = {"n": 0}
+
+    def counting(ds, cfg):
+        counted["n"] += 1
+        return real_geocode(ds, cfg)
+
+    monkeypatch.setattr(static_join.spatial, "geocode", counting)
+    static_join.build_state(
+        rootA, rd.read_parquet(all_files), w["osm_nodes"], w["osm_ways"],
+        w["osm_relations"], resume=True, pages_shards=shards,
+    )
+    # only the two UNSEALED shards were re-executed
+    assert counted["n"] == 2
+    # the stage dir is gone once the table is committed
+    assert not os.path.exists(stage)
+    assert not os.path.exists(os.path.join(rootA, "assignments.stage"))
+
+    monkeypatch.setattr(static_join.spatial, "geocode", real_geocode)
+    static_join.build_state(
+        rootB, rd.read_parquet(all_files), w["osm_nodes"], w["osm_ways"],
+        w["osm_relations"],
+    )
+    pa_pages = StateStore(rootA).read_tiles("pages").sort_by("url")
+    pb_pages = StateStore(rootB).read_tiles("pages").sort_by("url")
+    assert pa_pages.equals(pb_pages)
+    fa, fb = _state_fingerprint(rootA), _state_fingerprint(rootB)
+    fa.pop("generation"), fb.pop("generation")
+    assert fa == fb
