@@ -1290,6 +1290,125 @@ def dedup_exact_q(sf_dir: str):
     return ds.groupby("content_hash").map_groups(per_text, batch_format="pandas")
 
 
+@register(
+    "training_mix",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(range(1, length(text)+1),
+                                i -> ord(substr(text, i, 1))::HUGEINT)),
+               (h, b) -> (h * 1000003 + b) % 18446744073709551616::HUGEINT
+             ) % 100 AS bucket
+      FROM documents
+    ), q AS (
+      SELECT * FROM t WHERE n_tokens BETWEEN 20 AND 90
+    ), d AS (
+      SELECT * FROM q
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), s AS (
+      SELECT doc_id, lang, n_tokens, CAST(bucket AS BIGINT) AS bucket
+      FROM d
+      WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                               WHEN 'fr' THEN 20 ELSE 10 END
+    ), c AS (
+      SELECT doc_id, lang, n_tokens, bucket,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM s
+    )
+    SELECT doc_id, lang, n_tokens, bucket,
+           CAST(cum_before // 512 AS BIGINT) AS chunk_start,
+           CAST(cum_before % 512 AS BIGINT) AS offset_in_chunk
+    FROM c
+    """,
+)
+def training_mix(sf_dir: str):
+    """The composed end-to-end training-data pipeline, as ONE streaming
+    Dataset: quality filter (token-count window) → exact dedup (hash
+    shuffle, keep min doc_id per distinct text) → deterministic
+    stratified downsample (fingerprint bucket vs per-language rate) →
+    concat-and-chunk sequence packing (distributed prefix sum).  Two
+    shuffles total (dedup groupby, pack regroup); text leaves the
+    pipeline at the dedup stage — everything downstream moves only
+    int/lang columns.  Every stage is deterministic, so the whole mix
+    is oracle-checked end to end."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    from .functions import text as textfn
+    from .stages.dedup_docs import add_content_hash
+
+    SPAN, B = 4096, 512
+    rates = {"en": 50, "de": 30, "fr": 20}
+
+    def stage_a(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split(" ").str.len().astype("int64")
+        df = df.assign(n_tokens=n_tok)
+        df = df[(df["n_tokens"] >= 20) & (df["n_tokens"] <= 90)]
+        df = df.assign(
+            bucket=np.array(
+                [
+                    (textfn.fingerprint64(s) % (1 << 64)) % 100
+                    for s in df["text"]
+                ],
+                dtype=np.int64,
+            )
+        )
+        return df[["doc_id", "lang", "text", "n_tokens", "bucket"]]
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby("text", sort=False)["doc_id"].idxmin()]
+        return keep.drop(columns=["text", "content_hash"])
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        thr = df["lang"].map(lambda l: rates.get(l, 10)).astype("int64")
+        df = df[df["bucket"] < thr]
+        return df.assign(part=(df["doc_id"] // SPAN).astype("int64"))
+
+    survivors = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .map_batches(stage_a, batch_format="pandas")
+        .map_batches(add_content_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(dedup_group, batch_format="pandas")
+        .map_batches(sample, batch_format="pandas")
+        .materialize()  # consumed twice: offsets pass + pack pass
+    )
+    sums = (
+        survivors.groupby("part")
+        .aggregate(Sum("n_tokens", alias_name="tok"))
+        .to_pandas()
+        .sort_values("part")
+    )
+    offsets = dict(
+        zip(sums["part"], np.concatenate([[0], np.cumsum(sums["tok"].to_numpy())[:-1]]))
+    )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        tok = df["n_tokens"].to_numpy()
+        cum_before = int(offsets[df["part"].iloc[0]]) + np.concatenate(
+            [[0], np.cumsum(tok)[:-1]]
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "n_tokens": tok,
+                "bucket": df["bucket"].to_numpy(),
+                "chunk_start": cum_before // B,
+                "offset_in_chunk": cum_before % B,
+            }
+        )
+
+    return survivors.groupby("part").map_groups(pack, batch_format="pandas")
+
+
 @register("minhash_near_dups")  # not SQL-expressible -> rows-only check
 def minhash_near_dups(sf_dir: str):
     """MinHash+LSH candidate pairs, Jaccard-verified by joining the
