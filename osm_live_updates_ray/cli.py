@@ -56,7 +56,7 @@ def _clip_bbox(changes, bbox: str):
     import numpy as np
     import pyarrow as pa
 
-    min_lon, min_lat, max_lon, max_lat = (float(x) for x in bbox.split(","))
+    min_lon, min_lat, max_lon, max_lat = _parse_bbox(bbox)
     lon = changes.column("lon").to_numpy(zero_copy_only=False)
     lat = changes.column("lat").to_numpy(zero_copy_only=False)
     types = np.asarray(changes.column("type").to_pylist(), dtype=object)
@@ -65,6 +65,23 @@ def _clip_bbox(changes, bbox: str):
     )
     keep = (types != "node") | inside
     return changes.filter(pa.array(keep))
+
+
+def _parse_bbox(bbox: str) -> tuple[float, float, float, float]:
+    """Validate --bbox like the reference's Config checks
+    (Config.cpp:267-339): 4 comma-separated floats, min < max."""
+    parts = bbox.split(",")
+    if len(parts) != 4:
+        raise ValueError(
+            f"--bbox needs minlon,minlat,maxlon,maxlat (got {bbox!r})"
+        )
+    try:
+        min_lon, min_lat, max_lon, max_lat = (float(x) for x in parts)
+    except ValueError:
+        raise ValueError(f"--bbox coordinates must be numbers (got {bbox!r})")
+    if not (min_lon < max_lon and min_lat < max_lat):
+        raise ValueError(f"--bbox min must be < max (got {bbox!r})")
+    return min_lon, min_lat, max_lon, max_lat
 
 
 def main(argv=None) -> int:
@@ -205,7 +222,7 @@ def main(argv=None) -> int:
                 rings = clipfn.parse_poly_file(args.polygon)
                 inside = lambda lo, la: clipfn.region_mask_polygon(lo, la, rings)
             else:
-                bbox = tuple(float(x) for x in args.bbox.split(","))
+                bbox = _parse_bbox(args.bbox)
                 inside = lambda lo, la: clipfn.region_mask_bbox(lo, la, bbox)
             changes = clipfn.clip_changes(changes, inside, strategy)
         elif args.bbox:
@@ -238,6 +255,11 @@ def main(argv=None) -> int:
                                "empty", "emitted_ops", "ops_dir")
                               if k in summary}))
         return 0
+    except (FileNotFoundError, NotADirectoryError, ValueError) as e:
+        # user-input errors get a one-line message, not a traceback
+        # (reference EXCEPTION exit, apps/osm-live-updates.cpp:40-44)
+        print(json.dumps({"error": f"{type(e).__name__}: {e}"}), file=sys.stderr)
+        return 1
     finally:
         if owns_ray:
             ray.shutdown()

@@ -1264,6 +1264,180 @@ def lang_counts(sf_dir: str):
 
 
 @register(
+    "word_counts",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def word_counts(sf_dir: str):
+    """Corpus vocabulary frequency — the canonical map-side-combine
+    shape: each batch pre-aggregates its own (word, count) partials in
+    one vectorized np.unique pass, so the groupby exchange carries one
+    row per (block, distinct word) instead of one per corpus token.
+    At 100 TB the shuffle moves ~|vocab| x n_blocks rows, not ~10^13
+    token rows (reference A5 counters pattern, SURVEY §2.5)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode()
+        u, c = np.unique(words.to_numpy(dtype=object), return_counts=True)
+        return pd.DataFrame({"word": u, "n_part": c.astype("int64")})
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
+@register(
+    "doc_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT doc_id, word, COUNT(*) AS k FROM w GROUP BY doc_id, word)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct_words,
+           ROUND(1.0 - COUNT(*) / CAST(SUM(k) AS DOUBLE), 4) AS dup_word_frac,
+           ROUND(MAX(k) / CAST(SUM(k) AS DOUBLE), 4) AS top_word_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document: fraction
+    of tokens that repeat an earlier token, and the share held by the
+    single most frequent token (boilerplate detector for training-data
+    filtering).  Embarrassingly parallel — each doc is one row; the
+    batch kernel factorizes the exploded (doc, word) pairs and does all
+    per-doc reductions with np.add/maximum.reduceat over ONE unique
+    pass — no per-doc Python loop."""
+    rd = _rd()
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_words": pd.Series([], dtype="int64"),
+                 "n_distinct_words": pd.Series([], dtype="int64"),
+                 "dup_word_frac": pd.Series([], dtype="float64"),
+                 "top_word_frac": pd.Series([], dtype="float64")}
+            )
+        doc_ids = df["doc_id"].to_numpy()
+        splits = df["text"].str.split(" ")
+        lens = splits.str.len().to_numpy().astype(np.int64)
+        codes, _ = pd.factorize(splits.explode().to_numpy(dtype=object))
+        vocab = int(codes.max()) + 1
+        didx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        uk, counts = np.unique(didx * vocab + codes, return_counts=True)
+        gdoc = uk // vocab
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(gdoc)) + 1])
+        n_words = np.add.reduceat(counts, starts)
+        n_distinct = np.diff(np.concatenate([starts, [len(uk)]]))
+        top = np.maximum.reduceat(counts, starts)
+        nw = n_words.astype(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[gdoc[starts]],
+                "n_words": n_words.astype("int64"),
+                "n_distinct_words": n_distinct.astype("int64"),
+                "dup_word_frac": _round(1.0 - n_distinct / nw, 4),
+                "top_word_frac": _round(top / nw, 4),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(rep, batch_format="pandas")
+
+
+@register(
+    "tfidf_top_term",
+    """
+    WITH w AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+    s AS (
+      SELECT doc_id, word,
+             ROUND(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                           / df), 4) AS score
+      FROM tf JOIN df USING (word)
+    )
+    SELECT doc_id, word AS top_term, score
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, word) = 1
+    """,
+)
+def tfidf_top_term(sf_dir: str):
+    """Per-document top TF-IDF term — the two-pass broadcast pattern:
+    pass 1 computes document frequencies with the same map-side combine
+    as `word_counts` (per-batch distinct (doc, word) pairs, so the
+    exchange is vocabulary-sized); the tiny df table is broadcast into
+    pass 2, which scores per-doc term frequencies and takes the argmax
+    (ties broken by term text, scores rounded BEFORE ordering on both
+    sides so ulp noise cannot flip the winner).  No shuffle ever
+    carries a per-token row."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            df[["doc_id"]]
+            .assign(word=df["text"].str.split(" "))
+            .explode("word")
+            .drop_duplicates()
+        )
+        u, c = np.unique(pairs["word"].to_numpy(dtype=object), return_counts=True)
+        return pd.DataFrame({"word": u, "df_part": c.astype("int64")})
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # each doc lives in exactly one batch, so summing per-batch distinct
+    # (doc, word) counts gives the exact global document frequency
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("word")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    dfreq = dict(zip(df_tbl["word"], df_tbl["df"].astype(float)))
+    n_docs = float(_pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf = (
+            df[["doc_id"]]
+            .assign(word=df["text"].str.split(" "))
+            .explode("word")
+            .groupby(["doc_id", "word"], as_index=False)
+            .size()
+        )
+        idf = np.log(n_docs / tf["word"].map(dfreq).to_numpy())
+        tf["score"] = _round(tf["size"].to_numpy() * idf, 4)
+        top = tf.sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("doc_id")
+        return pd.DataFrame(
+            {"doc_id": top["doc_id"].to_numpy(),
+             "top_term": top["word"].to_numpy(),
+             "score": top["score"].to_numpy()}
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+@register(
     "dedup_exact",
     """
     SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -592,3 +592,84 @@ class TestRealMediaDecode:
 
         with pytest.raises(NotImplementedError):
             media.decode_image(b"\x89PNG\r\n\x1a\nrest")
+
+
+class TestTextCorpusOps:
+    """word_counts / doc_repetition / tfidf_top_term vs per-doc Counter
+    brute force (the DuckDB oracle covers SQL parity; these pin the
+    vectorized kernels' semantics: split on single space, rounding
+    half-away-from-zero, argmax tie broken by term text)."""
+
+    def test_word_counts_equals_counter(self, ray_session):
+        from collections import Counter
+
+        import pandas as pd
+
+        from osm_live_updates_ray import queries
+
+        sf = "/root/testdata/sf0.001"
+        got = queries.QUERIES["word_counts"](sf).to_pandas()
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        exp = Counter()
+        for t in docs["text"]:
+            exp.update(t.split(" "))
+        assert dict(zip(got["word"], got["n"])) == dict(exp)
+
+    def test_doc_repetition_equals_counter(self, ray_session):
+        from collections import Counter
+
+        import pandas as pd
+
+        from osm_live_updates_ray import queries
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            queries.QUERIES["doc_repetition"](sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        docs = pd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).sort_values("doc_id")
+        assert got["doc_id"].tolist() == docs["doc_id"].tolist()
+        for i, t in enumerate(docs["text"]):
+            c = Counter(t.split(" "))
+            n = sum(c.values())
+            assert got.loc[i, "n_words"] == n
+            assert got.loc[i, "n_distinct_words"] == len(c)
+            assert abs(got.loc[i, "dup_word_frac"] - (1 - len(c) / n)) < 5e-5
+            assert abs(got.loc[i, "top_word_frac"] - max(c.values()) / n) < 5e-5
+
+    def test_tfidf_top_term_equals_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        from osm_live_updates_ray import queries
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            queries.QUERIES["tfidf_top_term"](sf)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        docs = pd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        dfreq = Counter()
+        per_doc = {}
+        for _, r in docs.iterrows():
+            c = Counter(r["text"].split(" "))
+            per_doc[r["doc_id"]] = c
+            dfreq.update(c.keys())
+        n = float(len(docs))
+        for doc_id, c in per_doc.items():
+            scored = sorted(
+                ((round(tf * math.log(n / dfreq[w]), 4), w) for w, tf in c.items()),
+                key=lambda sw: (-sw[0], sw[1]),
+            )
+            s, w = scored[0]
+            assert got.loc[doc_id, "top_term"] == w
+            assert abs(got.loc[doc_id, "score"] - s) < 5e-5
