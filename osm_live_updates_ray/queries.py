@@ -1583,6 +1583,67 @@ def training_mix(sf_dir: str):
     return survivors.groupby("part").map_groups(pack, batch_format="pandas")
 
 
+@register(
+    "dedup_incremental",
+    """
+    WITH k AS (
+      SELECT CAST(FLOOR(COUNT(*) * 0.6) AS BIGINT) AS k FROM documents
+    ),
+    win AS (SELECT doc_id, text FROM documents, k WHERE doc_id >= k.k)
+    SELECT MIN(doc_id) AS doc_id
+    FROM win
+    WHERE text NOT IN (SELECT text FROM documents, k WHERE doc_id < k.k)
+    GROUP BY text
+    """,
+)
+def dedup_incremental(sf_dir: str):
+    """Incremental ingest dedup — the 100-TB operating shape: a NEW
+    window (the last 40% of doc_ids) is deduped against the accepted
+    corpus (the first 60%) WITHOUT scanning it, via a persisted
+    hash-partitioned fingerprint index; each window shard consults
+    exactly one index part (stages/dedup_docs.py::incremental_dedup).
+    The index build is cached per sf tier and published atomically
+    (rename), so concurrent battery runs never see a half-built
+    index."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from .stages import dedup_docs
+
+    rd = _rd()
+    path = f"{sf_dir}/documents.parquet"
+    n = _pq.read_metadata(path).num_rows
+    k = int(n * 0.6)
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}:v1".encode()
+    ).hexdigest()[:10]
+    index_dir = f"/tmp/olu_ray_dedup_idx_{key}"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    if not os.path.isdir(index_dir):
+        tmp = index_dir + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        dedup_docs.build_hash_index(
+            docs.map_batches(
+                lambda t: t.filter(pc.less(t.column("doc_id"), k)),
+                batch_format="pyarrow",
+            ),
+            tmp,
+        )
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another run won
+    win = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("doc_id"), k)),
+        batch_format="pyarrow",
+    )
+    return dedup_docs.incremental_dedup(win, index_dir).select_columns(
+        ["doc_id"]
+    )
+
+
 @register("minhash_near_dups")  # not SQL-expressible -> rows-only check
 def minhash_near_dups(sf_dir: str):
     """MinHash+LSH candidate pairs, Jaccard-verified by joining the

@@ -589,3 +589,113 @@ def ngram_jaccard_pairs(
     return verify_pairs_distributed(
         cand, docs_ds, id_col=id_col, text_col=text_col, threshold=threshold, k=k
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against persisted state (the 100-TB operating shape:
+# dedup a NEW ingest window against everything accepted so far WITHOUT
+# scanning the accepted corpus — only a hash-partitioned fingerprint
+# index is consulted, and each window shard touches exactly one part)
+# ---------------------------------------------------------------------------
+N_INDEX_PARTS = 64
+
+
+def _fingerprint_and_part(
+    t: pa.Table, text_col: str, n_parts: int
+) -> pa.Table:
+    """64-bit content fingerprint + its index partition.
+
+    The index stores fingerprints, not text (at corpus scale the text
+    must not travel); a 64-bit collision merging two distinct documents
+    has probability ~n^2/2^65 — the documented trade of every
+    production-scale dedup index (vs the in-window byte verification
+    `dedup_exact` can afford because the colliding texts are co-grouped
+    there anyway)."""
+    fp = hashing.hash_strings(t.column(text_col).to_pylist())
+    part = (fp.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+    return t.append_column("fp", pa.array(fp)).append_column(
+        "part", pa.array(part)
+    )
+
+
+def build_hash_index(
+    ds, index_dir: str, text_col: str = "text", n_parts: int = N_INDEX_PARTS
+) -> None:
+    """Materialize the fingerprint index for an accepted corpus:
+    one hive directory per ``part`` (``part=K/*.parquet``), each file
+    holding only int64 ``fp`` rows.  Streaming write — the corpus is
+    never collected."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = _fingerprint_and_part(t, text_col, n_parts)
+        return t.select(["fp", "part"])
+
+    ds.map_batches(proj, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["part"]
+    )
+
+
+def _read_index_part(index_dir: str, part: int) -> np.ndarray:
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{index_dir}/part={part}/*.parquet"))
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    arrs = [
+        pq.read_table(f, columns=["fp"]).column("fp").to_numpy(
+            zero_copy_only=False
+        )
+        for f in files
+    ]
+    return np.sort(np.concatenate(arrs))
+
+
+def incremental_dedup(
+    ds,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int = N_INDEX_PARTS,
+):
+    """Survivors of a new window vs the persisted index AND vs itself.
+
+    Shape: fingerprint+part per batch -> groupby(part) -> each group
+    reads ONLY its own index shard (sorted-array membership via
+    searchsorted) and keeps the smallest-id row per unseen fingerprint.
+    All rows of one fingerprint land in one part, so the in-window
+    dedup is globally exact; the exchange is one shuffle keyed on
+    ``part``; no task ever sees more than one index shard."""
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        idx = _read_index_part(index_dir, part)
+        fp = g["fp"].to_numpy()
+        if len(idx):
+            pos = np.clip(np.searchsorted(idx, fp), 0, len(idx) - 1)
+            fresh = idx[pos] != fp
+        else:
+            fresh = np.ones(len(g), dtype=bool)
+        g = g.loc[fresh].sort_values(id_col, kind="stable")
+        return g.drop_duplicates(subset=["fp"], keep="first")
+
+    return (
+        ds.map_batches(
+            lambda t: _fingerprint_and_part(t, text_col, n_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(check, batch_format="pandas")
+    )
+
+
+def update_hash_index(survivors, index_dir: str, n_parts: int = N_INDEX_PARTS):
+    """Append the accepted window's fingerprints to the index (the
+    state advance of the ingest loop).  Appends are new files per part
+    directory; replaying a window adds only duplicate fingerprints,
+    which membership semantics ignore — so a crashed-and-retried
+    window is harmless (idempotent for correctness, not for bytes)."""
+    survivors.select_columns(["fp", "part"]).write_parquet(
+        index_dir, partition_cols=["part"]
+    )

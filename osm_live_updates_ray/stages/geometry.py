@@ -224,6 +224,21 @@ def relation_geoms(
 ) -> pa.Table:
     """Assemble relation geometries from member ways (+ point members)."""
     if way_nodes is None:
+        # build the way->nodes map only for ways actually referenced by
+        # these relations (way_table is often the whole window universe)
+        refs = [
+            m["ref"]
+            for members in rels.column("members").to_pylist()
+            for m in members or []
+            if m["type"] == "way"
+        ]
+        if len(refs) < way_table.num_rows:
+            way_table = way_table.filter(
+                pc.is_in(
+                    way_table.column("id"),
+                    value_set=pa.array(sorted(set(refs)), type=pa.int64()),
+                )
+            )
         way_nodes = way_nodes_map(way_table)
     rows = []
     for oid, members, tags in zip(

@@ -673,3 +673,56 @@ class TestTextCorpusOps:
             s, w = scored[0]
             assert got.loc[doc_id, "top_term"] == w
             assert abs(got.loc[doc_id, "score"] - s) < 5e-5
+
+
+class TestIncrementalDedup:
+    """Persisted-fingerprint-index dedup: a new window checked against
+    the accepted corpus without scanning it (dedup_docs.build_hash_index
+    / incremental_dedup / update_hash_index)."""
+
+    def _docs(self, ids, texts):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        )
+
+    def test_cross_window_and_in_window_dups(self, ray_session, tmp_path):
+        from osm_live_updates_ray.stages import dedup_docs
+
+        idx = str(tmp_path / "idx")
+        dedup_docs.build_hash_index(
+            self._docs([0, 1, 2], ["alpha", "beta", "gamma"]), idx
+        )
+        # window: 10 dups an indexed text, 11/13 dup each other, 12 fresh
+        win = self._docs([13, 12, 11, 10], ["delta", "epsilon", "delta", "beta"])
+        out = dedup_docs.incremental_dedup(win, idx).to_pandas()
+        assert sorted(out["doc_id"]) == [11, 12]  # min-id wins in-window
+
+        # accepting the survivors and replaying the SAME window -> empty
+        surv = dedup_docs.incremental_dedup(win, idx)
+        dedup_docs.update_hash_index(surv, idx)
+        again = dedup_docs.incremental_dedup(win, idx).to_pandas()
+        assert len(again) == 0
+
+        # membership keeps working after the append
+        third = dedup_docs.incremental_dedup(
+            self._docs([20, 21], ["delta", "zeta"]), idx
+        ).to_pandas()
+        assert sorted(third["doc_id"]) == [21]
+
+    def test_window_shard_reads_one_part(self, tmp_path):
+        import numpy as np
+
+        from osm_live_updates_ray.stages import dedup_docs
+
+        # every fingerprint must land in the part its group reads
+        import pyarrow as pa
+        t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                      "text": pa.array([f"doc {i}" for i in range(100)])})
+        ft = dedup_docs._fingerprint_and_part(t, "text", 64)
+        fp = ft.column("fp").to_numpy()
+        part = ft.column("part").to_numpy()
+        assert (fp.view(np.uint64) % np.uint64(64) == part.view(np.uint64)).all()
