@@ -2057,6 +2057,46 @@ def ann_topk_ivf(sf_dir: str):
     )
 
 
+@register("ann_topk_ivf_persisted")  # rows-only (equality-to-streaming pytest)
+def ann_topk_ivf_persisted(sf_dir: str):
+    """IVF ANN over a PERSISTED index: the corpus parquet is laid out
+    partitioned by inverted-list id, so the query reads ONLY its
+    nprobe lists' files (read-level pruning, the literal 100-TB form).
+    Same quantizer/params as `ann_topk_ivf` — a pytest asserts the two
+    variants return identical rows.  Index cached per sf tier with an
+    atomic rename publish."""
+    import hashlib
+    import shutil
+
+    from .stages.similarity import _stack, ivf_build_index, ivf_topk_persisted
+
+    rd = _rd()
+    path = f"{sf_dir}/embeddings.parquet"
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}:v1".encode()
+    ).hexdigest()[:10]
+    index_dir = f"/tmp/olu_ray_ivf_idx_{key}"
+    emb = td.read(sf_dir, "embeddings")
+    if not os.path.isdir(index_dir):
+        tmp = index_dir + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ivf_build_index(
+            rd.read_parquet(path), tmp, nlist=16,
+            train_vecs=_stack(emb, "embedding"),
+        )
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
+    return ivf_topk_persisted(
+        index_dir,
+        q.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(q, "embedding"),
+        k=10, nprobe=4,
+    )
+
+
 @register(
     "events_hourly",
     """
