@@ -1644,6 +1644,72 @@ def dedup_incremental(sf_dir: str):
     )
 
 
+@register(
+    "doc_shuffle_shards",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1
+                AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1) // 100
+                AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def doc_shuffle_shards(sf_dir: str):
+    """Deterministic shuffled training export: every doc gets its
+    GLOBAL position in md5(text) order (a seedless content-hash
+    shuffle — reproducible and resumable, unlike RNG state) and the
+    fixed-size output shard that position lands in.
+
+    Distributed global ROW_NUMBER without a global sort: md5's first
+    byte range-buckets the corpus into 256 ORDERED buckets; phase 1
+    exchanges one count per bucket, the driver prefix-sums the 256-row
+    offset table, phase 2 ranks each bucket locally and adds its
+    offset.  No stage ever holds more than one bucket; the exchange is
+    bucket-sized, never row-sized."""
+    import hashlib
+
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "h": h,
+                "bucket": [int(x[:2], 16) for x in h],
+            }
+        )
+
+    hs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(hashed, batch_format="pandas")
+        .materialize()
+    )
+    counts = (
+        hs.groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    ).sort_values("bucket")
+    offsets = dict(
+        zip(
+            counts["bucket"],
+            np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]),
+        )
+    )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "doc_id"], kind="stable")
+        pos = int(offsets[df["bucket"].iloc[0]]) + np.arange(
+            len(df), dtype=np.int64
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "pos": pos,
+             "shard": pos // 100}
+        )
+
+    return hs.groupby("bucket").map_groups(rank, batch_format="pandas")
+
+
 @register("minhash_near_dups")  # not SQL-expressible -> rows-only check
 def minhash_near_dups(sf_dir: str):
     """MinHash+LSH candidate pairs, Jaccard-verified by joining the

@@ -767,3 +767,19 @@ class TestIvfPersisted:
         import glob
         all_lists = glob.glob(f"{idx}/list=*")
         assert len(all_lists) > 3  # corpus spread over multiple lists
+
+
+class TestShuffleShards:
+    def test_positions_are_a_permutation(self, ray_session):
+        from osm_live_updates_ray import queries
+
+        out = (
+            queries.QUERIES["doc_shuffle_shards"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("pos")
+        )
+        n = len(out)
+        assert out["pos"].tolist() == list(range(n))
+        assert (out["shard"].to_numpy() == out["pos"].to_numpy() // 100).all()
+        # content-hash order is a real shuffle: not doc_id order
+        assert out["doc_id"].tolist() != sorted(out["doc_id"].tolist())
