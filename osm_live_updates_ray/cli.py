@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
 
 
@@ -142,7 +143,13 @@ def main(argv=None) -> int:
 
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # `ray job submit` readiness: honor a cluster address from the
+        # environment (RAY_ADDRESS is set inside job containers); only
+        # default to a fresh local instance when none is configured
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False, logging_level="ERROR",
+        )
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
@@ -155,10 +162,8 @@ def main(argv=None) -> int:
 
             shards = None
             if args.pages_shards:
-                import os as _os
-
                 files = sorted(
-                    glob.glob(_os.path.join(args.pages, "*.parquet"))
+                    glob.glob(os.path.join(args.pages, "*.parquet"))
                 ) or [args.pages]
                 import numpy as _np
 

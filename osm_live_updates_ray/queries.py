@@ -330,6 +330,74 @@ def tpch_q6(sf_dir: str):
 
 
 @register(
+    "tpch_q19",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(sf_dir: str):
+    """Disjunctive-predicate join (TPC-H Q19 shape, adapted to the
+    synthetic part columns): the dimension side collapses to three
+    sorted broadcast arrays (partkey, brand band, size) probed with ONE
+    searchsorted per batch; the OR-of-conjunctions evaluates as a
+    vectorized mask over the probed attributes — no shuffle, no row
+    loop, the fact table streams once.  At scale the dimension arrays
+    ship via ray.put exactly like tpch_q5's."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    band = np.where(
+        brand == "Brand#12", 1,
+        np.where(brand == "Brand#23", 2, np.where(brand == "Brand#34", 3, 0)),
+    ).astype(np.int8)
+    size = part.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    pk, band, size = pk[order], band[order], size[order]
+
+    def prep(t: pa.Table) -> pa.Table:
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+        hit = pk[pos] == lp
+        b = np.where(hit, band[pos], 0)
+        s = np.where(hit, size[pos], 0)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        m = (
+            ((b == 1) & (s >= 1) & (s <= 5) & (q >= 1) & (q <= 11))
+            | ((b == 2) & (s >= 1) & (s <= 10) & (q >= 10) & (q <= 20))
+            | ((b == 3) & (s >= 1) & (s <= 15) & (q >= 20) & (q <= 30))
+        )
+        t = t.filter(pa.array(m))
+        return t.append_column(
+            "rev",
+            pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow")
+    total = ds.sum("rev")
+    if total is None:
+        return pd.DataFrame({"revenue": [np.nan]})
+    return pd.DataFrame({"revenue": [float(_round(np.array([total]), 2)[0])]})
+
+
+@register(
     "tpch_q12",
     """
     SELECT l_shipmode, COUNT(*) AS n,
