@@ -2841,3 +2841,185 @@ def raster_to_vector(sf_dir: str):
         )
 
     return ds.map_batches(vec, batch_format="pyarrow")
+
+
+@register(
+    "events_latest",
+    """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def events_latest(sf_dir: str):
+    """Latest event per user — the argmax-combine shape (CDX-style
+    latest-capture-per-url at Common-Crawl scale): each batch reduces
+    to AT MOST one row per user before the shuffle (one lexsort + one
+    boundary mask, no Python loop), so the exchange carries
+    <= users x blocks rows, never the event stream.  The per-group
+    finalizer reruns the identical kernel, which is associative —
+    max under the (ts, event_id) order."""
+    rd = _rd()
+
+    def argmax_partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("int64")
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-eid, -ts, u))  # user asc, then ts/eid desc
+        su = u[order]
+        first = np.ones(len(su), dtype=bool)
+        first[1:] = su[1:] != su[:-1]
+        return t.take(pa.array(order[first]))
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type", "value"],
+        )
+        .map_batches(argmax_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(argmax_partial, batch_format="pyarrow")
+    )
+
+
+@register(
+    "lang_distinct_words",
+    """
+    SELECT lang, CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+    FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def lang_distinct_words(sf_dir: str):
+    """EXACT distributed COUNT(DISTINCT) — the two-level distinct
+    shape: batches emit their LOCAL distinct (lang, word) pairs (one
+    np/pandas dedup pass), the pair-keyed groupby collapses global
+    duplicates, and a second (lang-sized) pass counts rows per lang
+    with map-side combine.  The wide exchange carries distinct pairs
+    only — bounded by |vocab| x langs, never per-token rows.  The
+    approximate companion is ``lang_distinct_words_hll``."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            df[["lang"]]
+            .assign(word=df["text"].str.split(" "))
+            .explode("word")
+            .drop_duplicates()
+        )
+        return pairs.reset_index(drop=True)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False).size()
+        return pd.DataFrame(
+            {"lang": g.index.to_numpy(), "n_part": g.to_numpy().astype("int64")}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        .map_batches(pair_partial, batch_format="pandas")
+        .groupby(["lang", "word"])
+        .aggregate(Count(alias_name="_dup"))
+        .map_batches(count_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("n_part", alias_name="n_distinct"))
+    )
+
+
+@register("lang_distinct_words_hll")  # approximate: no SQL oracle;
+# tests/test_sketch.py bounds the error vs the exact operator
+def lang_distinct_words_hll(sf_dir: str):
+    """Approximate per-lang distinct-word count via HyperLogLog
+    PARTIALS-AS-ROWS (functions/sketch.py): each batch emits at most
+    m=1024 (lang, register, max_rank) rows, ``groupby().max()`` IS the
+    sketch union, and the estimator runs over the tiny merged table.
+    The scale path when the exact pair shuffle (|vocab| x langs rows)
+    is too wide — exchange here is bounded by langs x 1024 x blocks
+    regardless of corpus size."""
+    rd = _rd()
+    from ray.data.aggregate import Max
+
+    from .functions import sketch
+
+    def hll_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            df[["lang"]].assign(word=df["text"].str.split(" ")).explode("word")
+        )
+        reg, rank = sketch.register_ranks(words["word"].to_numpy(dtype=object))
+        lang, reg2, mx = sketch.partial_max(
+            reg, rank, words["lang"].to_numpy(dtype=object)
+        )
+        return pd.DataFrame(
+            {"lang": lang, "reg": reg2, "mx": mx.astype("int64")}
+        )
+
+    merged = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        .map_batches(hll_partial, batch_format="pandas")
+        .groupby(["lang", "reg"])
+        .aggregate(Max("mx", alias_name="mx"))
+        .to_pandas()  # langs x 1024 rows — driver-safe by construction
+    )
+    out = [
+        (lang, int(round(sketch.estimate(
+            g["reg"].to_numpy(), g["mx"].to_numpy()))))
+        for lang, g in merged.groupby("lang", sort=True)
+    ]
+    return pd.DataFrame(
+        {"lang": [o[0] for o in out],
+         "n_distinct_approx": np.array([o[1] for o in out], dtype="int64")}
+    )
+
+
+@register(
+    "source_rollup",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           ROUND(AVG(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)), 4)
+             AS mean_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def source_rollup(sf_dir: str):
+    """Per-source corpus rollup (count / volume / mean tokens) — the
+    grouped-mean-as-sum-pair shape: batches pre-aggregate all three
+    measures per source (one pandas groupby over the batch), the
+    exchange carries sources x blocks rows, and the mean finalizes
+    from (sum, count) so it is exact under any partial ordering."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = df["text"].str.split(" ").str.len().astype("int64")
+        g = pd.DataFrame(
+            {"source": df["source"], "chars": df["text"].str.len().astype("int64"),
+             "toks": n_tok}
+        ).groupby("source", sort=False)
+        agg = g.agg(chars_part=("chars", "sum"), toks_part=("toks", "sum"),
+                    n_part=("chars", "size"))
+        return agg.reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": df["source"],
+             "n_docs": df["n_docs"].astype("int64"),
+             "total_chars": df["total_chars"].astype("int64"),
+             "mean_tokens": _round(
+                 (df["toks"] / df["n_docs"]).to_numpy(dtype="float64"), 4)}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("chars_part", alias_name="total_chars"),
+            Sum("toks_part", alias_name="toks"),
+            Sum("n_part", alias_name="n_docs"),
+        )
+        .map_batches(finish, batch_format="pandas")
+    )

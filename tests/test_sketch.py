@@ -1,0 +1,95 @@
+"""HyperLogLog sketch (functions/sketch.py) + the new rollup/argmax
+operators added with it (queries.py: events_latest, lang_distinct_words,
+lang_distinct_words_hll, source_rollup — the SQL-oracled ones are also
+gated by selfcheck; here we pin the non-SQL properties)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osm_live_updates_ray.functions import sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHLLCore:
+    def test_estimate_error_bound(self):
+        # m=1024 => standard error ~3.2%; allow 4 sigma
+        rng = np.random.RandomState(7)
+        for n in (100, 5_000, 200_000):
+            vals = np.array([f"item-{i}" for i in range(n)], dtype=object)
+            reg, rank = sketch.register_ranks(vals)
+            g, r, mx = sketch.partial_max(reg, rank, np.zeros(n, dtype=np.int64))
+            est = sketch.estimate(r, mx)
+            assert abs(est - n) / n < 0.13, (n, est)
+
+    def test_merge_is_union(self):
+        # register-wise max of two partials == sketch of the union
+        a = np.array([f"a{i}" for i in range(3000)], dtype=object)
+        b = np.array([f"b{i}" for i in range(3000)], dtype=object)
+        both = np.concatenate([a, b])
+        ra, ka = sketch.register_ranks(a)
+        rb, kb = sketch.register_ranks(b)
+        ru, ku = sketch.register_ranks(both)
+        grid = np.zeros(sketch.M, dtype=np.int8)
+        np.maximum.at(grid, ra, ka)
+        np.maximum.at(grid, rb, kb)
+        grid_u = np.zeros(sketch.M, dtype=np.int8)
+        np.maximum.at(grid_u, ru, ku)
+        assert np.array_equal(grid, grid_u)
+
+    def test_partial_max_grouped(self):
+        vals = np.array(["x", "y", "z", "x"], dtype=object)
+        reg, rank = sketch.register_ranks(vals)
+        grp = np.array([0, 0, 1, 1], dtype=np.int64)
+        g, r, mx = sketch.partial_max(reg, rank, grp)
+        assert set(g) <= {0, 1}
+        assert (mx >= 1).all()
+
+    def test_ranks_at_least_one(self):
+        vals = np.array([f"w{i}" for i in range(50_000)], dtype=object)
+        _, rank = sketch.register_ranks(vals)
+        assert rank.min() >= 1
+        assert rank.max() <= 64 - sketch.P + 1
+
+
+class TestNewQueries:
+    def test_hll_close_to_exact(self, ray_session):
+        from osm_live_updates_ray.queries import (
+            lang_distinct_words,
+            lang_distinct_words_hll,
+        )
+
+        exact = lang_distinct_words(SF).to_pandas().set_index("lang")
+        approx = lang_distinct_words_hll(SF).set_index("lang")
+        assert set(exact.index) == set(approx.index)
+        for lang in exact.index:
+            e = exact.loc[lang, "n_distinct"]
+            a = approx.loc[lang, "n_distinct_approx"]
+            assert abs(a - e) / max(e, 1) < 0.13, (lang, e, a)
+
+    def test_events_latest_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from osm_live_updates_ray.queries import events_latest
+
+        got = (
+            events_latest(SF)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        want = (
+            ev.sort_values(["ts", "event_id"], ascending=False)
+            .drop_duplicates("user_id")
+            .sort_values("user_id")
+            .reset_index(drop=True)[got.columns]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_events_latest_one_row_per_user(self, ray_session):
+        from osm_live_updates_ray.queries import events_latest
+
+        df = events_latest(SF).to_pandas()
+        assert df["user_id"].is_unique
