@@ -213,3 +213,17 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def fold_int64(values: np.ndarray, n_buckets: int = 64) -> np.ndarray:
+    """Coarse shuffle key: stable hash of an int64 key column folded
+    into ``n_buckets`` groups.  Use when a groupby key has per-row
+    cardinality (content hashes, user ids, pair ids): grouping on the
+    raw key makes Ray's map_groups pay a Python slice+call per TINY
+    group, while grouping on the fold keeps all rows of a key together
+    and lets one vectorized pandas/numpy kernel handle the whole
+    group.  Size n_buckets ~ O(cluster cores)."""
+    return (
+        hash_int64(np.asarray(values).astype(np.int64)).view(np.uint64)
+        % np.uint64(n_buckets)
+    ).astype(np.int64)

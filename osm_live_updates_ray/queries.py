@@ -1514,22 +1514,35 @@ def tfidf_top_term(sf_dir: str):
 )
 def dedup_exact_q(sf_dir: str):
     """Exact dedup = hash-partition + per-group first (the canonical
-    shuffle-dedup); output = one surviving row per distinct text."""
+    shuffle-dedup); output = one surviving row per distinct text.
+    Shuffles on a COARSE fold of the content hash (per-row-cardinality
+    raw keys make map_groups pay a Python call per ~1-row group); the
+    in-group pandas groupby on the ACTUAL text is both vectorized and
+    collision-safe."""
+    from .functions import hashing
     from .stages.dedup_docs import add_content_hash
 
     rd = _rd()
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t)
+        fold = hashing.fold_int64(
+            t.column("content_hash").to_numpy(zero_copy_only=False), 64
+        )
+        return t.append_column("fold", pa.array(fold))
+
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(add_content_hash, batch_format="pyarrow")
+    ).map_batches(tag, batch_format="pyarrow")
 
     def per_text(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, group by the actual text (collision-safe)
+        # within a fold bucket, group by the actual text (collision-safe)
         out = g.groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
         return out.reset_index(drop=True)
 
-    return ds.groupby("content_hash").map_groups(per_text, batch_format="pandas")
+    return ds.groupby("fold").map_groups(per_text, batch_format="pandas")
 
 
 @register(
@@ -1601,9 +1614,20 @@ def training_mix(sf_dir: str):
         )
         return df[["doc_id", "lang", "text", "n_tokens", "bucket"]]
 
+    def tag_fold(t: pa.Table) -> pa.Table:
+        from .functions import hashing as _h
+
+        t = add_content_hash(t)
+        fold = _h.fold_int64(
+            t.column("content_hash").to_numpy(zero_copy_only=False), 64
+        )
+        return t.append_column("fold", pa.array(fold))
+
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse-fold group (see dedup_exact_q): one vectorized pandas
+        # groupby per fold bucket instead of a call per distinct text
         keep = g.loc[g.groupby("text", sort=False)["doc_id"].idxmin()]
-        return keep.drop(columns=["text", "content_hash"])
+        return keep.drop(columns=["text", "content_hash", "fold"])
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
         thr = df["lang"].map(lambda l: rates.get(l, 10)).astype("int64")
@@ -1615,8 +1639,8 @@ def training_mix(sf_dir: str):
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
         )
         .map_batches(stage_a, batch_format="pandas")
-        .map_batches(add_content_hash, batch_format="pyarrow")
-        .groupby("content_hash")
+        .map_batches(tag_fold, batch_format="pyarrow")
+        .groupby("fold")
         .map_groups(dedup_group, batch_format="pandas")
         .map_batches(sample, batch_format="pandas")
         .materialize()  # consumed twice: offsets pass + pack pass
@@ -2445,20 +2469,43 @@ def events_sliding(sf_dir: str):
     """,
 )
 def user_sessions(sf_dir: str):
-    """Sessionization (30-min gap) — per-user ordered map_groups, the
-    stream-log windowing pattern."""
+    """Sessionization (30-min gap) — the stream-log windowing pattern.
+    Shuffles on a coarse fold of user_id (per-user map_groups pays a
+    Python call per user); the in-group kernel handles EVERY user in
+    the fold with one lexsort + boundary masks — a session starts at
+    each user boundary or >30-min gap, and per-user session counts
+    fall out of one bincount."""
     rd = _rd()
+    from .functions import hashing
+
+    def tag(t: pa.Table) -> pa.Table:
+        fold = hashing.fold_int64(
+            t.column("user_id").to_numpy(zero_copy_only=False), 64
+        )
+        return t.append_column("fold", pa.array(fold))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds() > 1800
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(1 + gaps.sum())]}
-        )
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("int64")  # microseconds
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > 1800 * 1_000_000
+        users = u[new_user]
+        # sessions per user: count session starts between user boundaries
+        starts = np.flatnonzero(new_user)
+        n = np.add.reduceat(new_sess.astype(np.int64), starts)
+        return pd.DataFrame({"user_id": users, "n_sessions": n})
 
     return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
-        .groupby("user_id")
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("fold")
         .map_groups(sessions, batch_format="pandas")
     )
 
@@ -2872,14 +2919,26 @@ def events_latest(sf_dir: str):
         first[1:] = su[1:] != su[:-1]
         return t.take(pa.array(order[first]))
 
+    from .functions import hashing
+
+    def tag(t: pa.Table) -> pa.Table:
+        fold = hashing.fold_int64(
+            t.column("user_id").to_numpy(zero_copy_only=False), 64
+        )
+        return t.append_column("fold", pa.array(fold))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return argmax_partial(t).drop_columns(["fold"])
+
     return (
         rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["user_id", "event_id", "ts", "event_type", "value"],
         )
         .map_batches(argmax_partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(argmax_partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("fold")  # coarse fold: argmax_partial is multi-user
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 

@@ -30,21 +30,32 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h))
 
 
-def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
+def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text",
+                n_shuffle_buckets: int = 64):
     """Keep the smallest-id row per distinct text.  Hash-partition on
-    the content hash; within a group verify BYTE equality (hash
+    a COARSE fold of the content hash (content hashes have per-row
+    cardinality — raw-key map_groups pays a Python call per ~1-row
+    group); every copy of a text still lands in one group, where one
+    vectorized drop_duplicates pass dedups on the ACTUAL text (hash
     collisions must not merge distinct texts)."""
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # within one hash bucket, dedup on the actual text
         g = g.sort_values(id_col, kind="stable")
-        return g.drop_duplicates(subset=[text_col], keep="first")
+        return g.drop_duplicates(subset=[text_col], keep="first").drop(
+            columns=["fold"]
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, text_col)
+        fold = hashing.fold_int64(
+            t.column("content_hash").to_numpy(zero_copy_only=False),
+            n_shuffle_buckets,
+        )
+        return t.append_column("fold", pa.array(fold))
 
     return (
-        ds.map_batches(
-            lambda t: add_content_hash(t, text_col), batch_format="pyarrow"
-        )
-        .groupby("content_hash")
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("fold")
         .map_groups(keep_first, batch_format="pandas")
     )
 
