@@ -2415,32 +2415,56 @@ def lang_top_docs(sf_dir: str):
 def events_sliding(sf_dir: str):
     """SLIDING windowed aggregate (the streaming-window op beyond the
     tumbling `events_hourly`): per event, count and sum of same-type
-    events within the trailing hour.  Partition by event_type
-    (groupby), then ONE sort + two vectorized ``searchsorted`` passes
-    per group — no per-row loop; prefix-sum differences give the window
-    sums (ROUND(_, 2) absorbs the summation-tree difference vs the SQL
-    RANGE window, per the engine's float-mirroring rules).  RANGE
-    semantics (ties on ts are peers, included on both ends) are matched
-    by side='left' on ts-1h and side='right' on ts."""
+    events within the trailing hour.
+
+    Scale shape: partitioning by event_type alone makes one hot type
+    one giant ordered group, so the shuffle key is (event_type, TIME
+    BAND) with a one-window HALO — rows in the last hour of band b are
+    replicated into band b+1 as context-only rows (band length 6x the
+    window caps replication at ~17%; band >= window guarantees one-hop
+    halo suffices).  Each group runs ONE sort + two vectorized
+    ``searchsorted`` passes; halo rows feed the prefix sums but emit
+    nothing, so the output is row-identical to the single-group
+    version at any band size.  Exact int64 cents make the prefix-sum
+    differences exact at any partition size (a float prefix difference
+    carries cancellation error that grows with the running total);
+    RANGE semantics (ties on ts are peers, included on both ends) are
+    matched by side='left' on ts-1h and side='right' on ts."""
     rd = _rd()
+    W = 3_600_000_000  # 1 h in µs
+    BAND = 6 * W
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        own = ts // BAND
+        halo_band = (ts + W) // BAND
+        base = t.append_column("band", pa.array(own)).append_column(
+            "halo", pa.array(np.zeros(t.num_rows, dtype=bool))
+        )
+        m = halo_band != own
+        if m.any():
+            h = t.filter(pa.array(m)).append_column(
+                "band", pa.array(halo_band[m])
+            ).append_column("halo", pa.array(np.ones(int(m.sum()), dtype=bool)))
+            return pa.concat_tables([base, h])
+        return base
 
     def win(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
         t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        # event values are 2-decimal: exact int64 cents make the
-        # prefix-sum differences EXACT at any partition size (a float
-        # prefix difference carries cancellation error that grows with
-        # the running total, not the window) — DuckDB's windowed
-        # SUM+ROUND lands on the same exact decimal
         cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
-        lo = np.searchsorted(t, t - 3_600_000_000, side="left")
+        lo = np.searchsorted(t, t - W, side="left")
         hi = np.searchsorted(t, t, side="right")
         cs = np.concatenate([[0], np.cumsum(cents)])
+        emit = ~g["halo"].to_numpy()
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "n_1h": (hi - lo).astype(np.int64),
-                "sum_1h": (cs[hi] - cs[lo]) / 100.0,
+                "event_id": g["event_id"].to_numpy()[emit],
+                "n_1h": (hi - lo).astype(np.int64)[emit],
+                "sum_1h": ((cs[hi] - cs[lo]) / 100.0)[emit],
             }
         )
 
@@ -2449,7 +2473,8 @@ def events_sliding(sf_dir: str):
             f"{sf_dir}/events.parquet",
             columns=["event_id", "ts", "event_type", "value"],
         )
-        .groupby("event_type")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "band"])
         .map_groups(win, batch_format="pandas")
     )
 
