@@ -71,12 +71,16 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
 
     ref = ray.put({"ids": query_ids.astype(np.int64),
                    "vecs": query_vecs.astype(np.float64)})
-    parts = ds.map_batches(
-        TopKScorer,
-        fn_constructor_args=(ref, k, metric),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).to_pandas()
+
+    # task pool, not actor pool: the scorer is stateless apart from the
+    # broadcast query matrix, and a per-batch ray.get of a plasma
+    # object is zero-copy — so tasks skip the actor-pool spin-up that
+    # dominated this entry's wall-time at bench scale (~2 s of ramp
+    # for milliseconds of matmul)
+    def score(batch: pa.Table) -> pa.Table:
+        return TopKScorer(ref, k, metric)(batch)
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(
         ["query_id", "score", "neighbor_id"],
         ascending=[True, False, True], kind="stable",
