@@ -3107,3 +3107,109 @@ def source_rollup(sf_dir: str):
         )
         .map_batches(finish, batch_format="pandas")
     )
+
+
+@register(
+    "cells_zorder",
+    "WITH " + td.SQL_PAGES.strip()
+    + """
+    , cells AS (
+      SELECT CAST(FLOOR((lon + 180.0) / 0.625) AS BIGINT) AS gx,
+             CAST(FLOOR((lat + 90.0) / 0.625) AS BIGINT) AS gy,
+             COUNT(*) AS n_pages
+      FROM pages GROUP BY gx, gy
+    ),
+    s1 AS (SELECT gx, gy, n_pages,
+                  (gx | (gx << 8)) & 16711935 AS sx,
+                  (gy | (gy << 8)) & 16711935 AS sy FROM cells),
+    s2 AS (SELECT gx, gy, n_pages,
+                  (sx | (sx << 4)) & 252645135 AS sx,
+                  (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+    s3 AS (SELECT gx, gy, n_pages,
+                  (sx | (sx << 2)) & 858993459 AS sx,
+                  (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+    s4 AS (SELECT gx, gy, n_pages,
+                  (sx | (sx << 1)) & 1431655765 AS sx,
+                  (sy | (sy << 1)) & 1431655765 AS sy FROM s3)
+    SELECT gx, gy, sx | (sy << 1) AS morton, n_pages FROM s4
+    """,
+)
+def cells_zorder(sf_dir: str):
+    """Z-order (Morton) layout keys for the occupied-cell layer — the
+    space-filling-curve clustering used to order tile-export
+    partitions so geographic neighbors land in neighboring files
+    (range reads over a region touch O(few) partitions).  Rollup is
+    the tile_raster partial-count shape; the interleave is one
+    vectorized bit-spread pass (functions/cells.py), mirrored bit-op
+    for bit-op by the SQL oracle."""
+    from .functions.cells import morton_interleave
+
+    ds = tile_raster(sf_dir)
+
+    def z(t: pa.Table) -> pa.Table:
+        gx = t.column("gx").to_numpy(zero_copy_only=False)
+        gy = t.column("gy").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"gx": t.column("gx"), "gy": t.column("gy"),
+             "morton": morton_interleave(gx, gy),
+             "n_pages": t.column("n_pages")}
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow").sort("morton")
+
+
+@register(
+    "doc_sample_weighted",
+    """
+    SELECT doc_id, lang, n_chars, rnk FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY
+               ROUND(LN((((doc_id * 2654435761) % 4294967296) + 0.5)
+                        / 4294967296.0)
+                     / GREATEST(n_chars, 1), 12) DESC,
+               doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 50
+    """,
+)
+def doc_sample_weighted(sf_dir: str):
+    """Distributed WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis exponential keys: top-k by ln(u)/w, here
+    w = n_chars, so long documents are proportionally more likely):
+    each batch keeps only its local top-k (one argpartition), the
+    driver merges k x blocks partial rows — no global sort, no
+    full-corpus exchange.  The uniform u is a DETERMINISTIC hash of
+    doc_id (Knuth multiplicative, expressible identically in SQL), and
+    keys are rounded BEFORE ordering on both sides with doc_id
+    tie-break, per the engine's float-mirroring rules."""
+    rd = _rd()
+    K = 50
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        u = (((did * 2654435761) % 4294967296) + 0.5) / 4294967296.0
+        key = _round(np.log(u) / w, 12)
+        k = min(K, len(did))
+        sel = np.argpartition(-key, kth=k - 1)[:k]
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id").take(pa.array(sel)),
+             "lang": t.column("lang").take(pa.array(sel)),
+             "n_chars": t.column("n_chars").take(pa.array(sel)),
+             "key": pa.array(key[sel])}
+        )
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # k x blocks rows — driver-safe by construction
+    )
+    parts = parts.sort_values(
+        ["key", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(K).reset_index(drop=True)
+    parts["rnk"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts[["doc_id", "lang", "n_chars", "rnk"]]

@@ -93,3 +93,35 @@ class TestNewQueries:
 
         df = events_latest(SF).to_pandas()
         assert df["user_id"].is_unique
+
+
+class TestMorton:
+    def test_interleave_matches_bit_reference(self):
+        from osm_live_updates_ray.functions.cells import morton_interleave
+
+        rng = np.random.RandomState(3)
+        xs = rng.randint(0, 1 << 16, 500)
+        ys = rng.randint(0, 1 << 16, 500)
+
+        def ref(x, y):
+            m = 0
+            for i in range(16):
+                m |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+            return m
+
+        got = morton_interleave(xs, ys)
+        want = np.array([ref(int(x), int(y)) for x, y in zip(xs, ys)])
+        assert np.array_equal(got, want)
+
+    def test_locality(self):
+        # neighbors on the grid have nearby keys: a 2x2 block spans
+        # at most a 16-key range in z-order
+        from osm_live_updates_ray.functions.cells import morton_interleave
+
+        for x0, y0 in [(0, 0), (100, 200), (511, 511)]:
+            block = [
+                morton_interleave(np.array([x]), np.array([y]))[0]
+                for x in (x0, x0 + 1) for y in (y0, y0 + 1)
+            ]
+            if x0 % 2 == 0 and y0 % 2 == 0:
+                assert max(block) - min(block) == 3
