@@ -3213,3 +3213,58 @@ def doc_sample_weighted(sf_dir: str):
     ).head(K).reset_index(drop=True)
     parts["rnk"] = np.arange(1, len(parts) + 1, dtype=np.int64)
     return parts[["doc_id", "lang", "n_chars", "rnk"]]
+
+
+@register(
+    "doc_lm_score",
+    """
+    WITH w AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(LN(cnt.c / tot.t)), 4) AS lm_score
+    FROM w JOIN cnt USING (word), tot
+    GROUP BY doc_id
+    """,
+)
+def doc_lm_score(sf_dir: str):
+    """Unigram-LM quality score per document (the CCNet-style corpus-LM
+    filter proxy): mean token log-probability under the corpus's own
+    unigram distribution.  Two-pass broadcast pattern (same shape as
+    tfidf_top_term): pass 1 is the map-side-combined wordcount (the
+    shuffle carries ~|vocab| x blocks rows, never per-token rows) whose
+    vocabulary-sized result broadcasts via ray.put; pass 2 streams the
+    corpus once, scoring every doc's tokens with one vectorized lookup
+    + reduceat mean — scores rounded to 4 decimals on both sides so
+    summation-order ulp noise cannot flip the value hash."""
+    import ray
+
+    rd = _rd()
+
+    vocab = word_counts(sf_dir).to_pandas()
+    total = float(vocab["n"].sum())
+    logp = pd.Series(
+        np.log(vocab["n"].to_numpy(dtype=np.float64) / total),
+        index=vocab["word"],
+    )
+    ref = ray.put(logp)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lp = ray.get(ref)
+        words = df["text"].str.split(" ")
+        n_tok = words.str.len().astype("int64").to_numpy()
+        flat = words.explode()
+        vals = flat.map(lp).to_numpy(dtype=np.float64)
+        starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+        sums = np.add.reduceat(vals, starts)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "n_tokens": n_tok,
+             "lm_score": _round(sums / n_tok, 4)}
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pandas")
