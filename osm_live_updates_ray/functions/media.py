@@ -186,3 +186,46 @@ def ppmv_frame_bytes(payload: bytes, index: int) -> bytes:
 
 def decode_ppmv_frame(payload: bytes, index: int) -> np.ndarray:
     return decode_ppm(ppmv_frame_bytes(payload, index))
+
+
+def image_meta(payload: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from the CONTAINER HEADER only — no
+    decode, no imaging library: PNG (IHDR), GIF87a/89a (logical screen
+    descriptor), JPEG (first SOFn marker scan), BMP (BITMAPINFOHEADER)
+    and P6 PPM (ASCII header).  The header-sniff path every crawl
+    pipeline runs before deciding whether a payload is worth decoding;
+    returns ("unknown", -1, -1) for unrecognized or truncated bytes."""
+    import struct
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            return "png", int(w), int(h)
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            return "gif", int(w), int(h)
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI; scan for SOFn
+            i, n = 2, len(payload)
+            while i + 9 < n:
+                if payload[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return "jpeg", int(w), int(h)
+                i += 2 + seglen
+            return "unknown", -1, -1
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return "bmp", int(w), abs(int(h))  # negative h = top-down rows
+        if payload[:2] == b"P6":
+            head = payload[:64].split()
+            return "ppm", int(head[1]), int(head[2])
+    except (struct.error, IndexError, ValueError):
+        pass
+    return "unknown", -1, -1

@@ -3268,3 +3268,47 @@ def doc_lm_score(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(score, batch_format="pandas")
+
+
+@register(
+    "image_meta",
+    """
+    SELECT doc_id, 'ppm' AS format,
+           CAST(8 + (doc_id % 8) * 4 AS INT) AS width,
+           CAST(8 + (doc_id % 5) * 4 AS INT) AS height
+    FROM documents
+    """,
+)
+def image_meta_q(sf_dir: str):
+    """Container-header metadata extraction (the sniff-before-decode
+    step every crawl pipeline runs): documents become REAL P6 PPM
+    containers (pixels tiled from the text bytes, dimensions a
+    deterministic function of doc_id), and `functions/media.py::
+    image_meta` parses format/width/height back from the ENCODED BYTES
+    — PNG/GIF/JPEG/BMP branches of the same parser are pinned by unit
+    tests with hand-built headers.  The oracle checks the encode→parse
+    round trip against the dimension formula."""
+    from .functions import media as mediafn
+
+    rd = _rd()
+
+    def to_meta(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        fmts, ws, hs = [], [], []
+        for i, txt in zip(did, texts):
+            w = 8 + int(i % 8) * 4
+            h = 8 + int(i % 5) * 4
+            buf = np.frombuffer(txt.encode(), dtype=np.uint8)
+            img = np.resize(buf, (h, w, 3))
+            f, pw, ph = mediafn.image_meta(mediafn.encode_ppm(img))
+            fmts.append(f), ws.append(pw), hs.append(ph)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(did), "format": pa.array(fmts),
+             "width": pa.array(ws, type=pa.int32()),
+             "height": pa.array(hs, type=pa.int32())}
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_meta, batch_format="pyarrow")

@@ -125,3 +125,33 @@ class TestMorton:
             ]
             if x0 % 2 == 0 and y0 % 2 == 0:
                 assert max(block) - min(block) == 3
+
+
+class TestImageMeta:
+    def test_all_formats(self):
+        import struct
+
+        from osm_live_updates_ray.functions.media import encode_ppm, image_meta
+
+        assert image_meta(encode_ppm(np.zeros((5, 7, 3), np.uint8))) == (
+            "ppm", 7, 5)
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0))
+        assert image_meta(png) == ("png", 640, 480)
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+        assert image_meta(gif) == ("gif", 320, 200)
+        bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 256, -128)
+               + b"\x00" * 8)
+        assert image_meta(bmp) == ("bmp", 256, 128)
+        jpg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+               + b"\x00" * 9 + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+               + struct.pack(">HH", 600, 800) + b"\x03" + b"\x00" * 9)
+        assert image_meta(jpg) == ("jpeg", 800, 600)
+
+    def test_garbage_and_truncated(self):
+        from osm_live_updates_ray.functions.media import image_meta
+
+        assert image_meta(b"garbage") == ("unknown", -1, -1)
+        assert image_meta(b"\xff\xd8\xff") == ("unknown", -1, -1)
+        assert image_meta(b"") == ("unknown", -1, -1)
+        assert image_meta(b"\x89PNG\r\n\x1a\n") == ("unknown", -1, -1)
