@@ -304,7 +304,11 @@ def battery(sf_dir: str) -> dict:
     for name in ("tpch_q1", "tpch_q3", "assignments", "tile_rollup",
                  "classify_changes", "dirty_ways",
                  "doc_stats", "dedup_exact", "minhash_near_dups",
-                 "ann_topk"):
+                 "ann_topk",
+                 # round-2 continued additions (keep the list above
+                 # stable for round-over-round comparability)
+                 "events_sliding", "lang_distinct_words", "doc_lm_score",
+                 "training_mix"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):
