@@ -632,26 +632,64 @@ def ngram_jaccard_pairs(
             t, ray.get(hot_ref), id_col, text_col, threshold, k
         )
 
+    def tag_fold(t: pa.Table) -> pa.Table:
+        # coarse-fold shuffle (see minhash_candidate_pairs): shingle
+        # buckets have per-row cardinality; fold keeps each bucket
+        # intact in one group while the kernel walks bucket boundaries
+        fold = (
+            hashing.hash_strings(t.column("sh").to_pylist()).view(np.uint64)
+            % np.uint64(64)
+        ).astype(np.int64)
+        return t.append_column("fold", pa.array(fold))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": np.array([], dtype=np.int64),
+             "id_b": np.array([], dtype=np.int64)}
+        )
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = g[id_col].to_numpy()
-        pos = g["pos"].to_numpy()
-        size = g["size"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        na, nb = size[ii], size[jj]
-        pa_, pb_ = pos[ii], pos[jj]
-        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
-        alpha = np.ceil(threshold / (1.0 + threshold) * (na + nb))
-        keep &= 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
-        keep &= ids[ii] != ids[jj]
-        a = np.minimum(ids[ii][keep], ids[jj][keep])
-        b = np.maximum(ids[ii][keep], ids[jj][keep])
-        return pd.DataFrame({"id_a": a.astype(np.int64), "id_b": b.astype(np.int64)})
+            return empty
+        sh = g["sh"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        pos_all = g["pos"].to_numpy()
+        size_all = g["size"].to_numpy()
+        order = np.lexsort((ids_all, sh))
+        sh, ids_all = sh[order], ids_all[order]
+        pos_all, size_all = pos_all[order], size_all[order]
+        new = np.ones(len(sh), dtype=bool)
+        new[1:] = sh[1:] != sh[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(sh))
+        out_a: list = []
+        out_b: list = []
+        triu_cache: dict = {}
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            iu = triu_cache.get(n)
+            if iu is None:
+                iu = triu_cache[n] = np.triu_indices(n, k=1)
+            ii, jj = s + iu[0], s + iu[1]
+            na, nb = size_all[ii], size_all[jj]
+            pa_, pb_ = pos_all[ii], pos_all[jj]
+            keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+            alpha = np.ceil(threshold / (1.0 + threshold) * (na + nb))
+            keep &= 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
+            keep &= ids_all[ii] != ids_all[jj]
+            out_a.append(np.minimum(ids_all[ii][keep], ids_all[jj][keep]))
+            out_b.append(np.maximum(ids_all[ii][keep], ids_all[jj][keep]))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a).astype(np.int64),
+             "id_b": np.concatenate(out_b).astype(np.int64)}
+        )
 
     cand = (
         docs_ds.map_batches(prefixes, batch_format="pyarrow")
-        .groupby("sh")
+        .map_batches(tag_fold, batch_format="pyarrow")
+        .groupby("fold")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     return verify_pairs_distributed(
