@@ -479,51 +479,85 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         return simhash_batch(t, id_col, text_col)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sh = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
-        out_i, out_b, out_k, out_s = [], [], [], []
-        for b in range(4):
-            sub = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            out_i.extend(ids.tolist())
-            out_b.extend([b] * len(ids))
-            out_k.extend(sub.tolist())
-            out_s.extend(sh.view(np.int64).tolist())
+        n = len(ids)
+        band = np.repeat(np.arange(4, dtype=np.int64), n)
+        key = np.concatenate(
+            [((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+             for b in range(4)]
+        )
+        # coarse-fold shuffle key (see minhash_candidate_pairs): one
+        # (band, key) bucket per distinct sub-band value would pay a
+        # Python call per tiny group
+        fold = hashing.hash_int64(
+            band * np.int64(0x100000001B3) ^ key
+        ).view(np.uint64) % np.uint64(64)
         return pa.Table.from_pydict(
-            {id_col: out_i, "band": out_b, "key": out_k, "simhash": out_s}
+            {id_col: pa.array(np.tile(ids, 4)),
+             "band": pa.array(band), "key": pa.array(key),
+             "simhash": pa.array(np.tile(sh.view(np.int64), 4)),
+             "fold": pa.array(fold.astype(np.int64))}
         )
 
+    def _ham(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        x = (a.view(np.uint64) ^ b.view(np.uint64)).view(np.uint64)
+        return np.unpackbits(
+            x[:, None].view(np.uint8), axis=1
+        ).sum(axis=1).astype(np.int64)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": np.array([], dtype=np.int64),
+             "id_b": np.array([], dtype=np.int64),
+             "hamming": np.array([], dtype=np.int64)}
+        )
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy()
-        out = []
-        if len(g) > 500:
-            # mega-bucket: chain-pair by sorted id (like the MinHash
-            # path) instead of silently dropping; hamming still verified
-            order = np.argsort(ids)
-            for i, j in zip(order[:-1], order[1:]):
-                if ids[i] == ids[j]:
-                    continue
-                h = hashing.hamming64(sh[i], sh[j])
-                if h <= max_hamming:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out.append((a, b, h))
-            return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                h = hashing.hamming64(sh[i], sh[j])
-                if h <= max_hamming:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    out.append((a, b, h))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+            return empty
+        band = g["band"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        sh = g["simhash"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, key, band))
+        band, key, ids, sh = band[order], key[order], ids[order], sh[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ids))
+        sizes = ends - starts
+        ii_all: list = []
+        jj_all: list = []
+        # mega-bucket: chain-pair by sorted id (like the MinHash path)
+        # instead of silently dropping; hamming still verified
+        mega = sizes > 500
+        for s, e in zip(starts[mega], ends[mega]):
+            ii_all.append(np.arange(s, e - 1))
+            jj_all.append(np.arange(s + 1, e))
+        small = (sizes >= 2) & ~mega
+        triu_cache: dict = {}
+        for s, e in zip(starts[small], ends[small]):
+            n = e - s
+            iu = triu_cache.get(n)
+            if iu is None:
+                iu = triu_cache[n] = np.triu_indices(n, k=1)
+            ii_all.append(s + iu[0])
+            jj_all.append(s + iu[1])
+        if not ii_all:
+            return empty
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        h = _ham(sh[ii], sh[jj])  # one vectorized XOR+popcount pass
+        keep = (h <= max_hamming) & (ids[ii] != ids[jj])
+        return pd.DataFrame(
+            {"id_a": np.minimum(ids[ii][keep], ids[jj][keep]),
+             "id_b": np.maximum(ids[ii][keep], ids[jj][keep]),
+             "hamming": h[keep]}
+        )
 
     return (
         ds.map_batches(sigs, batch_format="pyarrow")
         .map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("fold")
         .map_groups(pairs, batch_format="pandas")
     )
 
