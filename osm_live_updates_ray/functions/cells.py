@@ -130,22 +130,21 @@ def cells_covering_bbox(
     return pack_cell(gx.ravel(), gy.ravel())
 
 
+def _bit_spread16(v: np.ndarray) -> np.ndarray:
+    """Spread 16-bit values so occupied bits sit at even positions
+    (each magic step doubles the gap between occupied bits)."""
+    v = np.asarray(v).astype(np.int64)
+    v = (v | (v << 8)) & np.int64(0x00FF00FF)
+    v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+    v = (v | (v << 2)) & np.int64(0x33333333)
+    v = (v | (v << 1)) & np.int64(0x55555555)
+    return v
+
+
 def morton_interleave(gx, gy):
     """Morton (Z-order) key from 16-bit grid coordinates — the
     space-filling-curve layout key for spatially-clustered tile
     export: sorting output partitions by this key keeps geographic
     neighbors in neighboring files, so range reads over a region touch
-    O(few) partitions instead of all of them.  Classic bit-spread
-    (each magic step doubles the gap between occupied bits);
-    vectorized, no loop."""
-    import numpy as np
-
-    def spread(v):
-        v = np.asarray(v).astype(np.int64)
-        v = (v | (v << 8)) & np.int64(0x00FF00FF)
-        v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
-        v = (v | (v << 2)) & np.int64(0x33333333)
-        v = (v | (v << 1)) & np.int64(0x55555555)
-        return v
-
-    return spread(gx) | (spread(gy) << np.int64(1))
+    O(few) partitions instead of all of them.  Vectorized, no loop."""
+    return _bit_spread16(gx) | (_bit_spread16(gy) << np.int64(1))

@@ -227,3 +227,16 @@ def fold_int64(values: np.ndarray, n_buckets: int = 64) -> np.ndarray:
         hash_int64(np.asarray(values).astype(np.int64)).view(np.uint64)
         % np.uint64(n_buckets)
     ).astype(np.int64)
+
+
+def fold_pair_int64(a: np.ndarray, b: np.ndarray,
+                    n_buckets: int = 64) -> np.ndarray:
+    """fold_int64 for a COMPOSITE int64 key pair (band+bucket-hash,
+    id pair, ...): combines with an FNV-prime multiply/xor before the
+    splitmix scramble so both components drive the bucket."""
+    a = np.asarray(a).astype(np.int64)
+    b = np.asarray(b).astype(np.int64)
+    return (
+        hash_int64(a * np.int64(0x100000001B3) ^ b).view(np.uint64)
+        % np.uint64(n_buckets)
+    ).astype(np.int64)

@@ -211,6 +211,9 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
                     i += 1
                     continue
                 marker = payload[i + 1]
+                if marker == 0xFF:  # fill byte (legal padding, T.81 B.1.1.2)
+                    i += 1
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue

@@ -1519,21 +1519,12 @@ def dedup_exact_q(sf_dir: str):
     raw keys make map_groups pay a Python call per ~1-row group); the
     in-group pandas groupby on the ACTUAL text is both vectorized and
     collision-safe."""
-    from .functions import hashing
-    from .stages.dedup_docs import add_content_hash
+    from .stages.dedup_docs import tag_content_fold
 
     rd = _rd()
-
-    def tag(t: pa.Table) -> pa.Table:
-        t = add_content_hash(t)
-        fold = hashing.fold_int64(
-            t.column("content_hash").to_numpy(zero_copy_only=False), 64
-        )
-        return t.append_column("fold", pa.array(fold))
-
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(tag, batch_format="pyarrow")
+    ).map_batches(tag_content_fold, batch_format="pyarrow")
 
     def per_text(g: pd.DataFrame) -> pd.DataFrame:
         # within a fold bucket, group by the actual text (collision-safe)
@@ -1594,7 +1585,7 @@ def training_mix(sf_dir: str):
     from ray.data.aggregate import Sum
 
     from .functions import text as textfn
-    from .stages.dedup_docs import add_content_hash
+    from .stages.dedup_docs import tag_content_fold
 
     SPAN, B = 4096, 512
     rates = {"en": 50, "de": 30, "fr": 20}
@@ -1614,15 +1605,6 @@ def training_mix(sf_dir: str):
         )
         return df[["doc_id", "lang", "text", "n_tokens", "bucket"]]
 
-    def tag_fold(t: pa.Table) -> pa.Table:
-        from .functions import hashing as _h
-
-        t = add_content_hash(t)
-        fold = _h.fold_int64(
-            t.column("content_hash").to_numpy(zero_copy_only=False), 64
-        )
-        return t.append_column("fold", pa.array(fold))
-
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
         # coarse-fold group (see dedup_exact_q): one vectorized pandas
         # groupby per fold bucket instead of a call per distinct text
@@ -1639,7 +1621,7 @@ def training_mix(sf_dir: str):
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
         )
         .map_batches(stage_a, batch_format="pandas")
-        .map_batches(tag_fold, batch_format="pyarrow")
+        .map_batches(tag_content_fold, batch_format="pyarrow")
         .groupby("fold")
         .map_groups(dedup_group, batch_format="pandas")
         .map_batches(sample, batch_format="pandas")
@@ -2511,7 +2493,10 @@ def user_sessions(sf_dir: str):
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         u = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy().astype("int64")  # microseconds
+        # normalize the unit BEFORE the int view: block conversion may
+        # deliver ns under other pandas/pyarrow configs, which would
+        # turn the 30-min gap into 1.8 s silently
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         eid = g["event_id"].to_numpy()
         order = np.lexsort((eid, ts, u))
         u, ts = u[order], ts[order]
@@ -3187,6 +3172,13 @@ def doc_sample_weighted(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(did) == 0:  # empty fragment: argpartition(kth=-1) raises
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "lang": pa.array([], type=pa.string()),
+                 "n_chars": pa.array([], type=pa.int64()),
+                 "key": pa.array([], type=pa.float64())}
+            )
         w = np.maximum(
             t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64), 1
         )

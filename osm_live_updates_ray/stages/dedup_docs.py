@@ -30,6 +30,19 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_hash", pa.array(h))
 
 
+def tag_content_fold(batch: pa.Table, text_col: str = "text",
+                     n_shuffle_buckets: int = 64) -> pa.Table:
+    """content_hash + coarse ``fold`` shuffle-key columns in one pass —
+    the shared tagging step of every exact-dedup flavor (dedup_exact,
+    the dedup_exact battery entry, training_mix)."""
+    batch = add_content_hash(batch, text_col)
+    fold = hashing.fold_int64(
+        batch.column("content_hash").to_numpy(zero_copy_only=False),
+        n_shuffle_buckets,
+    )
+    return batch.append_column("fold", pa.array(fold))
+
+
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text",
                 n_shuffle_buckets: int = 64):
     """Keep the smallest-id row per distinct text.  Hash-partition on
@@ -45,16 +58,11 @@ def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text",
             columns=["fold"]
         )
 
-    def tag(t: pa.Table) -> pa.Table:
-        t = add_content_hash(t, text_col)
-        fold = hashing.fold_int64(
-            t.column("content_hash").to_numpy(zero_copy_only=False),
-            n_shuffle_buckets,
-        )
-        return t.append_column("fold", pa.array(fold))
-
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: tag_content_fold(t, text_col, n_shuffle_buckets),
+            batch_format="pyarrow",
+        )
         .groupby("fold")
         .map_groups(keep_first, batch_format="pandas")
     )
@@ -97,6 +105,43 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return hashing.jaccard(set(hashing.shingles(a, k)), set(hashing.shingles(b, k)))
 
 
+def _bucket_pair_indices(starts: np.ndarray, ends: np.ndarray,
+                         mega_cap: int | None = None):
+    """(ii, jj) row-index arrays pairing every bucket's rows, shared by
+    the MinHash / SimHash / n-gram kernels: all-pairs (cached triu)
+    for buckets of size <= ``mega_cap``, sorted-order CHAIN
+    (row_i, row_{i+1}) for larger ones — true dup groups stay connected
+    through the chain (the components pass merges them) and every
+    emitted pair is still verified downstream.  ``mega_cap=None``
+    means NO cap (all-pairs always) — required where the candidate set
+    must be provably complete (the exact n-gram PPJoin).  Rows must
+    arrive sorted by id WITHIN each bucket so chains are deterministic
+    and ii < jj implies id_i < id_j."""
+    sizes = ends - starts
+    ii_all: list = []
+    jj_all: list = []
+    if mega_cap is not None:
+        mega = sizes > mega_cap
+        for s, e in zip(starts[mega], ends[mega]):
+            ii_all.append(np.arange(s, e - 1))
+            jj_all.append(np.arange(s + 1, e))
+        small = (sizes >= 2) & ~mega
+    else:
+        small = sizes >= 2
+    triu_cache: dict = {}
+    for s, e in zip(starts[small], ends[small]):
+        n = e - s
+        iu = triu_cache.get(n)
+        if iu is None:
+            iu = triu_cache[n] = np.triu_indices(n, k=1)
+        ii_all.append(s + iu[0])
+        jj_all.append(s + iu[1])
+    if not ii_all:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(ii_all), np.concatenate(jj_all)
+
+
 def minhash_candidate_pairs(
     ds,
     id_col: str = "doc_id",
@@ -122,12 +167,12 @@ def minhash_candidate_pairs(
 
     def batch_sigs(t: pa.Table) -> pa.Table:
         out = minhash_batch(t, id_col, text_col, num_perm, bands, shingle_k)
-        b = out.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = out.column("band_hash").to_numpy(zero_copy_only=False)
-        fold = hashing.hash_int64(
-            b * np.int64(0x100000001B3) ^ h.astype(np.int64)
-        ).view(np.uint64) % np.uint64(n_shuffle_buckets)
-        return out.append_column("bucket", pa.array(fold.astype(np.int64)))
+        fold = hashing.fold_pair_int64(
+            out.column("band").to_numpy(zero_copy_only=False),
+            out.column("band_hash").to_numpy(zero_copy_only=False),
+            n_shuffle_buckets,
+        )
+        return out.append_column("bucket", pa.array(fold))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         b = g["band"].to_numpy().astype(np.int64)
@@ -139,36 +184,11 @@ def minhash_candidate_pairs(
         new[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(b))
-        sizes = ends - starts
-        out_a: list = []
-        out_b: list = []
-        # mega-bucket: all-pairs would be O(n²) — emit the sorted
-        # CHAIN (id_i, id_{i+1}) instead of dropping the bucket.
-        # True dup groups stay connected through the chain (the
-        # components pass merges them); recall loss is only for
-        # dissimilar docs that happened to share the bucket, which
-        # verification would have rejected anyway.
-        mega = sizes > 200
-        for s, e in zip(starts[mega], ends[mega]):
-            out_a.append(ids[s : e - 1])
-            out_b.append(ids[s + 1 : e])
-        small = (sizes >= 2) & ~mega
-        triu_cache: dict = {}
-        for s, e in zip(starts[small], ends[small]):
-            n = e - s
-            iu = triu_cache.get(n)
-            if iu is None:
-                iu = triu_cache[n] = np.triu_indices(n, k=1)
-            out_a.append(ids[s + iu[0]])
-            out_b.append(ids[s + iu[1]])
-        if not out_a:
-            return pd.DataFrame(
-                {"id_a": np.array([], dtype=np.int64),
-                 "id_b": np.array([], dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        )
+        # mega-bucket (>200): chain instead of dropping — recall loss
+        # is only for dissimilar docs sharing the bucket, which
+        # verification would have rejected anyway
+        ii, jj = _bucket_pair_indices(starts, ends, mega_cap=200)
+        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
     return (
         ds.map_batches(batch_sigs, batch_format="pyarrow")
@@ -227,12 +247,11 @@ def verify_pairs_distributed(
     # grouping on a folded hash co-locates duplicates while one
     # vectorized drop_duplicates per group does the work.
     def _with_fold(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        fold = hashing.hash_int64(a * np.int64(0x100000001B3) ^ b).view(
-            np.uint64
-        ) % np.uint64(64)
-        return t.append_column("fold", pa.array(fold.astype(np.int64)))
+        fold = hashing.fold_pair_int64(
+            t.column("id_a").to_numpy(zero_copy_only=False),
+            t.column("id_b").to_numpy(zero_copy_only=False),
+        )
+        return t.append_column("fold", pa.array(fold))
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["fold"])
@@ -490,9 +509,7 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         # coarse-fold shuffle key (see minhash_candidate_pairs): one
         # (band, key) bucket per distinct sub-band value would pay a
         # Python call per tiny group
-        fold = hashing.hash_int64(
-            band * np.int64(0x100000001B3) ^ key
-        ).view(np.uint64) % np.uint64(64)
+        fold = hashing.fold_pair_int64(band, key)
         return pa.Table.from_pydict(
             {id_col: pa.array(np.tile(ids, 4)),
              "band": pa.array(band), "key": pa.array(key),
@@ -524,28 +541,11 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(ids))
-        sizes = ends - starts
-        ii_all: list = []
-        jj_all: list = []
-        # mega-bucket: chain-pair by sorted id (like the MinHash path)
-        # instead of silently dropping; hamming still verified
-        mega = sizes > 500
-        for s, e in zip(starts[mega], ends[mega]):
-            ii_all.append(np.arange(s, e - 1))
-            jj_all.append(np.arange(s + 1, e))
-        small = (sizes >= 2) & ~mega
-        triu_cache: dict = {}
-        for s, e in zip(starts[small], ends[small]):
-            n = e - s
-            iu = triu_cache.get(n)
-            if iu is None:
-                iu = triu_cache[n] = np.triu_indices(n, k=1)
-            ii_all.append(s + iu[0])
-            jj_all.append(s + iu[1])
-        if not ii_all:
+        # mega-bucket (>500): chain-pair by sorted id instead of
+        # silently dropping; hamming still verified below
+        ii, jj = _bucket_pair_indices(starts, ends, mega_cap=500)
+        if not len(ii):
             return empty
-        ii = np.concatenate(ii_all)
-        jj = np.concatenate(jj_all)
         h = _ham(sh[ii], sh[jj])  # one vectorized XOR+popcount pass
         keep = (h <= max_hamming) & (ids[ii] != ids[jj])
         return pd.DataFrame(
@@ -694,30 +694,24 @@ def ngram_jaccard_pairs(
         new[1:] = sh[1:] != sh[:-1]
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(sh))
-        out_a: list = []
-        out_b: list = []
-        triu_cache: dict = {}
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            iu = triu_cache.get(n)
-            if iu is None:
-                iu = triu_cache[n] = np.triu_indices(n, k=1)
-            ii, jj = s + iu[0], s + iu[1]
-            na, nb = size_all[ii], size_all[jj]
-            pa_, pb_ = pos_all[ii], pos_all[jj]
-            keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
-            alpha = np.ceil(threshold / (1.0 + threshold) * (na + nb))
-            keep &= 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
-            keep &= ids_all[ii] != ids_all[jj]
-            out_a.append(np.minimum(ids_all[ii][keep], ids_all[jj][keep]))
-            out_b.append(np.maximum(ids_all[ii][keep], ids_all[jj][keep]))
-        if not out_a:
+        # NO mega cap here: this join is contractually EXACT (the
+        # PPJoin lemma needs every prefix-bucket pair examined), so a
+        # hot shingle's bucket stays all-pairs; the df-ordered prefix
+        # emission is what keeps frequent shingles out of most prefixes
+        ii, jj = _bucket_pair_indices(starts, ends, mega_cap=None)
+        if not len(ii):
             return empty
+        na, nb = size_all[ii], size_all[jj]
+        pa_, pb_ = pos_all[ii], pos_all[jj]
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        alpha = np.ceil(threshold / (1.0 + threshold) * (na + nb))
+        keep &= 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
+        keep &= ids_all[ii] != ids_all[jj]
         return pd.DataFrame(
-            {"id_a": np.concatenate(out_a).astype(np.int64),
-             "id_b": np.concatenate(out_b).astype(np.int64)}
+            {"id_a": np.minimum(ids_all[ii][keep], ids_all[jj][keep])
+             .astype(np.int64),
+             "id_b": np.maximum(ids_all[ii][keep], ids_all[jj][keep])
+             .astype(np.int64)}
         )
 
     cand = (
