@@ -3304,3 +3304,54 @@ def image_meta_q(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(to_meta, batch_format="pyarrow")
+
+
+@register(
+    "events_lag",
+    """
+    SELECT event_id, user_id,
+           CAST(FLOOR(EPOCH(
+                ts - LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+           )) AS BIGINT) AS gap_s
+    FROM events
+    """,
+)
+def events_lag(sf_dir: str):
+    """LAG window function (per-user gap to the previous event, in
+    whole seconds; null for each user's first event) — same coarse
+    user-fold shuffle as user_sessions, one lexsort + one shifted
+    difference per fold group, user boundaries masked to null."""
+    rd = _rd()
+    from .functions import hashing
+
+    def tag(t: pa.Table) -> pa.Table:
+        fold = hashing.fold_int64(
+            t.column("user_id").to_numpy(zero_copy_only=False), 64
+        )
+        return t.append_column("fold", pa.array(fold))
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        gap = np.empty(len(u), dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = np.where(
+            u[1:] == u[:-1], (ts[1:] - ts[:-1]) // 1_000_000, np.nan
+        )
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": u,
+             "gap_s": pd.array(gap, dtype="Int64")}
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(lag, batch_format="pandas")
+    )
