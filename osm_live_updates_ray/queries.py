@@ -3355,3 +3355,36 @@ def events_lag(sf_dir: str):
         .groupby("fold")
         .map_groups(lag, batch_format="pandas")
     )
+
+
+@register("near_dup_incremental")  # not SQL-expressible -> rows-only
+def near_dup_incremental(sf_dir: str):
+    """Incremental NEAR-dup ingest (the near-dup companion of
+    `dedup_incremental`): even-doc_id documents form the accepted
+    corpus whose LSH band index + signature shards are persisted
+    (`stages/dedup_docs.py::build_band_index`); the odd-doc_id window
+    then matches against that index with single-shard reads and
+    signature-estimated Jaccard — the accepted corpus is never
+    scanned.  Returns (new_id, match_id, est_jaccard) matches."""
+    import tempfile
+
+    from .stages import dedup_docs
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    def split(keep_even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            even = pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), pa.scalar(1)), pa.scalar(0)
+            )
+            return t.filter(even if keep_even else pc.invert(even))
+
+        return f
+
+    accepted = docs.map_batches(split(True), batch_format="pyarrow")
+    window = docs.map_batches(split(False), batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="olu_nd_idx_") as idx:
+        dedup_docs.build_band_index(accepted, idx)
+        return dedup_docs.incremental_near_dup(window, idx)

@@ -833,3 +833,255 @@ def update_hash_index(survivors, index_dir: str, n_parts: int = N_INDEX_PARTS):
     survivors.select_columns(["fp", "part"]).write_parquet(
         index_dir, partition_cols=["part"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: persisted LSH band index + signature shards
+# ---------------------------------------------------------------------------
+# The near-dup companion of the exact-fingerprint ingest index above:
+# the accepted corpus persists (a) its LSH band rows partitioned by a
+# fold of (band, band_hash) and (b) its packed MinHash signatures
+# partitioned by a fold of doc_id.  A new window shuffles ONCE on the
+# band fold, each shard consults exactly ONE band partition
+# (per-band-segment searchsorted membership), and candidate pairs are
+# verified by SIGNATURE-estimated Jaccard (mean of equal components —
+# the standard signature-only verification; exact text verification
+# would need the accepted corpus's texts, which the index deliberately
+# does not store).  The accepted corpus itself is never scanned.
+
+def _window_band_sig(batch: pa.Table, id_col: str = "doc_id",
+                     text_col: str = "text", num_perm: int = 64,
+                     bands: int = 16, n_parts: int = N_INDEX_PARTS):
+    """(band_tbl, sig_tbl) for a window batch: band rows carry the
+    shuffle fold; signatures are packed little-endian uint64[num_perm]
+    binaries partitioned by a doc_id fold."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    sh, off = hashing.shingle_hashes_batch(batch.column(text_col).to_pylist())
+    sig = hashing.minhash_signatures_batch(sh, off, num_perm)
+    keys = hashing.lsh_band_keys_batch(sig, bands, num_perm // bands)
+    band = np.tile(np.arange(bands, dtype=np.int64), n)
+    did = np.repeat(ids, bands)
+    key = keys.reshape(-1)
+    part = hashing.fold_pair_int64(band, key, n_parts)
+    band_tbl = pa.Table.from_pydict(
+        {"doc_id": pa.array(did), "band": pa.array(band),
+         "band_hash": pa.array(key), "part": pa.array(part)}
+    )
+    sig_tbl = pa.Table.from_pydict(
+        {"doc_id": pa.array(ids),
+         "sig": pa.array([sig[i].tobytes() for i in range(n)],
+                         type=pa.binary()),
+         "spart": pa.array(hashing.fold_int64(ids, n_parts))}
+    )
+    return band_tbl, sig_tbl
+
+
+def build_band_index(ds, index_dir: str, id_col: str = "doc_id",
+                     text_col: str = "text", num_perm: int = 64,
+                     bands: int = 16, n_parts: int = N_INDEX_PARTS) -> None:
+    """Materialize the near-dup index for an accepted corpus:
+    ``bands/part=K`` (doc_id, band, band_hash) and ``sigs/spart=K``
+    (doc_id, packed signature).  Streaming writes — the corpus is
+    never collected."""
+
+    def bands_only(t: pa.Table) -> pa.Table:
+        b, _ = _window_band_sig(t, id_col, text_col, num_perm, bands, n_parts)
+        return b
+
+    def sigs_only(t: pa.Table) -> pa.Table:
+        _, s = _window_band_sig(t, id_col, text_col, num_perm, bands, n_parts)
+        return s
+
+    ds.map_batches(bands_only, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/bands", partition_cols=["part"]
+    )
+    ds.map_batches(sigs_only, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/sigs", partition_cols=["spart"]
+    )
+
+
+def _read_part(dir_: str, col_filter: list, part_key: str, part: int):
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{dir_}/{part_key}={part}/*.parquet"))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f, columns=col_filter) for f in files])
+
+
+def incremental_near_dup(window_ds, index_dir: str, id_col: str = "doc_id",
+                         text_col: str = "text", threshold: float = 0.8,
+                         num_perm: int = 64, bands: int = 16,
+                         n_parts: int = N_INDEX_PARTS):
+    """Near-dup matches of a NEW window against the accepted corpus's
+    persisted band index (plus in-window matches), verified by
+    signature-estimated Jaccard.
+
+    Returns a pandas DataFrame (new_id, match_id, est_jaccard) with
+    match_id < new_id for in-window pairs and match_id = the accepted
+    doc for index hits; window docs absent from the result are the
+    window's near-dup-free survivors.  The window is delta-sized (the
+    minute-diff premise, same as the change pipeline): its signature
+    table broadcasts via ``ray.put``; the ACCEPTED corpus is touched
+    only through single-shard reads."""
+    import ray
+
+    band_parts = []
+    sig_parts = []
+    for b in window_ds.map_batches(
+        lambda t: _window_band_sig(t, id_col, text_col, num_perm, bands,
+                                   n_parts)[0],
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        band_parts.append(b)
+    win_band = pa.concat_tables(band_parts)
+    for b in window_ds.map_batches(
+        lambda t: _window_band_sig(t, id_col, text_col, num_perm, bands,
+                                   n_parts)[1],
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        sig_parts.append(b)
+    win_sig_tbl = pa.concat_tables(sig_parts)
+    win_sigs = {
+        int(i): np.frombuffer(s, dtype=np.uint64)
+        for i, s in zip(win_sig_tbl.column("doc_id").to_pylist(),
+                        win_sig_tbl.column("sig").to_pylist())
+    }
+    sig_ref = ray.put(win_sigs)
+
+    import ray.data as rd
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        wdid = g["doc_id"].to_numpy().astype(np.int64)
+        wband = g["band"].to_numpy().astype(np.int64)
+        wkey = g["band_hash"].to_numpy().astype(np.int64)
+        out_new: list = []
+        out_old: list = []
+        shard = _read_part(f"{index_dir}/bands",
+                           ["doc_id", "band", "band_hash"], "part", part)
+        if shard is not None:
+            sdid = shard.column("doc_id").to_numpy(zero_copy_only=False)
+            sband = shard.column("band").to_numpy(zero_copy_only=False)
+            skey = shard.column("band_hash").to_numpy(zero_copy_only=False)
+            order = np.lexsort((sdid, skey, sband))
+            sdid, sband, skey = sdid[order], sband[order], skey[order]
+            seg = np.searchsorted(sband, np.arange(bands + 1))
+            for b in range(bands):
+                lo, hi = seg[b], seg[b + 1]
+                if lo == hi:
+                    continue
+                m = wband == b
+                if not m.any():
+                    continue
+                k = wkey[m]
+                d = wdid[m]
+                left = lo + np.searchsorted(skey[lo:hi], k, side="left")
+                right = lo + np.searchsorted(skey[lo:hi], k, side="right")
+                cnt = right - left
+                hit = cnt > 0
+                if not hit.any():
+                    continue
+                # expand each probe to ALL shard rows sharing its bucket
+                reps = cnt[hit]
+                out_new.append(np.repeat(d[hit], reps))
+                starts_ = left[hit]
+                idx = np.repeat(
+                    starts_ - np.concatenate(
+                        [[0], np.cumsum(reps[:-1])]
+                    ), reps
+                ) + np.arange(int(reps.sum()))
+                out_old.append(sdid[idx])
+        # in-window candidates: bucket-boundary pairs over window rows
+        order = np.lexsort((wdid, wkey, wband))
+        b_s, k_s, d_s = wband[order], wkey[order], wdid[order]
+        new = np.ones(len(b_s), dtype=bool)
+        new[1:] = (b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(b_s))
+        ii, jj = _bucket_pair_indices(starts, ends, mega_cap=200)
+        if len(ii):
+            out_new.append(np.maximum(d_s[ii], d_s[jj]))
+            out_old.append(np.minimum(d_s[ii], d_s[jj]))
+        if not out_new:
+            return pd.DataFrame(
+                {"new_id": np.array([], dtype=np.int64),
+                 "match_id": np.array([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"new_id": np.concatenate(out_new).astype(np.int64),
+             "match_id": np.concatenate(out_old).astype(np.int64)}
+        ).drop_duplicates()
+
+    cand = (
+        rd.from_arrow(win_band)
+        .groupby("part")
+        .map_groups(match, batch_format="pandas")
+        .to_pandas()  # candidate pairs are delta-sized
+    )
+    empty_out = pd.DataFrame(
+        {"new_id": pd.Series([], dtype="int64"),
+         "match_id": pd.Series([], dtype="int64"),
+         "est_jaccard": pd.Series([], dtype="float64")}
+    )
+    if not len(cand) or "new_id" not in cand.columns:
+        return empty_out  # all groups empty: columns are dropped too
+    cand = cand.drop_duplicates(subset=["new_id", "match_id"])
+    cand = cand[cand["new_id"] != cand["match_id"]]
+    if not len(cand):
+        return empty_out
+
+    # verify: est jaccard = mean equal signature components.  New-side
+    # sigs come from the broadcast window table; old-side sigs from the
+    # sig shards (single-shard reads keyed on the match_id fold) or the
+    # window itself for in-window pairs.
+    cand = cand.reset_index(drop=True)
+    cand["spart"] = hashing.fold_int64(cand["match_id"].to_numpy(), n_parts)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        wsigs = ray.get(sig_ref)
+        part = int(g["spart"].iloc[0])
+        shard = _read_part(f"{index_dir}/sigs", ["doc_id", "sig"],
+                           "spart", part)
+        old_map: dict = {}
+        if shard is not None:
+            for i, s in zip(shard.column("doc_id").to_pylist(),
+                            shard.column("sig").to_pylist()):
+                old_map[int(i)] = np.frombuffer(s, dtype=np.uint64)
+        new_ids = g["new_id"].to_numpy().astype(np.int64)
+        match_ids = g["match_id"].to_numpy().astype(np.int64)
+        A = np.stack([wsigs[int(i)] for i in new_ids])
+        B = np.stack(
+            [wsigs.get(int(i), old_map.get(int(i),
+                                           np.zeros(num_perm, np.uint64)))
+             for i in match_ids]
+        )
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"new_id": new_ids[keep], "match_id": match_ids[keep],
+             "est_jaccard": np.round(est[keep], 4)}
+        )
+
+    out = (
+        rd.from_pandas(cand)
+        .groupby("spart")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["new_id", "match_id"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def update_band_index(survivor_ds, index_dir: str, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 64,
+                      bands: int = 16, n_parts: int = N_INDEX_PARTS) -> None:
+    """Append the accepted window's band rows + signatures (the state
+    advance; appends are new files per partition — a replayed window
+    only adds duplicate rows, which membership semantics ignore)."""
+    build_band_index(survivor_ds, index_dir, id_col, text_col, num_perm,
+                     bands, n_parts)

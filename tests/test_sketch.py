@@ -155,3 +155,71 @@ class TestImageMeta:
         assert image_meta(b"\xff\xd8\xff") == ("unknown", -1, -1)
         assert image_meta(b"") == ("unknown", -1, -1)
         assert image_meta(b"\x89PNG\r\n\x1a\n") == ("unknown", -1, -1)
+
+
+class TestIncrementalNearDup:
+    def _mk_corpus(self):
+        rng = np.random.RandomState(11)
+        words = [f"w{i:03d}" for i in range(400)]
+
+        def doc(seed):
+            r = np.random.RandomState(seed)
+            return " ".join(r.choice(words, 60))
+
+        texts = [doc(100 + i) for i in range(20)]
+        return texts
+
+    def test_cross_window_and_in_window_matches(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import dedup_docs as dd
+
+        texts = self._mk_corpus()
+        accepted = pa.table(
+            {"doc_id": pa.array(list(range(20)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        idx = str(tmp_path / "nd_index")
+        dd.build_band_index(rd.from_arrow(accepted), idx)
+
+        near3 = texts[3].replace("w", "x", 1)  # one-token edit of doc 3
+        w28 = " ".join(texts[5].split()[:59]) + " zz"
+        win_texts = [near3, texts[7], "totally " * 40, w28, w28 + "q"]
+        window = pa.table(
+            {"doc_id": pa.array([20, 21, 22, 28, 29], type=pa.int64()),
+             "text": pa.array(win_texts)}
+        )
+        out = dd.incremental_near_dup(rd.from_arrow(window), idx)
+        got = set(zip(out["new_id"], out["match_id"]))
+        assert (20, 3) in got       # near-copy of accepted doc
+        assert (21, 7) in got       # exact copy of accepted doc
+        assert (29, 28) in got      # in-window near-pair
+        assert not any(n == 22 for n, _ in got)  # unique doc untouched
+        exact = out[(out["new_id"] == 21) & (out["match_id"] == 7)]
+        assert float(exact["est_jaccard"].iloc[0]) == 1.0
+
+    def test_replay_is_self_match_free(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import dedup_docs as dd
+
+        texts = self._mk_corpus()
+        accepted = pa.table(
+            {"doc_id": pa.array(list(range(10)), type=pa.int64()),
+             "text": pa.array(texts[:10])}
+        )
+        idx = str(tmp_path / "nd_index2")
+        dd.build_band_index(rd.from_arrow(accepted), idx)
+        window = pa.table(
+            {"doc_id": pa.array([40, 41], type=pa.int64()),
+             "text": pa.array([texts[10], texts[11]])}
+        )
+        first = dd.incremental_near_dup(rd.from_arrow(window), idx)
+        assert len(first) == 0
+        dd.update_band_index(rd.from_arrow(window), idx)
+        replay = dd.incremental_near_dup(rd.from_arrow(window), idx)
+        # replaying the SAME window: its docs match only their own
+        # persisted copies, which the new_id != match_id filter drops
+        assert len(replay) == 0
