@@ -65,7 +65,12 @@ def state_for_timestamp(
     for st in sorted(states, key=lambda s: s.seq, reverse=True):
         if st.ts <= ts:
             return st
-    raise ReplicationError(f"no replication state at or before timestamp {ts}")
+    # the store predates every available window: clamp to the OLDEST
+    # state — applying everything available is the best possible
+    # catch-up (diffs between the store's timestamp and the oldest
+    # window are gone either way; the overlap-by-one convention makes
+    # the boundary replay harmless but cannot recover a gap)
+    return min(states, key=lambda s: s.seq)
 
 
 def decide_start_sequence(

@@ -163,3 +163,16 @@ class TestReplicationApply:
             for k in ("osm_nodes", "osm_ways", "osm_relations")
         ).strftime("%Y-%m-%dT%H:%M:%S")
         assert got == want
+
+
+def test_store_older_than_all_windows_clamps_to_oldest():
+    # a store whose MAX object ts predates every available window must
+    # start from the OLDEST window (best-effort catch-up), not error
+    from osm_live_updates_ray.pipelines import watermark as wmk
+
+    states = [wmk.ReplicationState(5, "2024-06-01T00:00:00"),
+              wmk.ReplicationState(6, "2024-06-02T00:00:00")]
+    st = wmk.state_for_timestamp(
+        states, max(states, key=lambda s: s.seq), "2023-01-01T00:00:00"
+    )
+    assert st.seq == 5
