@@ -240,3 +240,4 @@ def fold_pair_int64(a: np.ndarray, b: np.ndarray,
         hash_int64(a * np.int64(0x100000001B3) ^ b).view(np.uint64)
         % np.uint64(n_buckets)
     ).astype(np.int64)
+

@@ -233,11 +233,25 @@ def verify_pairs_distributed(
     text_col: str = "text",
     threshold: float = 0.8,
     k: int = 5,
+    sig_prefilter: bool = False,
+    num_perm: int = 64,
 ):
     """Corpus-scale pair verification: candidate pairs hash-join back to
     the documents Dataset TWICE (id_a side, id_b side), then the exact
     n-gram Jaccard runs inside map_batches — the corpus text is never
     materialized on the driver.
+
+    ``sig_prefilter=True`` inserts a MinHash-signature screen BEFORE
+    the text joins: pairs join twice against a (doc_id, packed sig)
+    projection (~512 B/doc instead of the full text), estimated
+    Jaccard = mean equal components, and only pairs with estimate >=
+    threshold - 0.3 proceed to exact text verification.  On a
+    dup-heavy corpus the text joins are the dominant cost (2 x text
+    bytes PER CANDIDATE through the shuffle); the screen cuts them to
+    the near-accepted subset.  P(estimate < t-0.3 | true >= t) with 64
+    permutations is ~1e-9 per pair — a deterministic, documented
+    approximation; leave it off where the candidate set must be
+    verified exactly as given.
 
     Returns a Dataset of (id_a, id_b, jaccard) rows meeting the
     threshold, deduplicated on (id_a, id_b)."""
@@ -261,6 +275,57 @@ def verify_pairs_distributed(
         .groupby("fold")
         .map_groups(dedup_group, batch_format="pandas")
     )
+
+    if sig_prefilter:
+        margin = max(0.0, threshold - 0.3)
+
+        sig_width = 8 * num_perm
+
+        def sig_proj(side: str):
+            def f(t: pa.Table) -> pa.Table:
+                ids = t.column(id_col).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                sh, off = hashing.shingle_hashes_batch(
+                    t.column(text_col).to_pylist(), k
+                )
+                sig = hashing.minhash_signatures_batch(sh, off, num_perm)
+                # FIXED-size binary: the whole column is one flat
+                # buffer, so the screen reads it zero-copy (variable
+                # binary would force per-value Python bytes objects)
+                return pa.Table.from_pydict(
+                    {f"id_{side}": pa.array(ids),
+                     f"sig_{side}": pa.FixedSizeBinaryArray.from_buffers(
+                         pa.binary(sig_width), len(ids),
+                         [None, pa.py_buffer(np.ascontiguousarray(sig)
+                                             .tobytes())])}
+                )
+
+            return f
+
+        def _sig_matrix(col: pa.ChunkedArray) -> np.ndarray:
+            arr = col.combine_chunks()
+            buf = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+            start = arr.offset * num_perm
+            return buf[start : start + len(arr) * num_perm].reshape(
+                len(arr), num_perm
+            )
+
+        sa = docs_ds.map_batches(sig_proj("a"), batch_format="pyarrow")
+        sb = docs_ds.map_batches(sig_proj("b"), batch_format="pyarrow")
+        sj = sa.join(pairs, join_type="inner", num_partitions=4, on=("id_a",))
+        sj = sb.join(sj, join_type="inner", num_partitions=4, on=("id_b",))
+
+        def screen(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.select(["id_a", "id_b"])
+            est = (
+                _sig_matrix(t.column("sig_a")) == _sig_matrix(t.column("sig_b"))
+            ).mean(axis=1)
+            return t.select(["id_a", "id_b"]).filter(pa.array(est >= margin))
+
+        pairs = sj.map_batches(screen, batch_format="pyarrow")
+
     docs_a = docs_ds.map_batches(
         lambda t: pa.Table.from_pydict(
             {"id_a": t.column(id_col), "text_a": t.column(text_col)}

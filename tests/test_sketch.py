@@ -223,3 +223,24 @@ class TestIncrementalNearDup:
         # replaying the SAME window: its docs match only their own
         # persisted copies, which the new_id != match_id filter drops
         assert len(replay) == 0
+
+
+class TestSigPrefilter:
+    def test_prefilter_equals_exact_on_corpus(self, ray_session):
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import dedup_docs as dd
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+        cand = dd.minhash_candidate_pairs(docs).materialize()
+        plain = (
+            dd.verify_pairs_distributed(cand, docs).to_pandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        screened = (
+            dd.verify_pairs_distributed(cand, docs, sig_prefilter=True)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(plain, screened)
