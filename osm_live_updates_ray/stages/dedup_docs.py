@@ -958,11 +958,17 @@ def build_band_index(ds, index_dir: str, id_col: str = "doc_id",
         _, s = _window_band_sig(t, id_col, text_col, num_perm, bands, n_parts)
         return s
 
-    ds.map_batches(bands_only, batch_format="pyarrow").write_parquet(
-        f"{index_dir}/bands", partition_cols=["part"]
-    )
+    # crash-consistency by WRITE ORDER: sigs first, bands second.  A
+    # band row is the match trigger; a band row whose signature is
+    # missing would silently score est=0 and drop real matches.  With
+    # sigs-first, a crash between the writes leaves orphan signatures
+    # (harmless: never probed) and the replayed window re-appends both
+    # (duplicate rows are ignored by membership semantics).
     ds.map_batches(sigs_only, batch_format="pyarrow").write_parquet(
         f"{index_dir}/sigs", partition_cols=["spart"]
+    )
+    ds.map_batches(bands_only, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/bands", partition_cols=["part"]
     )
 
 
