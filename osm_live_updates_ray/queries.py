@@ -3388,3 +3388,89 @@ def near_dup_incremental(sf_dir: str):
     with tempfile.TemporaryDirectory(prefix="olu_nd_idx_") as idx:
         dedup_docs.build_band_index(accepted, idx)
         return dedup_docs.incremental_near_dup(window, idx)
+
+
+@register(
+    "geo_training_mix",
+    "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_NATION_RECTS.strip()
+    + """
+    , geo AS (
+      SELECT p.url, p.text, COALESCE(r.polygon_id, -1) AS polygon_id
+      FROM pages p LEFT JOIN nation_rects r
+        ON p.lon BETWEEN r.min_lon AND r.max_lon
+       AND p.lat BETWEEN r.min_lat AND r.max_lat
+    ),
+    q AS (
+      SELECT url, text, polygon_id,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM geo WHERE polygon_id >= 0
+    ),
+    f AS (SELECT * FROM q WHERE n_tokens BETWEEN 20 AND 90),
+    d AS (
+      SELECT * FROM f
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY url) = 1
+    )
+    SELECT polygon_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY polygon_id
+    """,
+)
+def geo_training_mix(sf_dir: str):
+    """The composed GEO-aware training-data pipeline — the north-rule
+    narrative end to end in ONE streaming Dataset: pages -> geocode
+    (actor pool, canonical extraction) -> point-in-polygon against the
+    nation layer -> keep in-polygon pages -> token-count quality
+    window -> exact dedup (coarse content-hash fold, min-url survivor
+    carries ITS OWN polygon) -> per-polygon corpus rollup.  Two
+    shuffles total (dedup fold, polygon rollup); text leaves the
+    pipeline at the dedup stage."""
+    from .functions import hashing
+    from .stages.dedup_docs import add_content_hash
+
+    joiner = _nation_joiner(sf_dir, with_nodes=False)
+
+    def pip_quality(t: pa.Table) -> pa.Table:
+        # the joiner emits one row per input row IN ORDER (projected to
+        # join outputs) — re-attach the text column by position
+        j = joiner(t)
+        t = j.append_column("text", t.column("text"))
+        t = t.filter(pc.greater_equal(t.column("polygon_id"), pa.scalar(0)))
+        n_tok = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")
+        ).cast(pa.int64())
+        t = t.append_column("n_tokens", n_tok)
+        keep = pc.and_(
+            pc.greater_equal(n_tok, pa.scalar(20, type=pa.int64())),
+            pc.less_equal(n_tok, pa.scalar(90, type=pa.int64())),
+        )
+        t = t.filter(keep).select(["url", "text", "polygon_id", "n_tokens"])
+        t = add_content_hash(t)
+        fold = hashing.fold_int64(
+            t.column("content_hash").to_numpy(zero_copy_only=False), 64
+        )
+        return t.append_column("fold", pa.array(fold))
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby("text", sort=False)["url"].idxmin()]
+        return keep[["polygon_id", "n_tokens"]]
+
+    def rollup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("polygon_id", sort=False).agg(
+            n_part=("n_tokens", "size"), tok_part=("n_tokens", "sum")
+        )
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _pages_geo_ds(sf_dir)
+        .map_batches(pip_quality, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(dedup_group, batch_format="pandas")
+        .map_batches(rollup_partial, batch_format="pandas")
+        .groupby("polygon_id")
+        .aggregate(
+            Sum("n_part", alias_name="n_docs"),
+            Sum("tok_part", alias_name="total_tokens"),
+        )
+    )
