@@ -3474,3 +3474,100 @@ def geo_training_mix(sf_dir: str):
             Sum("tok_part", alias_name="total_tokens"),
         )
     )
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(sf_dir: str):
+    """Returned-item report (TPC-H Q10 shape): the date filter keeps
+    ~3.5% of orders, so the (o_orderkey -> o_custkey) map rides as a
+    broadcast sorted-array pair (searchsorted probe, no shuffle); the
+    fact table streams once emitting per-customer revenue partials;
+    the customer/nation dimensions broadcast into the tiny
+    post-aggregate; final top-20 is a sort+limit over customers with
+    revenue only.  Revenue rounded BEFORE ordering on both sides
+    (tie-break c_custkey) so ulp noise cannot flip the cut."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    orders = _pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+    m = pc.and_(
+        pc.greater_equal(orders.column("o_orderdate"), lo),
+        pc.less(orders.column("o_orderdate"), hi),
+    )
+    orders = orders.filter(m)
+    okeys = orders.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ocust = orders.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    o_order = np.argsort(okeys, kind="stable")
+    okeys, ocust = okeys[o_order], ocust[o_order]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), pa.scalar("R")))
+        lk = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lk) == 0 or len(okeys) == 0:
+            return pa.Table.from_pydict(
+                {"c_custkey": pa.array([], type=pa.int64()),
+                 "rev_part": pa.array([], type=pa.float64())}
+            )
+        pos = np.clip(np.searchsorted(okeys, lk), 0, len(okeys) - 1)
+        hit = okeys[pos] == lk
+        rev = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        cust = ocust[pos[hit]]
+        rev = rev[hit]
+        u, inv = np.unique(cust, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.float64)
+        np.add.at(sums, inv, rev)
+        return pa.Table.from_pydict(
+            {"c_custkey": pa.array(u), "rev_part": pa.array(sums)}
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_part", alias_name="revenue"))
+        .to_pandas()  # customers-with-revenue only: small by the filter
+    )
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = agg.merge(cust, on="c_custkey").merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["revenue"] = _round(out["revenue"].to_numpy(dtype=np.float64), 2)
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
+                          kind="stable").head(20).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
