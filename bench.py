@@ -308,7 +308,7 @@ def battery(sf_dir: str) -> dict:
                  # round-2 continued additions (keep the list above
                  # stable for round-over-round comparability)
                  "events_sliding", "lang_distinct_words", "doc_lm_score",
-                 "training_mix"):
+                 "training_mix", "geo_training_mix", "tpch_q10"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):
