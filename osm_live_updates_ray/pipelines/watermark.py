@@ -48,7 +48,8 @@ class ReplicationState:
 
 
 def state_for_timestamp(
-    states: list[ReplicationState], latest: ReplicationState, ts: str
+    states: list[ReplicationState], latest: ReplicationState, ts: str,
+    clamp_oldest: bool = False,
 ) -> ReplicationState:
     """Newest state whose timestamp is <= ``ts`` (scan from latest down,
     reference OsmReplicationServerHelper.cpp:150-166).  The found
@@ -56,7 +57,14 @@ def state_for_timestamp(
     the idempotent delete+insert absorbs.
 
     Raises ``DatabaseUpToDate`` when the latest available state is not
-    newer than ``ts`` (reference :115-121)."""
+    newer than ``ts`` (reference :115-121).
+
+    ``clamp_oldest`` governs the no-match case (``ts`` predates every
+    state): True returns the OLDEST state — right for the STORE-derived
+    fallbacks, where a store older than all windows should catch up
+    best-effort (the gap is unrecoverable either way); False raises,
+    right for a USER-requested timestamp, where a ts older than every
+    window is far more likely a typo than an intent."""
     if latest.ts <= ts:
         raise DatabaseUpToDate(
             f"latest replication state ({latest.ts}) is before or equal "
@@ -65,12 +73,9 @@ def state_for_timestamp(
     for st in sorted(states, key=lambda s: s.seq, reverse=True):
         if st.ts <= ts:
             return st
-    # the store predates every available window: clamp to the OLDEST
-    # state — applying everything available is the best possible
-    # catch-up (diffs between the store's timestamp and the oldest
-    # window are gone either way; the overlap-by-one convention makes
-    # the boundary replay harmless but cannot recover a gap)
-    return min(states, key=lambda s: s.seq)
+    if clamp_oldest:
+        return min(states, key=lambda s: s.seq)
+    raise ReplicationError(f"no replication state at or before timestamp {ts}")
 
 
 def decide_start_sequence(
@@ -102,14 +107,18 @@ def decide_start_sequence(
             else:
                 # different source: sequence numbering is not
                 # comparable — fall back to the timestamp
-                start = state_for_timestamp(states, latest, wm["ts"]).seq
+                start = state_for_timestamp(
+                    states, latest, wm["ts"], clamp_oldest=True
+                ).seq
         else:
             ts = store.latest_object_timestamp()
             if ts is None:
                 raise ReplicationError(
                     "store has no watermark and no objects — bootstrap first"
                 )
-            start = state_for_timestamp(states, latest, ts).seq
+            start = state_for_timestamp(
+                states, latest, ts, clamp_oldest=True
+            ).seq
 
     if start > latest.seq:
         raise DatabaseUpToDate(

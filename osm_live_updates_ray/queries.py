@@ -3430,8 +3430,11 @@ def geo_training_mix(sf_dir: str):
     joiner = _nation_joiner(sf_dir, with_nodes=False)
 
     def pip_quality(t: pa.Table) -> pa.Table:
-        # the joiner emits one row per input row IN ORDER (projected to
-        # join outputs) — re-attach the text column by position
+        # the joiner DROPS no-geo rows (cell_id < 0): filter the input
+        # the same way FIRST so the join output is one row per
+        # remaining input row in order, and the positional text
+        # re-attach below stays aligned
+        t = t.filter(pc.greater_equal(t.column("cell_id"), pa.scalar(0)))
         j = joiner(t)
         t = j.append_column("text", t.column("text"))
         t = t.filter(pc.greater_equal(t.column("polygon_id"), pa.scalar(0)))

@@ -760,23 +760,35 @@ def ngram_jaccard_pairs(
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(sh))
         # NO mega cap here: this join is contractually EXACT (the
-        # PPJoin lemma needs every prefix-bucket pair examined), so a
-        # hot shingle's bucket stays all-pairs; the df-ordered prefix
-        # emission is what keeps frequent shingles out of most prefixes
-        ii, jj = _bucket_pair_indices(starts, ends, mega_cap=None)
-        if not len(ii):
+        # PPJoin lemma needs every prefix-bucket pair examined).  The
+        # size/positional filters run PER BUCKET so peak memory is one
+        # bucket's triu + the accumulated SURVIVORS — never the fold
+        # group's total unfiltered pairs (a hot-shingle bucket times
+        # many buckets would otherwise sit live at once).
+        out_a: list = []
+        out_b: list = []
+        triu_cache: dict = {}
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            iu = triu_cache.get(n)
+            if iu is None:
+                iu = triu_cache[n] = np.triu_indices(n, k=1)
+            ii, jj = s + iu[0], s + iu[1]
+            na, nb = size_all[ii], size_all[jj]
+            pa_, pb_ = pos_all[ii], pos_all[jj]
+            keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+            alpha = np.ceil(threshold / (1.0 + threshold) * (na + nb))
+            keep &= 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
+            keep &= ids_all[ii] != ids_all[jj]
+            out_a.append(np.minimum(ids_all[ii][keep], ids_all[jj][keep]))
+            out_b.append(np.maximum(ids_all[ii][keep], ids_all[jj][keep]))
+        if not out_a:
             return empty
-        na, nb = size_all[ii], size_all[jj]
-        pa_, pb_ = pos_all[ii], pos_all[jj]
-        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
-        alpha = np.ceil(threshold / (1.0 + threshold) * (na + nb))
-        keep &= 1 + np.minimum(na - pa_ - 1, nb - pb_ - 1) >= alpha
-        keep &= ids_all[ii] != ids_all[jj]
         return pd.DataFrame(
-            {"id_a": np.minimum(ids_all[ii][keep], ids_all[jj][keep])
-             .astype(np.int64),
-             "id_b": np.maximum(ids_all[ii][keep], ids_all[jj][keep])
-             .astype(np.int64)}
+            {"id_a": np.concatenate(out_a).astype(np.int64),
+             "id_b": np.concatenate(out_b).astype(np.int64)}
         )
 
     cand = (
@@ -914,62 +926,114 @@ def update_hash_index(survivors, index_dir: str, n_parts: int = N_INDEX_PARTS):
 # would need the accepted corpus's texts, which the index deliberately
 # does not store).  The accepted corpus itself is never scanned.
 
-def _window_band_sig(batch: pa.Table, id_col: str = "doc_id",
-                     text_col: str = "text", num_perm: int = 64,
-                     bands: int = 16, n_parts: int = N_INDEX_PARTS):
-    """(band_tbl, sig_tbl) for a window batch: band rows carry the
-    shuffle fold; signatures are packed little-endian uint64[num_perm]
-    binaries partitioned by a doc_id fold."""
+def _sig_batch(batch: pa.Table, id_col: str = "doc_id",
+               text_col: str = "text", num_perm: int = 64,
+               n_parts: int = N_INDEX_PARTS) -> pa.Table:
+    """(doc_id, sig, spart) for a batch — the ONE pass that pays the
+    shingle+MinHash cost.  Signatures are FIXED-size binary
+    (8*num_perm bytes): the whole column is one flat buffer, so both
+    the persisted shards and every reader stay zero-copy (variable
+    binary would force per-value Python bytes objects)."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(ids)
     sh, off = hashing.shingle_hashes_batch(batch.column(text_col).to_pylist())
     sig = hashing.minhash_signatures_batch(sh, off, num_perm)
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(ids),
+         "sig": pa.FixedSizeBinaryArray.from_buffers(
+             pa.binary(8 * num_perm), len(ids),
+             [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())]),
+         "spart": pa.array(hashing.fold_int64(ids, n_parts))}
+    )
+
+
+def _sig_matrix_col(col, num_perm: int) -> np.ndarray:
+    """Zero-copy (n, num_perm) uint64 view of a fixed-size-binary
+    signature column (chunked or plain)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+    start = arr.offset * num_perm
+    return buf[start : start + len(arr) * num_perm].reshape(len(arr), num_perm)
+
+
+def _bands_from_sig_batch(batch: pa.Table, num_perm: int = 64,
+                          bands: int = 16,
+                          n_parts: int = N_INDEX_PARTS) -> pa.Table:
+    """Band rows DERIVED from a signature batch — no shingling: unpack
+    the fixed-binary sig column zero-copy and fold band keys from it."""
+    sig = _sig_matrix_col(batch.column("sig"), num_perm)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
     keys = hashing.lsh_band_keys_batch(sig, bands, num_perm // bands)
     band = np.tile(np.arange(bands, dtype=np.int64), n)
     did = np.repeat(ids, bands)
     key = keys.reshape(-1)
     part = hashing.fold_pair_int64(band, key, n_parts)
-    band_tbl = pa.Table.from_pydict(
+    return pa.Table.from_pydict(
         {"doc_id": pa.array(did), "band": pa.array(band),
          "band_hash": pa.array(key), "part": pa.array(part)}
     )
-    sig_tbl = pa.Table.from_pydict(
-        {"doc_id": pa.array(ids),
-         "sig": pa.array([sig[i].tobytes() for i in range(n)],
-                         type=pa.binary()),
-         "spart": pa.array(hashing.fold_int64(ids, n_parts))}
-    )
-    return band_tbl, sig_tbl
 
 
 def build_band_index(ds, index_dir: str, id_col: str = "doc_id",
                      text_col: str = "text", num_perm: int = 64,
                      bands: int = 16, n_parts: int = N_INDEX_PARTS) -> None:
     """Materialize the near-dup index for an accepted corpus:
-    ``bands/part=K`` (doc_id, band, band_hash) and ``sigs/spart=K``
-    (doc_id, packed signature).  Streaming writes — the corpus is
-    never collected."""
+    ``sigs/spart=K`` (doc_id, packed signature) and ``bands/part=K``
+    (doc_id, band, band_hash).  The shingle+MinHash cost is paid ONCE:
+    band rows derive from the signature shards just written.
 
-    def bands_only(t: pa.Table) -> pa.Table:
-        b, _ = _window_band_sig(t, id_col, text_col, num_perm, bands, n_parts)
-        return b
+    Crash-consistency by WRITE ORDER: sigs first, bands second.  A
+    band row is the match trigger; a band row whose signature is
+    missing would break verification (and now RAISES, see
+    incremental_near_dup).  With sigs-first, a crash between the
+    writes leaves orphan signatures (harmless: never probed) and the
+    replayed window re-appends both (duplicate rows are ignored by
+    membership semantics)."""
+    import json as _json
+    import os as _os
 
-    def sigs_only(t: pa.Table) -> pa.Table:
-        _, s = _window_band_sig(t, id_col, text_col, num_perm, bands, n_parts)
-        return s
+    meta_path = f"{index_dir}/meta.json"
+    if _os.path.exists(meta_path):
+        _check_index_meta(index_dir, num_perm, bands, n_parts)
+    sigs = ds.map_batches(
+        lambda t: _sig_batch(t, id_col, text_col, num_perm, n_parts),
+        batch_format="pyarrow",
+    ).materialize()
+    sigs.write_parquet(f"{index_dir}/sigs", partition_cols=["spart"])
+    sigs.map_batches(
+        lambda t: _bands_from_sig_batch(t, num_perm, bands, n_parts),
+        batch_format="pyarrow",
+    ).write_parquet(f"{index_dir}/bands", partition_cols=["part"])
+    if not _os.path.exists(meta_path):
+        # ST2 pattern (store-discovered options): persist the sketch
+        # parameters so later windows cannot silently probe with a
+        # different partitioning/permutation count
+        with open(meta_path, "w") as f:
+            _json.dump({"num_perm": num_perm, "bands": bands,
+                        "n_parts": n_parts, "version": 1}, f)
 
-    # crash-consistency by WRITE ORDER: sigs first, bands second.  A
-    # band row is the match trigger; a band row whose signature is
-    # missing would silently score est=0 and drop real matches.  With
-    # sigs-first, a crash between the writes leaves orphan signatures
-    # (harmless: never probed) and the replayed window re-appends both
-    # (duplicate rows are ignored by membership semantics).
-    ds.map_batches(sigs_only, batch_format="pyarrow").write_parquet(
-        f"{index_dir}/sigs", partition_cols=["spart"]
-    )
-    ds.map_batches(bands_only, batch_format="pyarrow").write_parquet(
-        f"{index_dir}/bands", partition_cols=["part"]
-    )
+
+def _check_index_meta(index_dir: str, num_perm: int, bands: int,
+                      n_parts: int) -> None:
+    """Error on parameter mismatch vs the index manifest — a wrong
+    ``n_parts`` would probe the wrong shard and SILENTLY find nothing
+    (band folds miss), which is far worse than failing loudly."""
+    import json as _json
+    import os as _os
+
+    meta_path = f"{index_dir}/meta.json"
+    if not _os.path.exists(meta_path):
+        return  # pre-manifest index: trust the caller
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    got = {"num_perm": num_perm, "bands": bands, "n_parts": n_parts}
+    want = {k: meta[k] for k in got}
+    if got != want:
+        raise ValueError(
+            f"near-dup index at {index_dir} was built with {want}; "
+            f"queried with {got} — mismatched parameters probe the "
+            "wrong shards and silently miss every match"
+        )
 
 
 def _read_part(dir_: str, col_filter: list, part_key: str, part: int):
@@ -987,43 +1051,42 @@ def incremental_near_dup(window_ds, index_dir: str, id_col: str = "doc_id",
                          text_col: str = "text", threshold: float = 0.8,
                          num_perm: int = 64, bands: int = 16,
                          n_parts: int = N_INDEX_PARTS):
-    """Near-dup matches of a NEW window against the accepted corpus's
+    """Near-dup matches of a NEW window against the accepted corpus\'s
     persisted band index (plus in-window matches), verified by
     signature-estimated Jaccard.
 
     Returns a pandas DataFrame (new_id, match_id, est_jaccard) with
     match_id < new_id for in-window pairs and match_id = the accepted
     doc for index hits; window docs absent from the result are the
-    window's near-dup-free survivors.  The window is delta-sized (the
+    window\'s near-dup-free survivors.  The window is delta-sized (the
     minute-diff premise, same as the change pipeline): its signature
     table broadcasts via ``ray.put``; the ACCEPTED corpus is touched
-    only through single-shard reads."""
+    only through single-shard reads.  A band-index hit whose signature
+    is missing from the sig shards RAISES — sigs are written before
+    bands precisely so that can only mean corruption or mismatched
+    ``n_parts``."""
     import ray
-
-    band_parts = []
-    sig_parts = []
-    for b in window_ds.map_batches(
-        lambda t: _window_band_sig(t, id_col, text_col, num_perm, bands,
-                                   n_parts)[0],
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        band_parts.append(b)
-    win_band = pa.concat_tables(band_parts)
-    for b in window_ds.map_batches(
-        lambda t: _window_band_sig(t, id_col, text_col, num_perm, bands,
-                                   n_parts)[1],
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        sig_parts.append(b)
-    win_sig_tbl = pa.concat_tables(sig_parts)
-    win_sigs = {
-        int(i): np.frombuffer(s, dtype=np.uint64)
-        for i, s in zip(win_sig_tbl.column("doc_id").to_pylist(),
-                        win_sig_tbl.column("sig").to_pylist())
-    }
-    sig_ref = ray.put(win_sigs)
-
     import ray.data as rd
+
+    _check_index_meta(index_dir, num_perm, bands, n_parts)
+
+    # ONE shingle+MinHash pass over the window; bands derive from sigs
+    win_sig_tbl = pa.concat_tables(
+        list(window_ds.map_batches(
+            lambda t: _sig_batch(t, id_col, text_col, num_perm, n_parts),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"))
+    )
+    win_band = _bands_from_sig_batch(win_sig_tbl, num_perm, bands, n_parts)
+    win_ids = win_sig_tbl.column("doc_id").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    win_order = np.argsort(win_ids, kind="stable")
+    sig_ref = ray.put(
+        {"ids": win_ids[win_order],
+         "sigs": _sig_matrix_col(win_sig_tbl.column("sig"),
+                                 num_perm)[win_order]}
+    )
 
     def match(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["part"].iloc[0])
@@ -1106,31 +1169,55 @@ def incremental_near_dup(window_ds, index_dir: str, id_col: str = "doc_id",
         return empty_out
 
     # verify: est jaccard = mean equal signature components.  New-side
-    # sigs come from the broadcast window table; old-side sigs from the
-    # sig shards (single-shard reads keyed on the match_id fold) or the
-    # window itself for in-window pairs.
+    # sigs come from the broadcast window matrix; old-side sigs from
+    # the sig shards (single-shard reads keyed on the match_id fold)
+    # or the window itself for in-window pairs.
     cand = cand.reset_index(drop=True)
     cand["spart"] = hashing.fold_int64(cand["match_id"].to_numpy(), n_parts)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        wsigs = ray.get(sig_ref)
+        w = ray.get(sig_ref)
         part = int(g["spart"].iloc[0])
         shard = _read_part(f"{index_dir}/sigs", ["doc_id", "sig"],
                            "spart", part)
-        old_map: dict = {}
         if shard is not None:
-            for i, s in zip(shard.column("doc_id").to_pylist(),
-                            shard.column("sig").to_pylist()):
-                old_map[int(i)] = np.frombuffer(s, dtype=np.uint64)
+            odid = shard.column("doc_id").to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            o_order = np.argsort(odid, kind="stable")
+            odid = odid[o_order]
+            omat = _sig_matrix_col(shard.column("sig"), num_perm)[o_order]
+        else:
+            odid = np.empty(0, dtype=np.int64)
+            omat = np.empty((0, num_perm), dtype=np.uint64)
+
+        def lookup(ids: np.ndarray) -> np.ndarray:
+            # window first, then the shard; zero-copy searchsorted
+            out = np.empty((len(ids), num_perm), dtype=np.uint64)
+            wp = np.searchsorted(w["ids"], ids)
+            wp_c = np.clip(wp, 0, max(0, len(w["ids"]) - 1))
+            in_w = (len(w["ids"]) > 0) & (w["ids"][wp_c] == ids)
+            if in_w.any():
+                out[in_w] = w["sigs"][wp_c[in_w]]
+            rest = ~in_w
+            if rest.any():
+                op = np.searchsorted(odid, ids[rest])
+                op_c = np.clip(op, 0, max(0, len(odid) - 1))
+                ok = (len(odid) > 0) & (odid[op_c] == ids[rest])
+                if not ok.all():
+                    missing = ids[rest][~ok][:5].tolist()
+                    raise RuntimeError(
+                        "near-dup index corruption: band rows matched "
+                        f"doc ids {missing} but their signatures are "
+                        "absent from the sig shards (mismatched n_parts "
+                        "or a lost sigs/ partition)"
+                    )
+                out[rest] = omat[op_c]
+            return out
+
         new_ids = g["new_id"].to_numpy().astype(np.int64)
         match_ids = g["match_id"].to_numpy().astype(np.int64)
-        A = np.stack([wsigs[int(i)] for i in new_ids])
-        B = np.stack(
-            [wsigs.get(int(i), old_map.get(int(i),
-                                           np.zeros(num_perm, np.uint64)))
-             for i in match_ids]
-        )
-        est = (A == B).mean(axis=1)
+        est = (lookup(new_ids) == lookup(match_ids)).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame(
             {"new_id": new_ids[keep], "match_id": match_ids[keep],
@@ -1142,10 +1229,10 @@ def incremental_near_dup(window_ds, index_dir: str, id_col: str = "doc_id",
         .groupby("spart")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
-        .sort_values(["new_id", "match_id"])
-        .reset_index(drop=True)
     )
-    return out
+    if not len(out) or "new_id" not in out.columns:
+        return empty_out
+    return out.sort_values(["new_id", "match_id"]).reset_index(drop=True)
 
 
 def update_band_index(survivor_ds, index_dir: str, id_col: str = "doc_id",

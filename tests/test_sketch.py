@@ -244,3 +244,28 @@ class TestSigPrefilter:
             .sort_values(["id_a", "id_b"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(plain, screened)
+
+    def test_mismatched_n_parts_raises_not_silent(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import dedup_docs as dd
+
+        texts = TestIncrementalNearDup()._mk_corpus()
+        accepted = pa.table(
+            {"doc_id": pa.array(list(range(10)), type=pa.int64()),
+             "text": pa.array(texts[:10])}
+        )
+        idx = str(tmp_path / "nd_index3")
+        dd.build_band_index(rd.from_arrow(accepted), idx, n_parts=64)
+        window = pa.table(
+            {"doc_id": pa.array([50], type=pa.int64()),
+             "text": pa.array([texts[3]])}  # exact dup -> band hit
+        )
+        # querying with a different n_parts would probe the wrong
+        # shards and silently miss everything; the index manifest
+        # (meta.json, the ST2 store-discovered-options pattern) must
+        # reject the mismatch loudly
+        with pytest.raises(ValueError, match="mismatched parameters"):
+            dd.incremental_near_dup(rd.from_arrow(window), idx, n_parts=16)

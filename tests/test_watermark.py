@@ -166,13 +166,20 @@ class TestReplicationApply:
 
 
 def test_store_older_than_all_windows_clamps_to_oldest():
-    # a store whose MAX object ts predates every available window must
-    # start from the OLDEST window (best-effort catch-up), not error
+    # a STORE whose MAX object ts predates every available window must
+    # start from the OLDEST window (best-effort catch-up) — but only
+    # via the store-fallback paths (clamp_oldest=True); an explicitly
+    # USER-requested timestamp that old still errors (likely a typo)
+    import pytest
+
     from osm_live_updates_ray.pipelines import watermark as wmk
 
     states = [wmk.ReplicationState(5, "2024-06-01T00:00:00"),
               wmk.ReplicationState(6, "2024-06-02T00:00:00")]
+    latest = max(states, key=lambda s: s.seq)
     st = wmk.state_for_timestamp(
-        states, max(states, key=lambda s: s.seq), "2023-01-01T00:00:00"
+        states, latest, "2023-01-01T00:00:00", clamp_oldest=True
     )
     assert st.seq == 5
+    with pytest.raises(wmk.ReplicationError):
+        wmk.state_for_timestamp(states, latest, "2023-01-01T00:00:00")
