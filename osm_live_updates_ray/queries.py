@@ -3574,3 +3574,76 @@ def tpch_q10(sf_dir: str):
     out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True],
                           kind="stable").head(20).reset_index(drop=True)
     return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+@register(
+    "pip_nation_salted",
+    # identical SQL to pip_nation: the ENGINE path differs (explicit
+    # cell-keyed shuffle with salted mega-cells), the answer must not
+    "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_NATION_RECTS.strip()
+    + """
+    SELECT p.url, COALESCE(r.polygon_id, -1) AS polygon_id
+    FROM pages p LEFT JOIN nation_rects r
+      ON p.lon BETWEEN r.min_lon AND r.max_lon
+     AND p.lat BETWEEN r.min_lat AND r.max_lat
+    """,
+)
+def pip_nation_salted(sf_dir: str):
+    """Point-in-polygon via the PARTITIONED join (north_rule: 'explicit
+    hash-partition shuffles keyed on cell id and salted repartitioning
+    for skewed mega-cells'): rings travel IN the shuffle tagged-union'd
+    with the pages, hot cells split into salt sub-partitions with the
+    cell's rings replicated into every salt.  The threshold is forced
+    low here so the salt path actually executes at battery scale; the
+    oracle is IDENTICAL to pip_nation — same answer, different
+    exchange plan."""
+    import ray.data as rd_mod
+
+    from .stages import spatial
+    from .stages.spatial import EngineConfig
+
+    rings = td.nation_rings(sf_dir)
+    pages = _pages_geo_ds(sf_dir)
+    cfg = EngineConfig(mega_cell_threshold=50, salt_factor=4)
+    out = spatial.spatial_join_partitioned(pages, rings, cfg)
+    return out.select_columns(["url", "polygon_id"])
+
+
+@register(
+    "knn_part_sharded",
+    "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_STATE_NODES.strip()
+    + """
+    SELECT url, knn_node_id, knn_dist FROM (
+      SELECT p.url, s.id AS knn_node_id,
+             (p.lon - s.lon) * (p.lon - s.lon) + (p.lat - s.lat) * (p.lat - s.lat)
+               AS knn_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.url
+               ORDER BY (p.lon - s.lon) * (p.lon - s.lon)
+                      + (p.lat - s.lat) * (p.lat - s.lat), s.id
+             ) AS rn
+      FROM pages p CROSS JOIN state_nodes s
+    ) WHERE rn = 1
+    """,
+)
+def knn_part_sharded(sf_dir: str):
+    """Exact kNN via the BROADCAST-FREE sharded join: the node layer is
+    split into cell-range shards, each held by its own actor stage;
+    pages stream through every shard merging the running (dist², id)
+    best — no process ever holds the full node layer (the scale path
+    when it outgrows a broadcast).  Oracle identical to knn_part: same
+    answer, different exchange plan."""
+    import ray.data as rd_mod
+
+    from .stages import spatial
+
+    nt = td.nodes_table(sf_dir)
+    nodes_tbl = pa.Table.from_pydict(
+        {"id": nt.column("id").cast(pa.int64()),
+         "lon": nt.column("lon"), "lat": nt.column("lat")}
+    )
+    rings = td.nation_rings(sf_dir)
+    ds = spatial.spatial_join_sharded(
+        _pages_geo_ds(sf_dir), rings, nodes_tbl, n_shards=3
+    )
+    return ds.select_columns(["url", "knn_node_id", "knn_dist"])
