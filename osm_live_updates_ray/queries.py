@@ -3647,3 +3647,63 @@ def knn_part_sharded(sf_dir: str):
         _pages_geo_ds(sf_dir), rings, nodes_tbl, n_shards=3
     )
     return ds.select_columns(["url", "knn_node_id", "knn_dist"])
+
+
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(sf_dir: str):
+    """Customer order-count distribution (TPC-H Q13 shape) — the
+    DOUBLE-aggregation pattern: the fact table streams once into
+    per-batch (custkey, count) partials (map-side combine), one
+    customer-keyed groupby-sum, then the zero-count bucket comes from
+    the customer dimension MINUS the aggregate's key set (LEFT JOIN
+    semantics without any join: |customer| is dimension-sized) and the
+    final histogram-of-counts is count-distinct-sized."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.not_equal(t.column("o_orderpriority"), pa.scalar("1-URGENT"))
+        )
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(ck, return_counts=True)
+        return pa.Table.from_pydict(
+            {"c_custkey": pa.array(u), "n_part": pa.array(c.astype(np.int64))}
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("n_part", alias_name="c_count"))
+        .to_pandas()  # customers-with-orders only
+    )
+    custkeys = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).column("c_custkey").to_numpy(zero_copy_only=False)
+    n_zero = len(np.setdiff1d(custkeys, agg["c_custkey"].to_numpy()))
+    counts = agg["c_count"].to_numpy(dtype=np.int64)
+    u, dist = np.unique(counts, return_counts=True)
+    if n_zero:
+        u = np.concatenate([[0], u])
+        dist = np.concatenate([[n_zero], dist])
+    out = pd.DataFrame({"c_count": u.astype("int64"),
+                        "custdist": dist.astype("int64")})
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
