@@ -3707,3 +3707,67 @@ def tpch_q13(sf_dir: str):
                         "custdist": dist.astype("int64")})
     return out.sort_values(["custdist", "c_count"],
                            ascending=[False, False]).reset_index(drop=True)
+
+
+@register(
+    "events_zscore",
+    """
+    SELECT event_id,
+           ROUND((value - m) / NULLIF(s, 0), 4) AS z
+    FROM events JOIN (
+      SELECT event_type, AVG(value) AS m, STDDEV_POP(value) AS s
+      FROM events GROUP BY event_type
+    ) USING (event_type)
+    """,
+)
+def events_zscore(sf_dir: str):
+    """Per-type feature standardization (z-score) — the canonical
+    two-pass ML-prep normalization: pass 1 reduces the stream to
+    per-type (count, sum, sum-of-squares) partials (map-side combine;
+    the exchange is types x blocks rows), the tiny moment table
+    broadcasts, and pass 2 streams the corpus once scoring every row
+    vectorized.  Moments finalize as mean = s1/n and POPULATION std =
+    sqrt(s2/n - mean²); scores rounded to 4 decimals on both sides."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"event_type": df["event_type"], "v": v, "v2": v * v})
+        out = g.groupby("event_type", sort=False).agg(
+            n_part=("v", "size"), s1_part=("v", "sum"), s2_part=("v2", "sum")
+        )
+        return out.reset_index()
+
+    mom = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(moments, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("s1_part", alias_name="s1"),
+            Sum("s2_part", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    mean = mom["s1"] / mom["n"]
+    var = mom["s2"] / mom["n"] - mean * mean
+    std = np.sqrt(np.maximum(var.to_numpy(dtype=np.float64), 0.0))
+    lut = {
+        t: (float(m), float(s))
+        for t, m, s in zip(mom["event_type"], mean, std)
+    }
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ms = df["event_type"].map(lut)
+        m = np.array([x[0] for x in ms], dtype=np.float64)
+        s = np.array([x[1] for x in ms], dtype=np.float64)
+        v = df["value"].to_numpy(dtype=np.float64)
+        z = np.where(s == 0, np.nan, (v - m) / np.where(s == 0, 1.0, s))
+        return pd.DataFrame({"event_id": df["event_id"], "z": _round(z, 4)})
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(score, batch_format="pandas")
