@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions import hashing
+from ..functions import bloom, hashing
 
 
 # ---------------------------------------------------------------------------
@@ -844,6 +844,41 @@ def build_hash_index(
     ds.map_batches(proj, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["part"]
     )
+    # Bloom sidecars (read-skip accelerant, see _bloom_path): built
+    # AFTER the part files from their on-disk contents; a missing
+    # sidecar just means "must read the shard", so a crash here only
+    # loses the skip, never correctness
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mk(part: int) -> None:
+        keys = _read_index_part(index_dir, part)
+        if len(keys):
+            _write_bloom(index_dir, part, bloom.build(keys))
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(_mk, range(n_parts)))
+
+
+def _bloom_path(index_dir: str, part: int) -> str:
+    return f"{index_dir}/part={part}/_bloom.npy"
+
+
+def _write_bloom(index_dir: str, part: int, bits: np.ndarray) -> None:
+    import os as _os
+
+    path = _bloom_path(index_dir, part)
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    np.save(path + ".tmp", bits)  # np.save appends .npy
+    _os.replace(path + ".tmp.npy", path)
+
+
+def _read_bloom(index_dir: str, part: int):
+    import os as _os
+
+    path = _bloom_path(index_dir, part)
+    if not _os.path.exists(path):
+        return None
+    return np.load(path)
 
 
 def _read_index_part(index_dir: str, part: int) -> np.ndarray:
@@ -881,8 +916,16 @@ def incremental_dedup(
 
     def check(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["part"].iloc[0])
-        idx = _read_index_part(index_dir, part)
         fp = g["fp"].to_numpy()
+        bits = _read_bloom(index_dir, part)
+        if bits is not None and not bloom.might_contain(bits, fp).any():
+            # Bloom says NO probe can hit this shard: every row is
+            # fresh vs the index — skip the shard read entirely (no
+            # false negatives, so this skip is exact); in-window dedup
+            # below still applies
+            g = g.sort_values(id_col, kind="stable")
+            return g.drop_duplicates(subset=["fp"], keep="first")
+        idx = _read_index_part(index_dir, part)
         if len(idx):
             pos = np.clip(np.searchsorted(idx, fp), 0, len(idx) - 1)
             fresh = idx[pos] != fp
@@ -907,9 +950,24 @@ def update_hash_index(survivors, index_dir: str, n_parts: int = N_INDEX_PARTS):
     directory; replaying a window adds only duplicate fingerprints,
     which membership semantics ignore — so a crashed-and-retried
     window is harmless (idempotent for correctness, not for bytes)."""
-    survivors.select_columns(["fp", "part"]).write_parquet(
-        index_dir, partition_cols=["part"]
-    )
+    surv = survivors.select_columns(["fp", "part"]).materialize()
+    # Bloom sidecars update FIRST (OR-in the new keys at the existing
+    # bit width), THEN the part files append: a crash in between
+    # leaves bits for keys not yet on disk — false POSITIVES only
+    # (harmless extra reads); the reverse order could leave appended
+    # keys missing from the Bloom, and a Bloom false negative would
+    # break exactness.  Same sigs-before-bands discipline as the
+    # near-dup index.
+    parts = surv.to_pandas()
+    for part, grp in parts.groupby("part", sort=False):
+        bits = _read_bloom(index_dir, int(part))
+        keys = grp["fp"].to_numpy().astype(np.int64)
+        if bits is None:
+            _write_bloom(index_dir, int(part), bloom.build(keys))
+        else:
+            add = bloom.build_into(bits, keys)
+            _write_bloom(index_dir, int(part), add)
+    surv.write_parquet(index_dir, partition_cols=["part"])
 
 
 # ---------------------------------------------------------------------------

@@ -269,3 +269,57 @@ class TestSigPrefilter:
         # reject the mismatch loudly
         with pytest.raises(ValueError, match="mismatched parameters"):
             dd.incremental_near_dup(rd.from_arrow(window), idx, n_parts=16)
+
+
+class TestBloomSidecar:
+    def test_bloom_kernel(self):
+        from osm_live_updates_ray.functions import bloom
+
+        keys = np.arange(5000, dtype=np.int64) * 7919 + 3
+        b = bloom.build(keys)
+        assert bloom.might_contain(b, keys).all()  # no false negatives
+        other = np.setdiff1d(
+            np.arange(20000, dtype=np.int64) * 104729 + 11, keys
+        )
+        assert bloom.might_contain(b, other).mean() < 0.03
+        # append path: OR-in preserves no-false-negatives for BOTH sets
+        more = np.arange(5000, 7000, dtype=np.int64) * 31 + 7
+        bloom.build_into(b, more)
+        assert bloom.might_contain(b, keys).all()
+        assert bloom.might_contain(b, more).all()
+
+    def test_incremental_dedup_with_sidecars(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import dedup_docs as dd
+
+        texts = TestIncrementalNearDup()._mk_corpus()
+        accepted = pa.table(
+            {"doc_id": pa.array(list(range(10)), type=pa.int64()),
+             "text": pa.array(texts[:10])}
+        )
+        idx = str(tmp_path / "fp_index")
+        dd.build_hash_index(rd.from_arrow(accepted), idx)
+        import glob
+
+        assert glob.glob(f"{idx}/part=*/_bloom.npy")  # sidecars exist
+        # window: 2 dups of accepted docs + 3 fresh
+        window = pa.table(
+            {"doc_id": pa.array([30, 31, 32, 33, 34], type=pa.int64()),
+             "text": pa.array([texts[2], texts[5],
+                               texts[10], texts[11], texts[12]])}
+        )
+        surv = dd.incremental_dedup(rd.from_arrow(window), idx).to_pandas()
+        assert sorted(surv["doc_id"]) == [32, 33, 34]
+        # append survivors, replay the window: everything now a dup
+        dd.update_hash_index(
+            rd.from_arrow(window).map_batches(
+                lambda t: dd._fingerprint_and_part(t, "text",
+                                                   dd.N_INDEX_PARTS),
+                batch_format="pyarrow",
+            ).filter(expr="doc_id >= 32"),
+            idx,
+        )
+        replay = dd.incremental_dedup(rd.from_arrow(window), idx).to_pandas()
+        assert len(replay) == 0
