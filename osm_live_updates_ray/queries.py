@@ -3771,3 +3771,54 @@ def events_zscore(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     ).map_batches(score, batch_format="pandas")
+
+
+@register(
+    "raster_pyramid",
+    "WITH " + td.SQL_PAGES.strip()
+    + """
+    , base AS (
+      SELECT CAST(FLOOR((lon + 180.0) / 0.625) AS BIGINT) AS gx,
+             CAST(FLOOR((lat + 90.0) / 0.625) AS BIGINT) AS gy,
+             COUNT(*) AS n
+      FROM pages GROUP BY 1, 2
+    )
+    SELECT CAST(0 AS BIGINT) AS zoom, gx, gy,
+           CAST(SUM(n) AS BIGINT) AS n_pages
+    FROM base GROUP BY gx, gy
+    UNION ALL
+    SELECT 1, gx // 2 AS gx, gy // 2 AS gy, CAST(SUM(n) AS BIGINT)
+    FROM base GROUP BY 2, 3
+    UNION ALL
+    SELECT 2, gx // 4 AS gx, gy // 4 AS gy, CAST(SUM(n) AS BIGINT)
+    FROM base GROUP BY 2, 3
+    """,
+)
+def raster_pyramid(sf_dir: str):
+    """Raster ZOOM PYRAMID (north_rule raster<->vector, the tiled-map
+    shape): three zoom levels of page-count rollups derived from the
+    BASE raster — the corpus is scanned once for level 0 and every
+    coarser level aggregates the (tiny) level below, never the pages.
+    Each base cell fans out to one row per zoom (gx >> z), one
+    cell-count-sized groupby merges the pyramid."""
+    from ray.data.aggregate import Sum
+
+    base = tile_raster(sf_dir)
+
+    def fan(t: pa.Table) -> pa.Table:
+        gx = t.column("gx").to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = t.column("gy").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_pages").to_numpy(zero_copy_only=False).astype(np.int64)
+        zooms = []
+        for z in (0, 1, 2):
+            zooms.append(pa.Table.from_pydict(
+                {"zoom": np.full(len(gx), z, dtype=np.int64),
+                 "gx": gx >> z, "gy": gy >> z, "n_part": n}
+            ))
+        return pa.concat_tables(zooms)
+
+    return (
+        base.map_batches(fan, batch_format="pyarrow")
+        .groupby(["zoom", "gx", "gy"])
+        .aggregate(Sum("n_part", alias_name="n_pages"))
+    )
