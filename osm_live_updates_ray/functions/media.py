@@ -232,3 +232,34 @@ def image_meta(payload: bytes) -> tuple[str, int, int]:
     except (struct.error, IndexError, ValueError):
         pass
     return "unknown", -1, -1
+
+
+def audio_meta(payload: bytes) -> tuple[str, int, int, int]:
+    """(format, sample_rate, n_channels, duration_ms) from the RIFF/fmt
+    chunk HEADER only — no sample decode: walks the chunk list (fmt
+    then data), reads rate/channels/width from fmt and derives duration
+    from the data chunk's byte length.  The audio sibling of
+    :func:`image_meta`; returns ("unknown", -1, -1, -1) for
+    unrecognized or truncated bytes."""
+    import struct
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return "unknown", -1, -1, -1
+        i, n = 12, len(payload)
+        rate = nch = width = data_len = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= n:
+                nch, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+                width = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if rate and nch and width and data_len is not None:
+            n_frames = data_len // (nch * (width // 8))
+            return "wav", int(rate), int(nch), int(n_frames * 1000 // rate)
+    except (struct.error, IndexError, ValueError, ZeroDivisionError):
+        pass
+    return "unknown", -1, -1, -1

@@ -3822,3 +3822,53 @@ def raster_pyramid(sf_dir: str):
         .groupby(["zoom", "gx", "gy"])
         .aggregate(Sum("n_part", alias_name="n_pages"))
     )
+
+
+@register(
+    "audio_meta",
+    """
+    SELECT doc_id, 'wav' AS format,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END AS BIGINT)
+             AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST((1600 + (doc_id % 5) * 400) * 1000
+                / (CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 8000 END)
+                AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def audio_meta_q(sf_dir: str):
+    """RIFF/WAV container metadata extraction (the audio sibling of
+    `image_meta`): documents become REAL PCM WAV containers (samples
+    derived from the text bytes, rate/length a deterministic function
+    of doc_id) and `functions/media.py::audio_meta` walks the chunk
+    list back out of the ENCODED BYTES — fmt rate/channels/width plus
+    duration from the data chunk length, no sample decode.  The oracle
+    checks the encode→parse round trip against the formulas."""
+    from .functions import media as mediafn
+
+    rd = _rd()
+
+    def to_meta(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t.column("text").to_pylist()
+        fmts, rates, chans, durs = [], [], [], []
+        for i, txt in zip(did, texts):
+            rate = 16000 if i % 2 == 0 else 8000
+            n = 1600 + int(i % 5) * 400
+            buf = np.frombuffer(txt.encode(), dtype=np.uint8)
+            samples = (
+                np.resize(buf, n).astype(np.int16) - 128
+            ) * 200  # deterministic int16 payload
+            f, r, c, d = mediafn.audio_meta(mediafn.encode_wav(samples, rate))
+            fmts.append(f), rates.append(r), chans.append(c), durs.append(d)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(did), "format": pa.array(fmts),
+             "sample_rate": pa.array(rates, type=pa.int64()),
+             "n_channels": pa.array(chans, type=pa.int64()),
+             "duration_ms": pa.array(durs, type=pa.int64())}
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(to_meta, batch_format="pyarrow")

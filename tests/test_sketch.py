@@ -323,3 +323,17 @@ class TestBloomSidecar:
         )
         replay = dd.incremental_dedup(rd.from_arrow(window), idx).to_pandas()
         assert len(replay) == 0
+
+
+class TestAudioMeta:
+    def test_roundtrip_and_garbage(self):
+        from osm_live_updates_ray.functions.media import audio_meta, encode_wav
+
+        x = np.zeros(16000, np.int16)
+        assert audio_meta(encode_wav(x, 16000)) == ("wav", 16000, 1, 1000)
+        assert audio_meta(encode_wav(np.zeros(4000, np.int16), 8000)) == (
+            "wav", 8000, 1, 500)
+        assert audio_meta(b"garbage") == ("unknown", -1, -1, -1)
+        assert audio_meta(b"RIFF\x00\x00\x00\x00WAVE") == (
+            "unknown", -1, -1, -1)
+        assert audio_meta(b"") == ("unknown", -1, -1, -1)
