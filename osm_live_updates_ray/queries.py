@@ -3872,3 +3872,41 @@ def audio_meta_q(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(to_meta, batch_format="pyarrow")
+
+
+@register(
+    "doc_embedding_join",
+    """
+    SELECT d.doc_id, d.lang,
+           ROUND(SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 4)
+             AS norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def doc_embedding_join(sf_dir: str):
+    """Plain two-table equi-join through Ray's hash join (documents ⋈
+    embeddings on id) — the general join path for two corpus-sized
+    sides where neither broadcasts (the battery's other joins are
+    broadcast-probe or dimension joins by design).  The vector norm is
+    computed BEFORE the join (project-early: the shuffle moves one
+    float per row, not the embedding — also required, as Ray's hash
+    join does not carry list-typed payload columns)."""
+    rd = _rd()
+    from .stages.similarity import _stack
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def pre_norm(t: pa.Table) -> pa.Table:
+        X = _stack(t, "embedding")
+        return pa.Table.from_pydict(
+            {"doc_id": t.column("vec_id"),
+             "norm": _round(np.sqrt((X * X).sum(axis=1)), 4)}
+        )
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(pre_norm, batch_format="pyarrow")
+    return docs.join(emb, join_type="inner", num_partitions=4, on=("doc_id",))
