@@ -68,20 +68,26 @@ def _clip_bbox(changes, bbox: str):
     return changes.filter(pa.array(keep))
 
 
+class UserInputError(ValueError):
+    """Argument-validation failure — gets the one-line exit path.
+    Deliberately distinct from plain ValueError so an internal
+    ValueError raised deep inside a stage keeps its traceback."""
+
+
 def _parse_bbox(bbox: str) -> tuple[float, float, float, float]:
     """Validate --bbox like the reference's Config checks
     (Config.cpp:267-339): 4 comma-separated floats, min < max."""
     parts = bbox.split(",")
     if len(parts) != 4:
-        raise ValueError(
+        raise UserInputError(
             f"--bbox needs minlon,minlat,maxlon,maxlat (got {bbox!r})"
         )
     try:
         min_lon, min_lat, max_lon, max_lat = (float(x) for x in parts)
     except ValueError:
-        raise ValueError(f"--bbox coordinates must be numbers (got {bbox!r})")
+        raise UserInputError(f"--bbox coordinates must be numbers (got {bbox!r})")
     if not (min_lon < max_lon and min_lat < max_lat):
-        raise ValueError(f"--bbox min must be < max (got {bbox!r})")
+        raise UserInputError(f"--bbox min must be < max (got {bbox!r})")
     return min_lon, min_lat, max_lon, max_lat
 
 
@@ -201,12 +207,14 @@ def main(argv=None) -> int:
 
             src = wmk.LocalReplicationSource(args.replication)
             source = src.uri
+            wm_notes: list[str] = []
             try:
                 start = wmk.decide_start_sequence(
                     src.states(), store,
                     requested_seq=args.sequence_number,
                     requested_ts=args.timestamp,
                     source=src.uri,
+                    gap_notes=wm_notes,
                 )
                 changes = src.window(start, args.max_sequence_number)
             except wmk.DatabaseUpToDate as e:
@@ -252,15 +260,19 @@ def main(argv=None) -> int:
             store, changes, cfg, enforce_watermark=args.enforce_watermark,
             source=source, emit_ops_dir=args.output,
         )
+        if source is not None and wm_notes:
+            # surface the replication-gap warning in the apply summary
+            # (the clamp is best-effort catch-up, never silent)
+            summary["warnings"] = list(wm_notes)
         if args.statistics:
             print(json.dumps(summary, indent=1))
         else:
             print(json.dumps({k: summary[k] for k in
                               ("deduped_rows", "dirty_cells", "tiles_rewritten",
-                               "empty", "emitted_ops", "ops_dir")
+                               "empty", "emitted_ops", "ops_dir", "warnings")
                               if k in summary}))
         return 0
-    except (FileNotFoundError, NotADirectoryError, ValueError) as e:
+    except (FileNotFoundError, NotADirectoryError, UserInputError) as e:
         # user-input errors get a one-line message, not a traceback
         # (reference EXCEPTION exit, apps/osm-live-updates.cpp:40-44)
         print(json.dumps({"error": f"{type(e).__name__}: {e}"}), file=sys.stderr)

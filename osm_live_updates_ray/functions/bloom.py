@@ -31,8 +31,13 @@ def build(keys: np.ndarray, bits_per_key: int = 10, k: int = 7) -> np.ndarray:
     """uint8 bit array sized ``bits_per_key * len(keys)`` (>=64 bits);
     ~1% false positives at the 10/7 default."""
     n = max(1, len(keys))
-    m_bits = max(64, int(bits_per_key) * n)
-    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    # Round the bit width UP to a byte multiple so build / build_into /
+    # might_contain all hash over the IDENTICAL modulus (len(bits) * 8).
+    # A build-time modulus of bits_per_key*n with a byte-padded array
+    # would make probe positions differ between build and query whenever
+    # bits_per_key*n % 8 != 0 — i.e. false negatives.
+    m_bits = -(-max(64, int(bits_per_key) * n) // 8) * 8
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
     if len(keys):
         pos = _probe_positions(keys, m_bits, k).reshape(-1)
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))

@@ -41,6 +41,15 @@ class ReplicationError(Exception):
     """No usable state / no matching state for a timestamp."""
 
 
+class ReplicationGapWarning(UserWarning):
+    """The store/watermark timestamp predates every retained replication
+    window: the diffs in the gap are permanently unavailable and catch-up
+    starts from the oldest retained window.  The reference THROWS here
+    (OsmReplicationServerHelper.cpp:168-170), forcing a re-bootstrap; the
+    store-derived fallback paths clamp best-effort instead but must not
+    do so silently — the database may be inconsistent for the gap span."""
+
+
 @dataclass(frozen=True)
 class ReplicationState:
     seq: int
@@ -49,7 +58,7 @@ class ReplicationState:
 
 def state_for_timestamp(
     states: list[ReplicationState], latest: ReplicationState, ts: str,
-    clamp_oldest: bool = False,
+    clamp_oldest: bool = False, gap_notes: list | None = None,
 ) -> ReplicationState:
     """Newest state whose timestamp is <= ``ts`` (scan from latest down,
     reference OsmReplicationServerHelper.cpp:150-166).  The found
@@ -74,7 +83,20 @@ def state_for_timestamp(
         if st.ts <= ts:
             return st
     if clamp_oldest:
-        return min(states, key=lambda s: s.seq)
+        import warnings
+
+        oldest = min(states, key=lambda s: s.seq)
+        msg = (
+            f"replication gap: store timestamp {ts} predates the oldest "
+            f"retained window (seq {oldest.seq} @ {oldest.ts}); diffs in "
+            f"[{ts}, {oldest.ts}) are unavailable — clamping to the oldest "
+            f"window; the store may be inconsistent for that span "
+            f"(re-bootstrap to be safe)"
+        )
+        warnings.warn(msg, ReplicationGapWarning, stacklevel=2)
+        if gap_notes is not None:
+            gap_notes.append(msg)
+        return oldest
     raise ReplicationError(f"no replication state at or before timestamp {ts}")
 
 
@@ -84,6 +106,7 @@ def decide_start_sequence(
     requested_seq: int = 0,
     requested_ts: str = "",
     source: str = "",
+    gap_notes: list | None = None,
 ) -> int:
     """The full reference decision tree; returns the first sequence
     number to apply.  Raises ``DatabaseUpToDate`` for the clean no-op
@@ -108,7 +131,8 @@ def decide_start_sequence(
                 # different source: sequence numbering is not
                 # comparable — fall back to the timestamp
                 start = state_for_timestamp(
-                    states, latest, wm["ts"], clamp_oldest=True
+                    states, latest, wm["ts"], clamp_oldest=True,
+                    gap_notes=gap_notes,
                 ).seq
         else:
             ts = store.latest_object_timestamp()
@@ -117,7 +141,7 @@ def decide_start_sequence(
                     "store has no watermark and no objects — bootstrap first"
                 )
             start = state_for_timestamp(
-                states, latest, ts, clamp_oldest=True
+                states, latest, ts, clamp_oldest=True, gap_notes=gap_notes,
             ).seq
 
     if start > latest.seq:

@@ -188,6 +188,11 @@ def minhash_candidate_pairs(
         # is only for dissimilar docs sharing the bucket, which
         # verification would have rejected anyway
         ii, jj = _bucket_pair_indices(starts, ends, mega_cap=200)
+        # duplicate doc_id rows in the input can co-bucket a row with
+        # itself; jaccard(a,a)=1.0 would pass any threshold downstream
+        # (verify_pairs_distributed does not filter id_a == id_b)
+        keep = ids[ii] != ids[jj]
+        ii, jj = ii[keep], jj[keep]
         return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
     return (
@@ -963,7 +968,17 @@ def update_hash_index(survivors, index_dir: str, n_parts: int = N_INDEX_PARTS):
         bits = _read_bloom(index_dir, int(part))
         keys = grp["fp"].to_numpy().astype(np.int64)
         if bits is None:
-            _write_bloom(index_dir, int(part), bloom.build(keys))
+            # No sidecar (crash during build_hash_index's sidecar phase,
+            # or a pre-sidecar index): the part directory may already
+            # hold fingerprints this Bloom must cover — a sidecar built
+            # from only the window's keys would report those on-disk
+            # keys "definitely absent" (false negatives).  Rebuild from
+            # the shard's full on-disk contents plus the new keys so the
+            # "missing sidecar just means must-read" invariant holds.
+            existing = _read_index_part(index_dir, int(part))
+            _write_bloom(
+                index_dir, int(part), bloom.build(np.concatenate([existing, keys]))
+            )
         else:
             add = bloom.build_into(bits, keys)
             _write_bloom(index_dir, int(part), add)

@@ -43,6 +43,20 @@ class TestMinhashLsh:
         assert (2, 5) in pairs
         assert not any({p[0], p[1]} == {0, 2} for p in pairs)
 
+    def test_duplicate_doc_id_rows_never_self_pair(self, ray_session):
+        # regression: duplicate doc_id rows in the input could co-bucket
+        # a row with itself; jaccard(a,a)=1.0 passes any threshold and
+        # verify_pairs_distributed never filters id_a == id_b
+        import pyarrow as pa
+        import ray.data as rd
+
+        docs = docs_table()
+        dup = pa.concat_tables([docs, docs.slice(0, 2)])  # ids 0,1 twice
+        cand = dedup_docs.minhash_candidate_pairs(rd.from_arrow(dup)).to_pandas()
+        assert not (cand["id_a"] == cand["id_b"]).any()
+        pairs = {tuple(sorted((a, b))) for a, b in zip(cand["id_a"], cand["id_b"])}
+        assert (0, 3) in pairs  # real dup still found
+
     def test_connected_components(self):
         import pandas as pd
 

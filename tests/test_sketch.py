@@ -288,6 +288,65 @@ class TestBloomSidecar:
         assert bloom.might_contain(b, keys).all()
         assert bloom.might_contain(b, more).all()
 
+    def test_bloom_non_byte_aligned_width(self):
+        # regression: build() used to hash mod bits_per_key*n while
+        # might_contain hashed mod len(bits)*8 (the byte-padded width);
+        # whenever bits_per_key*n % 8 != 0 the moduli differed and
+        # present keys could read "definitely absent" (false negatives)
+        from osm_live_updates_ray.functions import bloom
+
+        for n in (13, 101, 6003):  # 10*n % 8 != 0 for all of these
+            keys = np.arange(n, dtype=np.int64) * 2654435761 + 17
+            b = bloom.build(keys)
+            assert bloom.might_contain(b, keys).all(), n
+            more = keys * 31 + 5
+            bloom.build_into(b, more)
+            assert bloom.might_contain(b, more).all(), n
+
+    def test_update_index_rebuilds_missing_sidecar(self, ray_session, tmp_path):
+        # regression: update_hash_index on a part with fingerprints on
+        # disk but NO _bloom.npy (crash before the sidecar phase) used
+        # to write a fresh Bloom covering only the window's keys — the
+        # sidecar then false-negatived every pre-existing key and the
+        # shard-skip admitted duplicates of them
+        import glob
+        import os
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import dedup_docs as dd
+
+        texts = TestIncrementalNearDup()._mk_corpus()
+        accepted = pa.table(
+            {"doc_id": pa.array(list(range(10)), type=pa.int64()),
+             "text": pa.array(texts[:10])}
+        )
+        idx = str(tmp_path / "fp_index_nosidecar")
+        dd.build_hash_index(rd.from_arrow(accepted), idx)
+        for f in glob.glob(f"{idx}/part=*/_bloom.npy"):
+            os.remove(f)  # simulate crash before the sidecar phase
+        window = pa.table(
+            {"doc_id": pa.array([40, 41], type=pa.int64()),
+             "text": pa.array([texts[10], texts[11]])}  # fresh docs
+        )
+        dd.update_hash_index(
+            rd.from_arrow(window).map_batches(
+                lambda t: dd._fingerprint_and_part(t, "text",
+                                                   dd.N_INDEX_PARTS),
+                batch_format="pyarrow",
+            ),
+            idx,
+        )
+        # duplicates of the PRE-EXISTING accepted docs must still be
+        # rejected (the rebuilt sidecars must cover the on-disk keys)
+        probe = pa.table(
+            {"doc_id": pa.array([50, 51, 52], type=pa.int64()),
+             "text": pa.array([texts[2], texts[10], texts[12]])}
+        )
+        surv = dd.incremental_dedup(rd.from_arrow(probe), idx).to_pandas()
+        assert sorted(surv["doc_id"]) == [52]
+
     def test_incremental_dedup_with_sidecars(self, ray_session, tmp_path):
         import pyarrow as pa
         import ray.data as rd

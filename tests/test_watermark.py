@@ -177,9 +177,16 @@ def test_store_older_than_all_windows_clamps_to_oldest():
     states = [wmk.ReplicationState(5, "2024-06-01T00:00:00"),
               wmk.ReplicationState(6, "2024-06-02T00:00:00")]
     latest = max(states, key=lambda s: s.seq)
-    st = wmk.state_for_timestamp(
-        states, latest, "2023-01-01T00:00:00", clamp_oldest=True
-    )
+    # the clamp is never silent: it warns (ReplicationGapWarning) and
+    # records the gap span into gap_notes for the apply summary —
+    # the reference THROWS here (OsmReplicationServerHelper.cpp:168-170)
+    notes: list = []
+    with pytest.warns(wmk.ReplicationGapWarning, match="replication gap"):
+        st = wmk.state_for_timestamp(
+            states, latest, "2023-01-01T00:00:00", clamp_oldest=True,
+            gap_notes=notes,
+        )
     assert st.seq == 5
+    assert len(notes) == 1 and "2023-01-01T00:00:00" in notes[0]
     with pytest.raises(wmk.ReplicationError):
         wmk.state_for_timestamp(states, latest, "2023-01-01T00:00:00")
