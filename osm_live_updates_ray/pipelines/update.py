@@ -242,10 +242,14 @@ def _dirty_assignment_rows(
     execution shape:
       * small (the steady-state minute-diff case): driver threadpool
         read of the candidate tiles + one vectorized pass — no Ray
-        pipeline ramp;
-      * large: streaming Ray scan; when candidates cover most tiles a
-        plain directory scan beats a per-file pruned read.
-    Falls back to the full-table scan on stores without summaries.
+        pipeline ramp; returns a ``pa.Table``;
+      * large: returns the streaming Ray DATASET of dirty rows
+        unmaterialized — the caller pipes it through the re-join and
+        per-tile COW without the rows ever landing on the driver (when
+        candidates cover most tiles a plain directory scan beats a
+        per-file pruned read).
+    Falls back to the full-table streaming scan on stores without
+    summaries.
     """
     from ..schemas import ASSIGNMENTS_STATE
 
@@ -321,18 +325,11 @@ def _dirty_assignment_rows(
                 t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
             )
             t = t.filter(pa.array(np.isin(cell, prefilter)))
-        return t.filter(pa.array(exact_mask(t)))
-
-    batches = [
-        b
-        for b in ds.map_batches(dirty_rows, batch_format="pyarrow").iter_batches(
-            batch_size=65536, batch_format="pyarrow"
+        return t.filter(pa.array(exact_mask(t))).select(cols).cast(
+            ASSIGNMENTS_STATE
         )
-        if b.num_rows
-    ]
-    if not batches:
-        return ASSIGNMENTS_STATE.empty_table()
-    return pa.concat_tables([b.select(cols) for b in batches]).cast(ASSIGNMENTS_STATE)
+
+    return ds.map_batches(dirty_rows, batch_format="pyarrow")
 
 
 def _write_op_stream(out_dir: str, ops: list[tuple[str, str, pa.Table]]) -> list[dict]:
@@ -559,10 +556,35 @@ def apply_changes(
         env_dirty_cells,
         cfg,
     )
-    summary["dirty_cells"] = int(
-        len(np.unique(dirty_rows.column("cell_id").to_numpy(zero_copy_only=False)))
-    )
-    summary["rejoined_pages"] = int(dirty_rows.num_rows)
+    # a Dataset return = the big-invalidation STREAMING path: the dirty
+    # rows never land on the driver; counts come from the staged COW
+    streaming = not isinstance(dirty_rows, pa.Table)
+    if streaming and emit_ops_dir is not None:
+        # audit mode: the dirty rows ARE the op payload, so the file
+        # sink necessarily materializes them (reference §3.3 writes the
+        # full op stream to disk; this mode is for inspection, not scale)
+        from ..schemas import ASSIGNMENTS_STATE
+
+        batches = [
+            b
+            for b in dirty_rows.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            if b.num_rows
+        ]
+        dirty_rows = (
+            pa.concat_tables(batches).cast(ASSIGNMENTS_STATE)
+            if batches
+            else ASSIGNMENTS_STATE.empty_table()
+        )
+        streaming = False
+    if not streaming:
+        summary["dirty_cells"] = int(
+            len(np.unique(
+                dirty_rows.column("cell_id").to_numpy(zero_copy_only=False)
+            ))
+        )
+        summary["rejoined_pages"] = int(dirty_rows.num_rows)
     timers["invalidation_scan"] = _time.time() - _t0
 
     if emit_ops_dir is not None:
@@ -655,7 +677,48 @@ def apply_changes(
     # per-url COW merge into the affected tiles
     _t0 = _time.time()
     tiles_rewritten = 0
-    if dirty_rows.num_rows:
+    if streaming:
+        # fully-streaming path: dirty Dataset -> spatial-join stages ->
+        # staged per-tile parquet -> one COW task per tile.  The
+        # re-joined rows NEVER land on the driver (the at-scale shape:
+        # an adversarial window can invalidate a corpus-sized fraction)
+        import ray
+        import pyarrow.parquet as _pq
+
+        rings_all = store.read_all("polygon_rings")
+        node_files = store._files("nodes")
+        n_nodes = sum(_pq.read_metadata(f).num_rows for f in node_files)
+        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        rejoin_in = dirty_rows.map_batches(
+            lambda t: t.select(["url", "lon", "lat", "cell_id", "tile_id"]),
+            batch_format="pyarrow",
+        )
+        if n_nodes > cfg.broadcast_node_rows:
+            # node layer too big to broadcast: cell-range file shards,
+            # each read and indexed by its OWN actor — no process
+            # (driver included) ever holds the full layer
+            k = min(8, len(node_files)) or 1
+            groups = [list(g) for g in np.array_split(node_files, k)]
+            ds = spatial.spatial_join_sharded(
+                rejoin_in, rings_all, groups, cfg,
+                keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
+            )
+        else:
+            nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
+            ds = spatial.spatial_join(
+                rejoin_in, rings_all, nodes_all, cfg,
+                keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
+            )
+        summary_rows, old_cells, stats = store.cow_merge_tiles_streaming(
+            ds, tiles.tile_rollup_table, tiles.cell_summary_table
+        )
+        if store._manifest["tables"].get("cell_summaries"):
+            store.apply_upserts_deletes("cell_summaries", summary_rows, old_cells)
+        tiles_rewritten = stats["tiles"]
+        summary["dirty_cells"] = stats["staged_cells"]
+        summary["rejoined_pages"] = stats["staged_rows"]
+        timers["rejoin"] = stats.get("staging_sec", 0.0)
+    elif dirty_rows.num_rows:
         import pyarrow.parquet as _pq
 
         rings_all = store.read_all("polygon_rings")

@@ -263,6 +263,12 @@ class StateStore:
         while another live process holds the writer lock."""
         if self._live_foreign_writer():
             return
+        # crashed streaming-COW runs leave unreferenced staging dirs
+        stag = os.path.join(self.root, "_staging")
+        if os.path.isdir(stag):
+            for d in os.listdir(stag):
+                if d.startswith("rejoin-"):
+                    shutil.rmtree(os.path.join(stag, d), ignore_errors=True)
         for key, entry in self._manifest.get("tables", {}).items():
             if not key.startswith("tile:"):
                 # hash-partitioned table: drop generation leftovers
@@ -1157,3 +1163,161 @@ class StateStore:
             else np.empty(0, dtype=np.int64)
         )
         return summary_rows, old_cells
+
+    def cow_merge_tiles_streaming(
+        self,
+        recomputed_ds,
+        rollup_fn,
+        summary_fn,
+    ) -> tuple[pa.Table, np.ndarray, dict]:
+        """Fully-streaming COW tile replacement: the re-joined rows stay
+        a Ray Dataset end-to-end — ``write_parquet(partition_cols=
+        ["tile_id"])`` stages them hash-partitioned by tile with
+        streaming-executor backpressure, then one Ray task per tile
+        chunk reads ONLY its tile's staged partition + old tile files,
+        drops the staged urls (the invalidated set restricted to this
+        tile: a page's tile is derived from its fixed location, so its
+        re-joined row lands in the same tile its old row lives in),
+        merges, and writes the new assignments + rollup files.  NO
+        process — driver included — ever holds the re-joined table or a
+        global drop set (the at-scale fix for the driver collect the
+        distributed path above still pays via ``ray.put``).
+
+        Commit protocol unchanged: manifest entries repoint on the
+        driver, ``commit()`` swaps atomically; a mid-run kill leaves an
+        unreferenced ``_staging/rejoin-*`` dir and new-generation files
+        that the next open GCs.
+
+        Returns (cell-summary rows of the merged tiles, old cell ids of
+        the touched tiles, stats: staged_rows / staged_cells / tiles).
+        """
+        import glob as _glob
+        import shutil
+
+        import ray
+
+        a_entry = dict(self._manifest["tables"].get("tile:assignments", {}))
+        r_entry = dict(self._manifest["tables"].get("tile:rollups", {}))
+        gen = self._manifest["generation"] + 1
+        fname = f"delta-g{gen}.parquet"
+        staging = os.path.join(self.root, "_staging", f"rejoin-g{gen}")
+        shutil.rmtree(staging, ignore_errors=True)  # crashed prior attempt
+        _t0 = time.time()
+        recomputed_ds.write_parquet(staging, partition_cols=["tile_id"])
+        staging_sec = time.time() - _t0
+        staged_tiles = sorted(
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in _glob.glob(os.path.join(staging, "tile_id=*"))
+        )
+        root = self.root
+        schema = _schema_of("assignments")
+
+        @ray.remote
+        def rewrite(items):
+            import pyarrow as pa2
+            import pyarrow.compute as pc2
+            import pyarrow.parquet as pq2
+
+            def read_with_tile(files, t):
+                tabs = [pq2.read_table(f) for f in files]
+                tab = (
+                    pa2.concat_tables(tabs)
+                    if tabs
+                    else schema.empty_table().drop_columns(["tile_id"])
+                )
+                if "tile_id" not in tab.column_names:
+                    tab = tab.append_column(
+                        "tile_id", pa2.array([t] * tab.num_rows, type=pa2.int64())
+                    )
+                return tab.select(schema.names).cast(schema)
+
+            out = []
+            for t, old_files, staged_files in items:
+                new = read_with_tile(staged_files, t)
+                old = read_with_tile(old_files, t)
+                keep = pc2.invert(
+                    pc2.is_in(
+                        old.column("url"),
+                        value_set=new.column("url").combine_chunks(),
+                    )
+                )
+                merged = pa2.concat_tables([old.filter(keep), new])
+                d = os.path.join(root, "assignments", f"tile_id={t}")
+                os.makedirs(d, exist_ok=True)
+                pq2.write_table(
+                    merged.drop_columns(["tile_id"]), os.path.join(d, fname)
+                )
+                rollup = rollup_fn(merged)
+                d = os.path.join(root, "rollups", f"tile_id={t}")
+                os.makedirs(d, exist_ok=True)
+                pq2.write_table(
+                    rollup.drop_columns(["tile_id"]), os.path.join(d, fname)
+                )
+                old_cells = np.unique(
+                    old.column("cell_id").to_numpy(zero_copy_only=False)
+                )
+                staged_cells = len(
+                    np.unique(new.column("cell_id").to_numpy(zero_copy_only=False))
+                )
+                out.append(
+                    (t, merged.num_rows, summary_fn(merged), old_cells,
+                     new.num_rows, staged_cells)
+                )
+            return out
+
+        existing = {int(t) for t in a_entry}
+        items = [
+            (
+                t,
+                self._tile_files("assignments", [t]),
+                sorted(
+                    _glob.glob(os.path.join(staging, f"tile_id={t}", "*.parquet"))
+                ),
+            )
+            for t in staged_tiles
+            if t in existing
+        ]
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_chunks = max(1, min(len(items), ncpu * 2))
+        chunk_size = (len(items) + n_chunks - 1) // n_chunks
+        futures = [
+            rewrite.remote(items[i : i + chunk_size])
+            for i in range(0, len(items), chunk_size)
+        ]
+        summaries: list[pa.Table] = []
+        old_cells_all: list[np.ndarray] = []
+        staged_rows = staged_cells = 0
+        for res in ray.get(futures):
+            for t, nrows, summary, old_cells, n_new, n_cells in res:
+                a_entry[str(t)] = [fname]
+                r_entry[str(t)] = [fname]
+                summaries.append(summary)
+                old_cells_all.append(old_cells)
+                staged_rows += n_new
+                staged_cells += n_cells  # a cell nests in exactly one tile
+                self._pending_lineage.append(
+                    {"table": "assignments", "tile": t, "file": fname,
+                     "rows": nrows, "op": "cow-replace-streaming"}
+                )
+        self._manifest["tables"]["tile:assignments"] = a_entry
+        self._manifest["tables"]["tile:rollups"] = r_entry
+        shutil.rmtree(staging, ignore_errors=True)
+        from ..stages.tiles import CELL_SUMMARY
+
+        summary_rows = (
+            pa.concat_tables([s for s in summaries if s.num_rows]).cast(CELL_SUMMARY)
+            if any(s.num_rows for s in summaries)
+            else CELL_SUMMARY.empty_table()
+        )
+        old_cells = (
+            np.unique(np.concatenate(old_cells_all))
+            if old_cells_all
+            else np.empty(0, dtype=np.int64)
+        )
+        stats = {
+            "tiles": len(items),
+            "staged_rows": staged_rows,
+            "staged_cells": staged_cells,
+            "staging_sec": round(staging_sec, 3),
+        }
+        return summary_rows, old_cells, stats

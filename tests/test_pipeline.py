@@ -413,6 +413,10 @@ class TestDistributedCow:
         for cfg in (
             DEFAULT_CONFIG,
             dataclasses.replace(DEFAULT_CONFIG, cow_task_tiles=0),
+            # fully-streaming path (driver_scan_rows=0 forces the dirty
+            # Dataset + staged per-tile COW; no driver-side table of
+            # re-joined rows ever exists)
+            dataclasses.replace(DEFAULT_CONFIG, driver_scan_rows=0),
         ):
             root = str(tmp_path_factory.mktemp("cowpath"))
             st = static_join.build_state(
@@ -422,14 +426,15 @@ class TestDistributedCow:
             update.apply_changes(st, w["changes"], cfg=cfg)
             update.apply_changes(st, second, cfg=cfg)
             stores.append(st)
-        A, B = stores
-        assert_tables_equal(
-            A.read_tiles("assignments"), B.read_tiles("assignments"), ["url"]
-        )
-        assert_tables_equal(
-            A.read_tiles("rollups"), B.read_tiles("rollups"), ["tile_id"]
-        )
-        assert_tables_equal(
-            A.read_all("cell_summaries"), B.read_all("cell_summaries"),
-            ["cell_id"],
-        )
+        A = stores[0]
+        for B in stores[1:]:
+            assert_tables_equal(
+                A.read_tiles("assignments"), B.read_tiles("assignments"), ["url"]
+            )
+            assert_tables_equal(
+                A.read_tiles("rollups"), B.read_tiles("rollups"), ["tile_id"]
+            )
+            assert_tables_equal(
+                A.read_all("cell_summaries"), B.read_all("cell_summaries"),
+                ["cell_id"],
+            )
