@@ -22,6 +22,19 @@ def hash_strings(values) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False).view(np.int64)
 
 
+def hash_strings128(values) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent stable 64-bit string hashes (distinct siphash
+    keys) — a 128-bit fingerprint whose collision odds are negligible
+    at any corpus size, so dedup exchanges can carry (h1, h2, id)
+    instead of the text itself."""
+    arr = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(arr, categorize=False).view(np.int64)
+    h2 = pd.util.hash_array(
+        arr, categorize=False, hash_key="8151b1a0e5c87d63"
+    ).view(np.int64)
+    return h1, h2
+
+
 def hash_int64(values: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — stable scrambling of int64 keys (for
     hash-partitioning / salting)."""

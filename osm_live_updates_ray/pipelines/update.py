@@ -673,6 +673,13 @@ def apply_changes(
     store.apply_upserts_deletes("polygon_rings", new_rings, affected_poly_ids)
 
     timers["state_mutation"] = _time.time() - _t0
+    # O(delta) maintenance of the cross-window live join-layer indexes
+    # (no-op when no cache exists yet; the re-join below builds it once)
+    _t0 = _time.time()
+    store.update_layer_indexes(
+        affected_poly_ids, new_rings, plan.deleted_nodes, node_upserts
+    )
+    timers["index_update"] = _time.time() - _t0
     # --- re-join EXACTLY the dirty rows against the NEW layers, then
     # per-url COW merge into the affected tiles
     _t0 = _time.time()
@@ -685,7 +692,6 @@ def apply_changes(
         import ray
         import pyarrow.parquet as _pq
 
-        rings_all = store.read_all("polygon_rings")
         node_files = store._files("nodes")
         n_nodes = sum(_pq.read_metadata(f).num_rows for f in node_files)
         n_cpu = int(ray.cluster_resources().get("CPU", 8))
@@ -697,6 +703,7 @@ def apply_changes(
             # node layer too big to broadcast: cell-range file shards,
             # each read and indexed by its OWN actor — no process
             # (driver included) ever holds the full layer
+            rings_all = store.read_all("polygon_rings")
             k = min(8, len(node_files)) or 1
             groups = [list(g) for g in np.array_split(node_files, k)]
             ds = spatial.spatial_join_sharded(
@@ -704,10 +711,15 @@ def apply_changes(
                 keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
             )
         else:
-            nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
+            _ti = _time.time()
+            poly_idx, node_idx, built = store.layer_indexes(cfg, pending=True)
+            timers["index_build" if built else "index_reuse"] = (
+                _time.time() - _ti
+            )
             ds = spatial.spatial_join(
-                rejoin_in, rings_all, nodes_all, cfg,
+                rejoin_in, None, None, cfg,
                 keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
+                layer_refs=(ray.put(poly_idx), ray.put(node_idx)),
             )
         summary_rows, old_cells, stats = store.cow_merge_tiles_streaming(
             ds, tiles.tile_rollup_table, tiles.cell_summary_table
@@ -721,7 +733,6 @@ def apply_changes(
     elif dirty_rows.num_rows:
         import pyarrow.parquet as _pq
 
-        rings_all = store.read_all("polygon_rings")
         node_files = store._files("nodes")
         n_nodes = sum(_pq.read_metadata(f).num_rows for f in node_files)
         rejoin_input = dirty_rows.select(
@@ -740,6 +751,7 @@ def apply_changes(
                 # node layer too big to broadcast: cell-range file
                 # shards, each read and indexed by its OWN actor — no
                 # process (driver included) ever holds the full layer
+                rings_all = store.read_all("polygon_rings")
                 k = min(8, len(node_files)) or 1
                 groups = [list(g) for g in np.array_split(node_files, k)]
                 ds = spatial.spatial_join_sharded(
@@ -747,36 +759,39 @@ def apply_changes(
                     keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
                 )
             else:
-                nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
+                _ti = _time.time()
+                poly_idx, node_idx, built = store.layer_indexes(
+                    cfg, pending=True
+                )
+                timers["index_build" if built else "index_reuse"] = (
+                    _time.time() - _ti
+                )
                 ds = spatial.spatial_join(
-                    pages_in, rings_all, nodes_all, cfg,
+                    pages_in, None, None, cfg,
                     keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
+                    layer_refs=(ray.put(poly_idx), ray.put(node_idx)),
                 )
             recomputed = pa.concat_tables(
                 list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
             )
         else:
             # driver path: a Ray pipeline costs ~2s of ramp, which
-            # LOSES to one thread below ~600k rows — so build the two
-            # indexes concurrently and fan the join out on a thread
-            # pool (the kernel is numpy, which releases the GIL; the
-            # indexes are read-only apart from the per-cell candidate
-            # memo, where racing threads compute identical entries)
+            # LOSES to one thread below ~600k rows — fan the join out
+            # on a thread pool (the kernel is numpy, which releases the
+            # GIL) over the store's LIVE indexes (cached across
+            # windows, maintained O(delta) by update_layer_indexes —
+            # the full build only happens once per process or after a
+            # compaction signal)
             from concurrent.futures import ThreadPoolExecutor
 
-            nodes_all = store.read_all("nodes", columns=["id", "lon", "lat"])
-            with ThreadPoolExecutor(2) as ex:
-                pf = ex.submit(spatial.PolygonIndex, rings_all, cfg.cell_res_deg)
-                nf = ex.submit(
-                    spatial.GridNodeIndex,
-                    nodes_all.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
-                    nodes_all.column("lon").to_numpy(zero_copy_only=False),
-                    nodes_all.column("lat").to_numpy(zero_copy_only=False),
-                    cfg.cell_res_deg,
-                )
-                joiner = spatial.SpatialJoiner(
-                    pf.result(), nf.result(), cfg, keep_lonlat=True
-                )
+            _ti = _time.time()
+            poly_idx, node_idx, built = store.layer_indexes(cfg, pending=True)
+            timers["index_build" if built else "index_reuse"] = (
+                _time.time() - _ti
+            )
+            joiner = spatial.SpatialJoiner(
+                poly_idx, node_idx, cfg, keep_lonlat=True
+            )
             nthreads = max(
                 1, min(cfg.rejoin_driver_threads,
                        rejoin_input.num_rows // 16384 + 1)

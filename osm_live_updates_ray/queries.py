@@ -1514,26 +1514,74 @@ def tfidf_top_term(sf_dir: str):
 )
 def dedup_exact_q(sf_dir: str):
     """Exact dedup = hash-partition + per-group first (the canonical
-    shuffle-dedup); output = one surviving row per distinct text.
-    Shuffles on a COARSE fold of the content hash (per-row-cardinality
-    raw keys make map_groups pay a Python call per ~1-row group); the
-    in-group pandas groupby on the ACTUAL text is both vectorized and
-    collision-safe."""
-    from .stages.dedup_docs import tag_content_fold
+    shuffle-dedup); output = one surviving row per distinct text.  The
+    exchange is HASH-ONLY: scan tasks project (fold, h1, h2, doc_id) —
+    a 128-bit content fingerprint, never the text — so the dedup
+    shuffle no longer scales with document length.  Singleton hash
+    groups are final; members of multi-doc hash groups (the duplicate
+    set itself) are re-read with text through a pruned scan and
+    verified per ACTUAL text, so a fingerprint collision can never
+    merge two distinct texts."""
+    import ray
+
+    from .stages.dedup_docs import _hash_group_marks, tag_hash128
 
     rd = _rd()
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(tag_content_fold, batch_format="pyarrow")
+    )
+    marks = (
+        ds.map_batches(tag_hash128, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(_hash_group_marks, batch_format="pyarrow")
+        .materialize()  # tiny (id + 3 small cols); consumed twice
+    )
+    singles = marks.map_batches(
+        lambda t: t.filter(
+            pc.invert(t.column("multi"))
+        ).select(["doc_id", "n_copies"]),
+        batch_format="pyarrow",
+    )
+    multi_parts = [
+        b
+        for b in marks.map_batches(
+            lambda t: t.filter(t.column("multi")).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not multi_parts:
+        return singles
+    multi_ids = np.sort(
+        pa.concat_tables(multi_parts)
+        .column("doc_id")
+        .to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    ref = ray.put(multi_ids)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(np.isin(ids, want)))
+        return tag_hash128(t).append_column(
+            "text", t.column("text").combine_chunks()
+        )
 
     def per_text(g: pd.DataFrame) -> pd.DataFrame:
-        # within a fold bucket, group by the actual text (collision-safe)
         out = g.groupby("text", sort=False).agg(
             doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
         )
         return out.reset_index(drop=True)
 
-    return ds.groupby("fold").map_groups(per_text, batch_format="pandas")
+    verified = (
+        ds.map_batches(fetch, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(per_text, batch_format="pandas")
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_copies"]), batch_format="pyarrow"
+        )
+    )
+    return singles.union(verified)
 
 
 @register(
@@ -1582,18 +1630,24 @@ def training_mix(sf_dir: str):
     int/lang columns.  Every stage is deterministic, so the whole mix
     is oracle-checked end to end."""
     rd = _rd()
+    import ray
     from ray.data.aggregate import Sum
 
+    from .functions import hashing as hashfn
     from .functions import text as textfn
-    from .stages.dedup_docs import tag_content_fold
+    from .stages.dedup_docs import _hash_group_marks
 
     SPAN, B = 4096, 512
     rates = {"en": 50, "de": 30, "fr": 20}
 
     def stage_a(df: pd.DataFrame) -> pd.DataFrame:
+        # quality window + fingerprint bucket + 128-bit content hash,
+        # all INSIDE the scan task: text is dropped here and never
+        # crosses an exchange (the dedup decision travels as (h1, h2))
         n_tok = df["text"].str.split(" ").str.len().astype("int64")
         df = df.assign(n_tokens=n_tok)
         df = df[(df["n_tokens"] >= 20) & (df["n_tokens"] <= 90)]
+        h1, h2 = hashfn.hash_strings128(df["text"].to_numpy(dtype=object))
         df = df.assign(
             bucket=np.array(
                 [
@@ -1601,30 +1655,89 @@ def training_mix(sf_dir: str):
                     for s in df["text"]
                 ],
                 dtype=np.int64,
-            )
+            ),
+            h1=h1,
+            h2=h2,
+            fold=hashfn.fold_pair_int64(h1, h2, 64),
         )
-        return df[["doc_id", "lang", "text", "n_tokens", "bucket"]]
-
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        # coarse-fold group (see dedup_exact_q): one vectorized pandas
-        # groupby per fold bucket instead of a call per distinct text
-        keep = g.loc[g.groupby("text", sort=False)["doc_id"].idxmin()]
-        return keep.drop(columns=["text", "content_hash", "fold"])
+        return df[["doc_id", "lang", "n_tokens", "bucket", "h1", "h2", "fold"]]
 
     def sample(df: pd.DataFrame) -> pd.DataFrame:
         thr = df["lang"].map(lambda l: rates.get(l, 10)).astype("int64")
         df = df[df["bucket"] < thr]
         return df.assign(part=(df["doc_id"] // SPAN).astype("int64"))
 
-    survivors = (
+    filtered = (
         rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
         )
         .map_batches(stage_a, batch_format="pandas")
-        .map_batches(tag_content_fold, batch_format="pyarrow")
-        .groupby("fold")
-        .map_groups(dedup_group, batch_format="pandas")
-        .map_batches(sample, batch_format="pandas")
+        .materialize()  # text-free; consumed by dedup marks + survivors
+    )
+    marks = (
+        filtered.groupby("fold")
+        .map_groups(_hash_group_marks, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(t.column("multi")).select(["doc_id", "is_min"]),
+            batch_format="pyarrow",
+        )
+    )
+    multi_parts = [
+        b for b in marks.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    drop_ids = np.empty(0, dtype=np.int64)
+    if multi_parts:
+        # verify the duplicate set on ACTUAL text (collision safety):
+        # pruned re-read of only the multi-group members
+        mt = pa.concat_tables(multi_parts)
+        multi_ids = np.sort(
+            mt.column("doc_id").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        mref = ray.put(multi_ids)
+
+        def fetch(t: pa.Table) -> pa.Table:
+            want = ray.get(mref)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(np.isin(ids, want)))
+            texts = t.column("text").to_pylist()
+            h1, h2 = hashfn.hash_strings128(texts)
+            return pa.table({
+                "doc_id": t.column("doc_id").combine_chunks(),
+                "text": t.column("text").combine_chunks(),
+                "fold": pa.array(hashfn.fold_pair_int64(h1, h2, 64)),
+            })
+
+        def losers(g: pd.DataFrame) -> pd.DataFrame:
+            keep = g.groupby("text", sort=False)["doc_id"].transform("min")
+            return g.loc[g["doc_id"] != keep, ["doc_id"]]
+
+        lost = (
+            rd.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            .map_batches(fetch, batch_format="pyarrow")
+            .groupby("fold")
+            .map_groups(losers, batch_format="pandas")
+        )
+        lost_parts = [
+            b for b in lost.iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
+        if lost_parts:
+            drop_ids = np.sort(
+                pa.concat_tables(lost_parts)
+                .column("doc_id")
+                .to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+    dref = ray.put(drop_ids)
+
+    def survive(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dref)
+        if len(d):
+            df = df[~df["doc_id"].isin(d)]
+        return sample(df.drop(columns=["h1", "h2", "fold"]))
+
+    survivors = (
+        filtered.map_batches(survive, batch_format="pandas")
         .materialize()  # consumed twice: offsets pass + pack pass
     )
     sums = (

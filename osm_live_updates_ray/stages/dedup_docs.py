@@ -43,29 +43,136 @@ def tag_content_fold(batch: pa.Table, text_col: str = "text",
     return batch.append_column("fold", pa.array(fold))
 
 
-def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text",
-                n_shuffle_buckets: int = 64):
-    """Keep the smallest-id row per distinct text.  Hash-partition on
-    a COARSE fold of the content hash (content hashes have per-row
-    cardinality — raw-key map_groups pays a Python call per ~1-row
-    group); every copy of a text still lands in one group, where one
-    vectorized drop_duplicates pass dedups on the ACTUAL text (hash
-    collisions must not merge distinct texts)."""
+def tag_hash128(batch: pa.Table, id_col: str = "doc_id",
+                text_col: str = "text",
+                n_shuffle_buckets: int = 64) -> pa.Table:
+    """(id, h1, h2, fold) projection — the 128-bit content fingerprint
+    plus a coarse shuffle key; the TEXT never leaves the scan task."""
+    h1, h2 = hashing.hash_strings128(batch.column(text_col).to_pylist())
+    fold = hashing.fold_pair_int64(h1, h2, n_shuffle_buckets)
+    return pa.table({
+        id_col: batch.column(id_col).combine_chunks(),
+        "h1": pa.array(h1), "h2": pa.array(h2), "fold": pa.array(fold),
+    })
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="stable")
-        return g.drop_duplicates(subset=[text_col], keep="first").drop(
-            columns=["fold"]
-        )
 
-    return (
+def _hash_group_marks(g: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Per fold group (vectorized): rows annotated with their (h1, h2)
+    group size and min id.  Singleton hash groups are definitively
+    unique texts; multi-member groups are either true duplicates or
+    (vanishingly rare) 128-bit collisions — downstream verifies those
+    few on the actual text."""
+    ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h1 = g.column("h1").to_numpy(zero_copy_only=False)
+    h2 = g.column("h2").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h2, h1))
+    ids, h1, h2 = ids[order], h1[order], h2[order]
+    n = len(ids)
+    bnd = np.concatenate([
+        [True], (np.diff(h1) != 0) | (np.diff(h2) != 0)
+    ]) if n else np.empty(0, bool)
+    gid = np.cumsum(bnd) - 1
+    sizes = np.bincount(gid) if n else np.empty(0, np.int64)
+    first = np.flatnonzero(bnd)
+    return pa.table({
+        id_col: pa.array(ids),
+        "n_copies": pa.array(sizes[gid].astype(np.int64)),
+        "is_min": pa.array(bnd),
+        "multi": pa.array(sizes[gid] > 1),
+    })
+
+
+def exact_drop_ids(ds, id_col: str = "doc_id", text_col: str = "text",
+                   n_shuffle_buckets: int = 64) -> np.ndarray:
+    """Doc ids to DROP for exact dedup (keep smallest id per distinct
+    text), computed with a hash-only exchange: the shuffle carries
+    (fold, h1, h2, id) — never the text (the old shape made the dedup
+    exchange the size of the corpus).  Only members of multi-doc hash
+    groups (the duplicate set itself) are re-read WITH text through a
+    pruned scan and verified per actual text, so a 128-bit collision
+    can never merge two distinct texts.
+
+    The multi-member id set is collected to the driver (it is the
+    duplicate set, not the corpus); at extreme duplicate rates swap the
+    broadcast for a hash anti-join on id — same semantics."""
+    import ray
+
+    marks = (
         ds.map_batches(
-            lambda t: tag_content_fold(t, text_col, n_shuffle_buckets),
+            lambda t: tag_hash128(t, id_col, text_col, n_shuffle_buckets),
             batch_format="pyarrow",
         )
         .groupby("fold")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(lambda g: _hash_group_marks(g, id_col),
+                    batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(t.column("multi")), batch_format="pyarrow"
+        )
     )
+    multi = [b for b in marks.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not multi:
+        return np.empty(0, dtype=np.int64)
+    multi_ids = np.sort(
+        pa.concat_tables(multi).column(id_col).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    ref = ray.put(multi_ids)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, want)
+        t = t.filter(pa.array(keep))
+        if not t.num_rows:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                text_col: pa.array([], pa.string()),
+                "fold": pa.array([], pa.int64()),
+            })
+        h1, h2 = hashing.hash_strings128(t.column(text_col).to_pylist())
+        fold = hashing.fold_pair_int64(h1, h2, n_shuffle_buckets)
+        return pa.table({
+            id_col: t.column(id_col).combine_chunks(),
+            text_col: t.column(text_col).combine_chunks(),
+            "fold": pa.array(fold),
+        })
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby(text_col, sort=False)[id_col].transform("min")
+        out = g.loc[g[id_col] != keep, [id_col]]
+        return out
+
+    lost = (
+        ds.map_batches(fetch, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(losers, batch_format="pandas")
+    )
+    parts = [b for b in lost.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(
+        pa.concat_tables(parts).column(id_col).to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+
+
+def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text",
+                n_shuffle_buckets: int = 64):
+    """Keep the smallest-id row per distinct text — surviving rows with
+    all their original columns.  The exchange carries only
+    (fold, h1, h2, id) (see :func:`exact_drop_ids`); the surviving
+    text is FILTERED in place per scan batch, never shuffled."""
+    import ray
+
+    drop = exact_drop_ids(ds, id_col, text_col, n_shuffle_buckets)
+    if not len(drop):
+        return ds
+    ref = ray.put(drop)
+
+    def keep_rows(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(~np.isin(ids, d)))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -239,6 +239,20 @@ class PolygonIndex:
         self._ent_bbox = np.array(
             [pb[p] for p in ents], dtype=np.float64
         ).reshape(-1, 4)
+        # tombstoned polygon ids (live-index maintenance): entries stay
+        # in every structure but are masked out of every result
+        self._deleted: np.ndarray | None = None
+        self._deleted_set: set[int] = set()
+
+    def set_deleted(self, pids: np.ndarray) -> None:
+        """Mask polygons out of all assignment results (O(delta) delete
+        support for the cross-window live index)."""
+        if len(pids):
+            self._deleted = np.sort(np.asarray(pids, dtype=np.int64))
+            self._deleted_set = set(self._deleted.tolist())
+        else:
+            self._deleted = None
+            self._deleted_set = set()
 
     def _inside(self, pid: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Exact containment of points in polygon ``pid`` (outer rings
@@ -319,6 +333,10 @@ class PolygonIndex:
             )
             pg = page_idx[keep]
             pid_arr = self._ent_pid[ent[keep]]
+            if self._deleted is not None and len(pid_arr):
+                alive = ~np.isin(pid_arr, self._deleted)
+                pg = pg[alive]
+                pid_arr = pid_arr[alive]
             if len(pid_arr):
                 order = np.argsort(pid_arr, kind="stable")
                 pg = pg[order]
@@ -338,6 +356,8 @@ class PolygonIndex:
                             np.full(len(hg), self.rings_by_poly[pid]["area"])
                         )
         for pid in self.global_pids:
+            if pid in self._deleted_set:
+                continue
             g = np.flatnonzero(valid)
             if not len(g):
                 break
@@ -395,6 +415,8 @@ class PolygonIndex:
         best_pid = np.full(n, -1, dtype=np.int64)
         best_area = np.full(n, np.inf)
         for pid in pids:
+            if pid in self._deleted_set:
+                continue
             e = self.rings_by_poly[pid]
             inside = np.zeros(n, dtype=bool)
             for x, y, b in e["outer"]:
@@ -947,13 +969,14 @@ class SpatialJoiner:
         self.config = config
         self.keep_lonlat = keep_lonlat
         # accept prebuilt indexes (built ONCE on the driver and shared
-        # via ray.put) or raw layer tables (tests / small runs)
+        # via ray.put — PolygonIndex/GridNodeIndex or their live
+        # cross-window wrappers) or raw layer tables (tests/small runs)
         self.pindex = (
-            polys if isinstance(polys, PolygonIndex)
+            polys if hasattr(polys, "assign_batch")
             else PolygonIndex(polys, config.cell_res_deg)
         )
         self.nindex = (
-            nodes if isinstance(nodes, GridNodeIndex)
+            nodes if hasattr(nodes, "knn_batch")
             else GridNodeIndex(
                 nodes["id"], nodes["lon"], nodes["lat"], config.cell_res_deg
             )

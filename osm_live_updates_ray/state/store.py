@@ -534,6 +534,73 @@ class StateStore:
             [pq.read_table(f, columns=columns) for f in files]
         ).cast(schema.empty_table().select(columns).schema if columns else schema)
 
+    # -- cross-window live join-layer indexes -------------------------------
+    # The reference never re-derives its state per change file — its
+    # "index" is the endpoint, mutated in place.  Per-window
+    # PolygonIndex/GridNodeIndex rebuilds are O(layer); these cached
+    # live indexes make the per-window cost O(delta) (stages/liveindex).
+    # Validity is keyed on the manifest GENERATION: the cache is only
+    # trusted when its generation matches exactly, so any commit that
+    # bypassed update_layer_indexes (bootstrap, direct table writes,
+    # a crashed window) naturally invalidates it, and a fresh process
+    # (kill-and-resume) rebuilds from the store.
+    _layer_cache: dict | None = None
+
+    def layer_indexes(self, cfg, pending: bool = False):
+        """(LivePolygonIndex, LiveNodeIndex, built_fresh).  ``pending``
+        = the caller sits between this window's state mutation and its
+        commit, so the valid generation is generation+1 (what
+        update_layer_indexes stamped)."""
+        from ..stages.liveindex import build_live_indexes
+
+        gen = self._manifest["generation"] + (1 if pending else 0)
+        c = self._layer_cache
+        if (
+            c is not None
+            and c["gen"] == gen
+            and c["res"] == cfg.cell_res_deg
+        ):
+            return c["poly"], c["node"], False
+        rings = self.read_all("polygon_rings")
+        nodes = self.read_all("nodes", columns=["id", "lon", "lat"])
+        poly, node = build_live_indexes(rings, nodes, cfg)
+        self._layer_cache = {
+            "gen": gen, "res": cfg.cell_res_deg, "poly": poly, "node": node,
+        }
+        return poly, node, True
+
+    def update_layer_indexes(
+        self,
+        ring_delete_pids: np.ndarray,
+        ring_upserts: pa.Table,
+        node_delete_ids: np.ndarray,
+        node_upserts: pa.Table,
+    ) -> None:
+        """O(delta) maintenance of the cached live indexes; call right
+        after the window's layer-table mutations (pre-commit).  Stamps
+        the cache for generation+1; a compaction signal just drops the
+        cache (the next layer_indexes rebuilds from the mutated
+        tables)."""
+        c = self._layer_cache
+        if c is None:
+            return
+        if c["gen"] != self._manifest["generation"]:
+            self._layer_cache = None  # stale (crashed window) — drop
+            return
+        need1 = c["poly"].apply_delta(ring_delete_pids, ring_upserts)
+        need2 = c["node"].apply_delta(
+            node_delete_ids,
+            node_upserts.column("id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            ),
+            node_upserts.column("lon").to_numpy(zero_copy_only=False),
+            node_upserts.column("lat").to_numpy(zero_copy_only=False),
+        )
+        if need1 or need2:
+            self._layer_cache = None
+        else:
+            c["gen"] = self._manifest["generation"] + 1
+
     # -- typed lookup helpers (the reference's fetcher interface,
     #    include/osm/OsmDataFetcher.h:49-174, re-expressed) -----------------
     def node_locations(self, ids: np.ndarray) -> pa.Table:
