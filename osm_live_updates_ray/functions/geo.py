@@ -129,6 +129,44 @@ def convex_hull(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def oriented_bbox(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-area oriented bounding rectangle — rotating calipers
+    over the convex hull (the reference computes obb option-gated via
+    osm2rdf; delete wiring at src/osm/OsmChangeHandler.cpp:541).
+
+    Returns the 4 corners (open ring, CCW in the rotated frame),
+    rolled so the lexicographically smallest (x, y) corner comes
+    first — fully deterministic.  Degenerate inputs (1-2 distinct
+    points / collinear) return the collapsed rectangle."""
+    hx, hy = convex_hull(x, y)
+    n = len(hx)
+    if n == 0:
+        return hx, hy
+    if n == 1:
+        return np.full(4, hx[0]), np.full(4, hy[0])
+    if n == 2:
+        return (
+            np.array([hx[0], hx[1], hx[1], hx[0]]),
+            np.array([hy[0], hy[1], hy[1], hy[0]]),
+        )
+    ex = np.roll(hx, -1) - hx
+    ey = np.roll(hy, -1) - hy
+    ln = np.hypot(ex, ey)
+    ux, uy = ex / ln, ey / ln
+    # project every hull point into every edge frame: (edges, points)
+    px = ux[:, None] * hx[None, :] + uy[:, None] * hy[None, :]
+    py = -uy[:, None] * hx[None, :] + ux[:, None] * hy[None, :]
+    x0 = px.min(1); x1 = px.max(1)
+    y0 = py.min(1); y1 = py.max(1)
+    k = int(np.argmin((x1 - x0) * (y1 - y0)))  # ties: first edge
+    cx = np.array([x0[k], x1[k], x1[k], x0[k]])
+    cy = np.array([y0[k], y0[k], y1[k], y1[k]])
+    rx = ux[k] * cx - uy[k] * cy
+    ry = uy[k] * cx + ux[k] * cy
+    s = int(np.lexsort((ry, rx))[0])
+    return np.roll(rx, -s), np.roll(ry, -s)
+
+
 # ---------------------------------------------------------------------------
 # nearest-neighbour distance kernels
 # ---------------------------------------------------------------------------

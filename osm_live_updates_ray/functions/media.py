@@ -28,11 +28,13 @@ import numpy as np
 
 
 def sniff(payload: bytes) -> str:
-    """Container sniff: 'ppm' | 'bmp' | 'wav' | 'ppmv' | 'unknown'."""
+    """Container sniff: 'ppm' | 'bmp' | 'png' | 'wav' | 'ppmv' | 'unknown'."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"PPMV":
@@ -98,13 +100,178 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return arr[..., ::-1]  # BGR -> RGB
 
 
+# -- PNG (stdlib zlib; no imaging library) -----------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 image -> PNG.  (h,w) => grayscale, (h,w,3) => RGB,
+    (h,w,4) => RGBA; 8-bit, non-interlaced.  ``filter_type`` applies
+    one scanline filter (0-4) to every row — the decoder's filter
+    reconstruction is exercised against all five in tests."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ct, ch = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ct, ch = 2, 3
+        flat = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        ct, ch = 6, 4
+        flat = img
+    else:
+        raise ValueError("expected (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = flat.shape[:2]
+    stride = w * ch
+    rows = flat.reshape(h, stride).astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        left = np.zeros(stride, dtype=np.int64)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(stride, dtype=np.int64)
+        upleft[ch:] = prev[:-ch]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa_ = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc_ = np.abs(p - upleft)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError("filter_type must be 0-4")
+        out.append(filter_type)
+        out.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8, pure stdlib-zlib + numpy: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA, alpha
+    dropped), non-interlaced; all five scanline filters.  Filters 0-2
+    reconstruct vectorized (per-channel ``np.add.accumulate`` wraps
+    mod 256 exactly like the spec); avg/Paeth rows fall back to a
+    per-byte loop (they are sequential in x by definition).  16-bit
+    and Adam7 raise NotImplementedError — surfaced as decode-failure
+    null rows by the featurize stage."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ct not in (0, 2, 3, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ct} interlace={interlace} unsupported"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG IDAT truncated")
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=base + 1).copy()
+        if f == 0:
+            pass
+        elif f == 2:
+            cur += prev  # uint8 wrap == mod-256 per spec
+        elif f == 1:
+            for i in range(ch):
+                np.add.accumulate(cur[i::ch], out=cur[i::ch])
+        elif f == 3:
+            c = cur.astype(np.int64)
+            p = prev.astype(np.int64)
+            for x in range(stride):
+                a = int(c[x - ch]) if x >= ch else 0
+                c[x] = (c[x] + ((a + int(p[x])) >> 1)) & 0xFF
+            cur = c.astype(np.uint8)
+        elif f == 4:
+            c = cur.astype(np.int64)
+            p = prev.astype(np.int64)
+            for x in range(stride):
+                a = int(c[x - ch]) if x >= ch else 0
+                b = int(p[x])
+                cc = int(p[x - ch]) if x >= ch else 0
+                q = a + b - cc
+                qa, qb, qc = abs(q - a), abs(q - b), abs(q - cc)
+                pred = a if (qa <= qb and qa <= qc) else (b if qb <= qc else cc)
+                c[x] = (c[x] + pred) & 0xFF
+            cur = c.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        recon[y] = cur
+        prev = cur
+    if ct == 2:
+        return recon.reshape(h, w, 3)
+    if ct == 6:
+        return recon.reshape(h, w, 4)[:, :, :3]
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[recon.reshape(h, w)]
+    return np.repeat(recon.reshape(h, w, 1), 3, axis=2)  # grayscale
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniffed decode: PPM/BMP natively; anything else needs PIL."""
+    """Sniffed decode: PPM/BMP/PNG natively; anything else needs PIL."""
     kind = sniff(payload)
     if kind == "ppm":
         return decode_ppm(payload)
     if kind == "bmp":
         return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
     try:
         from PIL import Image  # noqa: F401  (absent in this container)
     except ImportError:

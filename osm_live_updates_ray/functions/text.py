@@ -75,6 +75,29 @@ def extract_text(html: bytes) -> str:
     return xml_unescape(m.group(1).decode("utf-8"))
 
 
+def extract_text_batch(html) -> "pa.Array":
+    """Vectorized :func:`extract_text` over an Arrow binary array —
+    RE2 extract + literal substring unescapes, all C++ kernels; falls
+    back to the per-row canonical extractor on any per-batch kernel
+    failure (e.g. invalid UTF-8) so the byte-identity invariant is
+    preserved either way (equality pinned by pytest)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    try:
+        m = pc.extract_regex(html, rb"(?s)<article>(?P<body>.*?)</article>")
+        body = pc.cast(pc.struct_field(m, "body"), pa.string())
+        for ch, rep in reversed(_ESCAPES):
+            body = pc.replace_substring(body, pattern=rep, replacement=ch)
+        return pc.fill_null(body, "")
+    except pa.ArrowInvalid:
+        return pa.array(
+            [extract_text(h) for h in html.to_pylist()], type=pa.string()
+        )
+
+
 _GEO_RE = re.compile(
     rb'geo\.position" content="(-?[\d.]+(?:[eE][-+]?\d+)?);'
     rb'(-?[\d.]+(?:[eE][-+]?\d+)?)"'

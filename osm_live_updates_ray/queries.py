@@ -704,9 +704,9 @@ def extract_text(sf_dir: str):
     from .functions import text as textfn
 
     def ex(t: pa.Table) -> pa.Table:
-        texts = [textfn.extract_text(h) for h in t.column("html").to_pylist()]
+        texts = textfn.extract_text_batch(t.column("html"))
         return pa.Table.from_pydict(
-            {"url": t.column("url"), "text": pa.array(texts, type=pa.string())}
+            {"url": t.column("url"), "text": texts}
         )
 
     return rd.from_arrow(td.pages_table(sf_dir)).map_batches(ex, batch_format="pyarrow")

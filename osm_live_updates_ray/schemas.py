@@ -133,6 +133,7 @@ GEOMS = pa.schema(
         ("env_max_lon", pa.float64()),
         ("env_max_lat", pa.float64()),
         ("convex_hull_wkt", pa.string()),
+        ("obb_wkt", pa.string()),  # oriented bbox (option-gated, off by default)
         ("length", pa.float64()),
         ("area", pa.float64()),
     ]

@@ -165,13 +165,19 @@ def classify(changes: pa.Table, store: StateStore) -> DeltaPlan:
             pc.equal(changes.column("action"), "modify"),
         )
     )
-    area_ids = []
-    for i in range(rel_mod.num_rows):
-        tags = rel_mod.column("tags")[i].as_py() or []
-        tagmap = dict(tags)
-        if tagmap.get("type") in ("multipolygon", "boundary"):
-            area_ids.append(rel_mod.column("id")[i].as_py())
-    modified_areas = np.unique(np.asarray(area_ids, dtype=np.int64))
+    if rel_mod.num_rows:
+        # vectorized map lookup: tags["type"] ∈ {multipolygon, boundary}
+        tval = pc.map_lookup(
+            rel_mod.column("tags").combine_chunks(),
+            query_key="type", occurrence="first",
+        )
+        is_area = pc.fill_null(
+            pc.is_in(tval, value_set=pa.array(["multipolygon", "boundary"])),
+            False,
+        )
+        modified_areas = np.unique(_np(rel_mod.filter(is_area).column("id")))
+    else:
+        modified_areas = empty
 
     # --- J1: node-location check (NodeHandler::checkNodesForLocationChange)
     node_mod = changes.filter(
@@ -187,23 +193,26 @@ def classify(changes: pa.Table, store: StateStore) -> DeltaPlan:
     s_ids = _np(state_nodes.column("id"))
     s_lon = _np(state_nodes.column("lon"))
     s_lat = _np(state_nodes.column("lat"))
-    pos = {int(i): k for k, i in enumerate(s_ids)}
-    unchanged, loc_changed, switched_to_create = [], [], []
-    for k, nid in enumerate(mod_ids.tolist()):
-        j = pos.get(int(nid))
-        if j is None:
-            # modify-of-absent => CREATE (NodeHandler.cpp:70-76; rationale
-            # OsmObjectHelper.h:106-117)
-            switched_to_create.append(nid)
-        elif mod_lon[k] == s_lon[j] and mod_lat[k] == s_lat[j]:
-            unchanged.append(nid)
-        else:
-            loc_changed.append(nid)
-    created_nodes = np.unique(
-        np.concatenate([created_nodes, np.asarray(switched_to_create, dtype=np.int64)])
-    )
-    modified_nodes = np.unique(np.asarray(unchanged, dtype=np.int64))
-    modified_nodes_loc_changed = np.unique(np.asarray(loc_changed, dtype=np.int64))
+    # vectorized J1 split via searchsorted over the (unique) state ids:
+    # absent => CREATE (NodeHandler.cpp:70-76; rationale
+    # OsmObjectHelper.h:106-117); present-and-same-coords => unchanged
+    # MODIFY; else location-changed (NaN coords compare unequal, same
+    # as the reference's string compare of distinct WKT literals)
+    if len(s_ids):
+        order = np.argsort(s_ids)
+        s_ids_s = s_ids[order]
+        s_lon_s = s_lon[order]
+        s_lat_s = s_lat[order]
+        pos = np.searchsorted(s_ids_s, mod_ids)
+        posc = np.clip(pos, 0, len(s_ids_s) - 1)
+        found = s_ids_s[posc] == mod_ids
+        same = found & (mod_lon == s_lon_s[posc]) & (mod_lat == s_lat_s[posc])
+    else:
+        found = np.zeros(len(mod_ids), dtype=bool)
+        same = found
+    created_nodes = np.unique(np.concatenate([created_nodes, mod_ids[~found]]))
+    modified_nodes = np.unique(mod_ids[same])
+    modified_nodes_loc_changed = np.unique(mod_ids[found & ~same])
 
     ways_in_cf = np.unique(np.concatenate([created_ways, modified_ways, deleted_ways]))
     rels_in_cf = np.unique(

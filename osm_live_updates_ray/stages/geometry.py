@@ -86,7 +86,7 @@ def _empty_geom_row(otype: str, oid: int) -> dict:
         "centroid_lon": None, "centroid_lat": None,
         "env_min_lon": None, "env_min_lat": None,
         "env_max_lon": None, "env_max_lat": None,
-        "convex_hull_wkt": None, "length": None, "area": None,
+        "convex_hull_wkt": None, "obb_wkt": None, "length": None, "area": None,
     }
 
 
@@ -106,6 +106,9 @@ def _facts(
     if cfg.with_convex_hull:
         hx, hy = geo.convex_hull(x, y)
         row["convex_hull_wkt"] = wkt.polygon_wkt(hx, hy, cfg.wkt_precision)
+    if cfg.with_obb:
+        ox, oy = geo.oriented_bbox(x, y)
+        row["obb_wkt"] = wkt.polygon_wkt(ox, oy, cfg.wkt_precision)
     if cfg.with_length:
         row["length"] = length
     if cfg.with_area:
@@ -143,6 +146,16 @@ def node_geoms(nodes: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
             (
                 pa.array([f"POLYGON(({s}))" for s in pts], type=pa.string())
                 if cfg.with_convex_hull
+                else pa.nulls(n, pa.string())
+            ),
+            (
+                # a point's OBB degenerates to the point (4 identical
+                # corners, same separator style as wkt.polygon_wkt)
+                pa.array(
+                    [f"POLYGON(({s},{s},{s},{s}))" for s in pts],
+                    type=pa.string(),
+                )
+                if cfg.with_obb
                 else pa.nulls(n, pa.string())
             ),
             (

@@ -72,7 +72,7 @@ class ImageFeaturizer:
     (see :func:`featurize_images`).
     """
 
-    VERSION = 2  # 2 = real PPM/BMP decode path
+    VERSION = 3  # 3 = real compressed decode (PNG via stdlib zlib)
 
     def __init__(self, out_dim: int = 64, resize: tuple[int, int] = (224, 224)):
         self.out_dim = out_dim
@@ -81,7 +81,7 @@ class ImageFeaturizer:
         self.proj = rng.standard_normal((out_dim, out_dim)).astype(np.float32)
 
     def _raw(self, payload: bytes) -> np.ndarray:
-        if _media.sniff(payload) in ("ppm", "bmp"):
+        if _media.sniff(payload) in ("ppm", "bmp", "png"):
             img = _media.decode_image(payload)
             img = _media.resize_nearest(img, *self.resize)
             col = img.astype(np.float32).mean(axis=(0, 2))  # per-column gray
@@ -116,12 +116,33 @@ class ImageFeaturizer:
         )
 
 
+def _doc_png(doc_id: int, w: int, h: int, text: bytes) -> bytes:
+    """Deterministic small REAL PNG for an image-kind document row:
+    a doc-seeded gradient, run through the actual encoder, so the
+    featurize path exercises the zlib decode + unfilter for real."""
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    s = int(doc_id) & 0xFF
+    t0 = text[0] if len(text) else 0
+    img = np.stack(
+        [
+            ((xs * 7 + s) % 256 + ys * 0).astype(np.uint8),
+            ((ys * 5 + t0) % 256 + xs * 0).astype(np.uint8),
+            ((xs + ys + s) % 256).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    return _media.encode_png(img, filter_type=int(doc_id) % 5)
+
+
 def media_from_documents(batch: pa.Table) -> pa.Table:
-    """MEDIA rows derived deterministically from the documents corpus
-    (payload = utf-8 text bytes standing in for encoded media): the
-    battery's multimodal entries exercise the real test tables through
-    the actor-pool plumbing instead of a synthesized side table.
-    Vectorized; runs inside map_batches."""
+    """MEDIA rows derived deterministically from the documents corpus:
+    the battery's multimodal entries exercise the real test tables
+    through the actor-pool plumbing instead of a synthesized side
+    table.  IMAGE rows carry real doc-seeded PNG payloads (so
+    featurization runs the actual compressed decode); audio/video rows
+    keep utf-8 text payloads standing in for encoded media (their
+    oracled entries hash those bytes).  Runs inside map_batches."""
     import pyarrow.compute as pc
 
     did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -130,14 +151,24 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[kind_idx]
     is_img = kind_idx == 0
     is_timed = ~is_img
-    width = (64 + (did % 8) * 16).astype(np.int32)
-    height = (64 + (did % 5) * 16).astype(np.int32)
+    # small real dimensions for image rows (payload must match the
+    # metadata); the byte payloads stay tiny so batch x concurrency
+    # fits worker heaps at any corpus size
+    width = np.where(is_img, 8 + (did % 8) * 2, 64 + (did % 8) * 16).astype(np.int32)
+    height = np.where(is_img, 6 + (did % 5) * 2, 64 + (did % 5) * 16).astype(np.int32)
     dur = (1000 + (did % 10) * 500).astype(np.int32)
+    texts = pc.cast(batch.column("text"), pa.binary()).to_pylist()
+    payloads = [
+        _doc_png(int(d), int(w_), int(h_), t or b"")
+        if im
+        else (t or b"")
+        for d, w_, h_, im, t in zip(did, width, height, is_img, texts)
+    ]
     return pa.Table.from_arrays(
         [
             pa.array(did, type=pa.int64()),
             pa.array(kinds, type=pa.string()),
-            pc.cast(batch.column("text"), pa.binary()),
+            pa.array(payloads, type=pa.binary()),
             pa.array(mimes, type=pa.string()),
             pa.array(width, type=pa.int32(), mask=is_timed),
             pa.array(height, type=pa.int32(), mask=is_timed),

@@ -181,7 +181,7 @@ def explode_rel_members(rels: pa.Table) -> pa.Table:
 # bump when the on-disk layout changes incompatibly; opening a store
 # written by a NEWER engine aborts (the reference's store/tool version
 # check, src/osm/OsmUpdater.cpp:93, 336-353)
-SCHEMA_VERSION = 2
+SCHEMA_VERSION = 3  # 3: geoms gained the option-gated obb_wkt column
 
 # option set persisted at bootstrap and re-discovered on open — which
 # derived columns exist is a property of the STORE, not of the run's

@@ -145,6 +145,28 @@ class TestText:
         got = text.extract_geo(text.render_html("x", lon, lat))
         assert got == (lon, lat)
 
+    def test_extract_text_batch_equals_per_row(self):
+        import pyarrow as pa
+
+        tricky = [
+            "plain", "", "with <tags> & 'quotes' \"too\"", "a&amp;b",
+            "multi\nline\ntext", "ünïcødé ♥ text", "&gt;&lt;&amp;",
+            "nested <article> marker text",
+            "x" * 5000,
+        ]
+        htmls = [text.render_html(t) for t in tricky]
+        htmls.append(b"<html>no article here</html>")
+        arr = pa.array(htmls, type=pa.binary())
+        got = text.extract_text_batch(arr).to_pylist()
+        want = [text.extract_text(h) for h in htmls]
+        assert got == want
+        # invalid-UTF8 body forces the per-row fallback; results must
+        # still agree for the valid rows (the invalid row raises the
+        # same way in both paths or decodes identically)
+        arr2 = pa.array(htmls + [b"<article>ok</article>"], type=pa.binary())
+        got2 = text.extract_text_batch(arr2).to_pylist()
+        assert got2[: len(want)] == want and got2[-1] == "ok"
+
     def test_ws_tokens(self):
         assert text.ws_tokens("  a  b\tc\n") == ["a", "b", "c"]
         assert text.ws_tokens("") == []

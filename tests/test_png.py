@@ -1,0 +1,130 @@
+"""Pure-stdlib PNG codec: known-pixel round trips across all five
+scanline filters and the four supported color types, wire format
+readable by the header parser, and the featurize stage actually taking
+the REAL decode path for PNG payloads."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_live_updates_ray.functions import media
+
+
+def _img(h, w, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+    def test_rgb_all_filters(self, filt):
+        img = _img(13, 17, seed=filt)
+        out = media.decode_png(media.encode_png(img, filter_type=filt))
+        np.testing.assert_array_equal(out, img)
+
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+    def test_gray_all_filters(self, filt):
+        g = np.arange(9 * 11, dtype=np.uint8).reshape(9, 11)
+        out = media.decode_png(media.encode_png(g, filter_type=filt))
+        np.testing.assert_array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+    def test_rgba_alpha_dropped(self):
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, size=(7, 5, 4), dtype=np.uint8)
+        out = media.decode_png(media.encode_png(img, filter_type=4))
+        np.testing.assert_array_equal(out, img[:, :, :3])
+
+    def test_known_pixels(self):
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        img[0, 0] = (255, 0, 0)
+        img[0, 1] = (0, 255, 0)
+        img[1, 0] = (0, 0, 255)
+        img[1, 1] = (10, 20, 30)
+        out = media.decode_png(media.encode_png(img, filter_type=1))
+        np.testing.assert_array_equal(out, img)
+
+    def test_palette(self):
+        # hand-build a color-type-3 PNG: 2x2, palette of 3 colors
+        import struct
+        import zlib
+
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        idx_rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + media._png_chunk(b"IHDR", ihdr)
+            + media._png_chunk(b"PLTE", plte)
+            + media._png_chunk(b"IDAT", zlib.compress(idx_rows))
+            + media._png_chunk(b"IEND", b"")
+        )
+        out = media.decode_png(payload)
+        want = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+            dtype=np.uint8,
+        )
+        np.testing.assert_array_equal(out, want)
+
+    def test_sniff_meta_and_dispatch(self):
+        img = _img(6, 4, seed=9)
+        p = media.encode_png(img)
+        assert media.sniff(p) == "png"
+        fmt, w, h = media.image_meta(p)
+        assert (fmt, w, h) == ("png", 4, 6)
+        np.testing.assert_array_equal(media.decode_image(p), img)
+
+    def test_unsupported_raise(self):
+        import struct
+        import zlib
+
+        # 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        p = (
+            b"\x89PNG\r\n\x1a\n"
+            + media._png_chunk(b"IHDR", ihdr)
+            + media._png_chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+            + media._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            media.decode_png(p)
+        with pytest.raises(ValueError):
+            media.decode_png(b"nope")
+
+
+class TestFeaturizerRealPngPath:
+    def test_png_equals_ppm_features(self):
+        """The SAME image through PNG and PPM payloads must featurize
+        identically — proves PNG rides the real decode path, not the
+        byte stub (stub features would differ between the two
+        encodings of one image)."""
+        from osm_live_updates_ray.stages import multimodal
+
+        img = _img(20, 30, seed=3)
+        fz = multimodal.ImageFeaturizer()
+        batch = pa.table({
+            "media_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array(
+                [media.encode_png(img, filter_type=2), media.encode_ppm(img)],
+                type=pa.binary(),
+            ),
+        })
+        out = fz(batch)
+        f = out.column("feat").to_pylist()
+        assert f[0] is not None and f[0] == f[1]
+        assert out.column("decoder_version").to_pylist() == [3, 3]
+
+    def test_media_from_documents_image_rows_are_real_png(self):
+        from osm_live_updates_ray.stages import multimodal
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 3, 6, 1, 2], type=pa.int64()),
+            "text": pa.array(["aaa", "bbb", "ccc", "ddd", "eee"]),
+        })
+        m = multimodal.media_from_documents(docs)
+        imgs = m.filter(pa.compute.equal(m.column("kind"), "image"))
+        assert imgs.num_rows == 3
+        for row in imgs.to_pylist():
+            p = row["payload"]
+            assert media.sniff(p) == "png"
+            arr = media.decode_png(p)
+            assert arr.shape == (row["height"], row["width"], 3)
