@@ -211,3 +211,51 @@ def fingerprint64(text: str) -> int:
         pows = np.cumprod(pows)[::-1]  # BASE^(n-1) ... BASE^0, mod 2^64
         h = np.sum(data * pows, dtype=np.uint64)
     return int(h.astype(np.int64))
+
+
+#: BASE is odd, hence invertible mod 2^64 — the batch kernel rewrites
+#: each doc's power ladder in GLOBAL byte positions g:
+#: H = (Σ b_g · BASE^{-g}) · BASE^{g0+L-1}, so ONE cumprod pair serves
+#: the whole batch instead of a per-doc cumprod.
+_FP_INV = np.uint64(pow(1000003, -1, 1 << 64))
+
+
+def fingerprint64_batch(strings) -> np.ndarray:
+    """Vectorized :func:`fingerprint64` over an Arrow string array (or
+    list of str) — one flat pass over the concatenated utf-8 buffer,
+    no per-row Python.  Returns int64; equals fingerprint64 per row
+    (pinned by pytest)."""
+    import pyarrow as pa
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(list(strings), type=pa.string())
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bufs = strings.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        strings.offset : strings.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    base = off[0]
+    flat = data[off[0] : off[-1]].astype(np.uint64)
+    starts = off[:-1] - base
+    ends = off[1:] - base
+    lens = ends - starts
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        ppow = np.full(len(flat), _FP_BASE, dtype=np.uint64)
+        ppow[0] = np.uint64(1)
+        np.cumprod(ppow, out=ppow)  # BASE^g mod 2^64
+        ipow = np.full(len(flat), _FP_INV, dtype=np.uint64)
+        ipow[0] = np.uint64(1)
+        np.cumprod(ipow, out=ipow)  # BASE^-g mod 2^64
+        flat *= ipow
+        cs = np.zeros(len(flat) + 1, dtype=np.uint64)
+        np.cumsum(flat, out=cs[1:])  # wraps mod 2^64
+        seg = cs[ends] - cs[starts]  # uint64 wrap-subtract == mod sum
+        h = seg * ppow[np.maximum(ends - 1, 0)]
+    return np.where(lens > 0, h, np.uint64(0)).view(np.int64)

@@ -1649,13 +1649,12 @@ def training_mix(sf_dir: str):
         df = df[(df["n_tokens"] >= 20) & (df["n_tokens"] <= 90)]
         h1, h2 = hashfn.hash_strings128(df["text"].to_numpy(dtype=object))
         df = df.assign(
-            bucket=np.array(
-                [
-                    (textfn.fingerprint64(s) % (1 << 64)) % 100
-                    for s in df["text"]
-                ],
-                dtype=np.int64,
-            ),
+            bucket=(
+                textfn.fingerprint64_batch(
+                    df["text"].to_numpy(dtype=object)
+                ).view(np.uint64)
+                % np.uint64(100)
+            ).astype(np.int64),
             h1=h1,
             h2=h2,
             fold=hashfn.fold_pair_int64(h1, h2, 64),
@@ -2028,7 +2027,7 @@ def doc_fingerprints(sf_dir: str):
     rd = _rd()
 
     def fp(t: pa.Table) -> pa.Table:
-        vals = [textfn.fingerprint64(s) for s in t.column("text").to_pylist()]
+        vals = textfn.fingerprint64_batch(t.column("text"))
         return pa.Table.from_pydict(
             {"doc_id": t.column("doc_id"), "fingerprint": pa.array(vals, type=pa.int64())}
         )
@@ -2071,13 +2070,10 @@ def doc_sample_stratified(sf_dir: str):
     rates = {"en": 50, "de": 30, "fr": 20}
 
     def samp(t: pa.Table) -> pa.Table:
-        buckets = np.array(
-            [
-                (textfn.fingerprint64(s) % (1 << 64)) % 100
-                for s in t.column("text").to_pylist()
-            ],
-            dtype=np.int64,
-        )
+        buckets = (
+            textfn.fingerprint64_batch(t.column("text")).view(np.uint64)
+            % np.uint64(100)
+        ).astype(np.int64)
         langs = t.column("lang").to_pylist()
         thr = np.fromiter((rates.get(l, 10) for l in langs), np.int64, len(langs))
         keep = buckets < thr

@@ -145,6 +145,21 @@ class TestText:
         got = text.extract_geo(text.render_html("x", lon, lat))
         assert got == (lon, lat)
 
+    def test_fingerprint64_batch_equals_per_row(self):
+        import pyarrow as pa
+
+        docs = [
+            "", "a", "hello world", "ünïcødé ♥", "x" * 3000,
+            "the quick brown fox", "\n\t mixed \0 bytes",
+        ] * 3
+        got = text.fingerprint64_batch(docs)
+        want = np.array([text.fingerprint64(s) for s in docs], dtype=np.int64)
+        np.testing.assert_array_equal(got, want)
+        # sliced arrow arrays (non-zero offset) must agree too
+        arr = pa.array(docs, type=pa.string()).slice(4, 9)
+        got2 = text.fingerprint64_batch(arr)
+        np.testing.assert_array_equal(got2, want[4:13])
+
     def test_extract_text_batch_equals_per_row(self):
         import pyarrow as pa
 
