@@ -108,7 +108,7 @@ def _candidate_cells(
     invalidation scan.
     """
     res = cfg.cell_res_deg
-    t = store.read_all("cell_summaries")
+    t = store.read_all_hot("cell_summaries")
     cell = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
     tile = t.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
     kd = t.column("max_knn_dist").to_numpy(zero_copy_only=False)
@@ -578,6 +578,32 @@ def apply_changes(
             else ASSIGNMENTS_STATE.empty_table()
         )
         streaming = False
+    if streaming:
+        # run the distributed scan ONCE into the object store (blocks,
+        # not driver heap), then pick the re-join shape from the EXACT
+        # dirty-row count: a delta-sized dirty set re-joins on the
+        # driver thread pool (a Ray pipeline's ~2s ramp + per-tile
+        # staging parquet loses badly below ~500k rows — measured
+        # 9.6 s vs 17 s on the adversarial 10k-change window), while a
+        # corpus-sized one stays fully streaming and never lands on
+        # the driver
+        from ..schemas import ASSIGNMENTS_STATE
+
+        dirty_rows = dirty_rows.materialize()
+        if dirty_rows.count() <= cfg.rejoin_driver_rows:
+            batches = [
+                b
+                for b in dirty_rows.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                if b.num_rows
+            ]
+            dirty_rows = (
+                pa.concat_tables(batches).cast(ASSIGNMENTS_STATE)
+                if batches
+                else ASSIGNMENTS_STATE.empty_table()
+            )
+            streaming = False
     if not streaming:
         summary["dirty_cells"] = int(
             len(np.unique(

@@ -340,11 +340,17 @@ class LivePolygonIndex:
 
 def build_live_indexes(rings: pa.Table, nodes: pa.Table, cfg: EngineConfig
                        ) -> tuple[LivePolygonIndex, LiveNodeIndex]:
-    poly = LivePolygonIndex(rings, cfg.cell_res_deg)
-    node = LiveNodeIndex(
-        nodes.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
-        nodes.column("lon").to_numpy(zero_copy_only=False),
-        nodes.column("lat").to_numpy(zero_copy_only=False),
-        cfg.cell_res_deg,
-    )
-    return poly, node
+    # the two builds share nothing — overlap them on threads (numpy
+    # lexsort/cumsum release the GIL), same as the old per-window path
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        pf = ex.submit(LivePolygonIndex, rings, cfg.cell_res_deg)
+        nf = ex.submit(
+            LiveNodeIndex,
+            nodes.column("id").to_numpy(zero_copy_only=False).astype(np.int64),
+            nodes.column("lon").to_numpy(zero_copy_only=False),
+            nodes.column("lat").to_numpy(zero_copy_only=False),
+            cfg.cell_res_deg,
+        )
+        return pf.result(), nf.result()

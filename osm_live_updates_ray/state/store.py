@@ -534,6 +534,44 @@ class StateStore:
             [pq.read_table(f, columns=columns) for f in files]
         ).cast(schema.empty_table().select(columns).schema if columns else schema)
 
+    # -- hot-table cache -----------------------------------------------------
+    # Small driver-consulted tables that every window re-reads (the
+    # per-cell kNN-bound prune index) are cached across windows and
+    # COW-updated in memory alongside the on-disk partition rewrite —
+    # same generation-keyed validity discipline as the layer indexes.
+    _HOT_TABLES = ("cell_summaries",)
+    _hot_tables: dict | None = None
+
+    def read_all_hot(self, name: str) -> pa.Table:
+        """read_all with a generation-keyed in-memory cache (whitelisted
+        tables only); falls through to read_all otherwise."""
+        if name not in self._HOT_TABLES:
+            return self.read_all(name)
+        gen = self._manifest["generation"]
+        c = (self._hot_tables or {}).get(name)
+        if c is not None and c["gen"] == gen:
+            return c["table"]
+        t = self.read_all(name)
+        if self._hot_tables is None:
+            self._hot_tables = {}
+        self._hot_tables[name] = {"gen": gen, "table": t}
+        return t
+
+    def _update_hot_table(self, name: str, key: str, upserts: pa.Table,
+                          drop_set: pa.Array) -> None:
+        c = (self._hot_tables or {}).get(name)
+        if c is None:
+            return
+        if c["gen"] != self._manifest["generation"]:
+            self._hot_tables.pop(name, None)  # stale — drop
+            return
+        schema = _schema_of(name)
+        keep = pc.invert(pc.is_in(c["table"].column(key), value_set=drop_set))
+        c["table"] = pa.concat_tables(
+            [c["table"].filter(keep).cast(schema), upserts.cast(schema)]
+        ).combine_chunks()
+        c["gen"] = self._manifest["generation"] + 1
+
     # -- cross-window live join-layer indexes -------------------------------
     # The reference never re-derives its state per change file — its
     # "index" is the endpoint, mutated in place.  Per-window
@@ -721,6 +759,7 @@ class StateStore:
                  "rows": nrows, "op": op}
             )
         self._manifest["tables"][name] = entry
+        self._update_hot_table(name, key, upserts, drop_set)
 
     def apply_owned_edges(
         self,

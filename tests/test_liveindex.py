@@ -290,6 +290,11 @@ class TestWarmCacheEqualsCold(object):
         for ch in windows:
             update.apply_changes(W, ch)
         assert W._layer_cache is not None  # the cache actually persisted
+        # hot-table cache: the in-memory COW copy of cell_summaries must
+        # stay row-set-identical to the on-disk table it shadows
+        hot = W.read_all_hot("cell_summaries").sort_by("cell_id")
+        disk = W.read_all("cell_summaries").sort_by("cell_id")
+        assert hot.equals(disk.cast(hot.schema))
 
         rootC = str(tmp_path_factory.mktemp("cold"))
         static_join.build_state(rootC, rd.from_arrow(pages), nodes, ways, rels)

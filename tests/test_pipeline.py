@@ -414,9 +414,12 @@ class TestDistributedCow:
             DEFAULT_CONFIG,
             dataclasses.replace(DEFAULT_CONFIG, cow_task_tiles=0),
             # fully-streaming path (driver_scan_rows=0 forces the dirty
-            # Dataset + staged per-tile COW; no driver-side table of
-            # re-joined rows ever exists)
-            dataclasses.replace(DEFAULT_CONFIG, driver_scan_rows=0),
+            # Dataset; rejoin_driver_rows=0 keeps the count-based shape
+            # switch from routing a small dirty set back to the driver
+            # — no driver-side table of re-joined rows ever exists)
+            dataclasses.replace(
+                DEFAULT_CONFIG, driver_scan_rows=0, rejoin_driver_rows=0
+            ),
         ):
             root = str(tmp_path_factory.mktemp("cowpath"))
             st = static_join.build_state(
