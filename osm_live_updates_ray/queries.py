@@ -3686,6 +3686,384 @@ def tpch_q10(sf_dir: str):
 
 
 @register(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(sf_dir: str):
+    """Volume shipping (TPC-H Q7 shape): the nation-pair filter prunes
+    the supplier side to ~2/25 of suppliers BEFORE the fact scan (a
+    broadcast sorted-array probe drops non-qualifying lineitem rows at
+    the scan task), the surviving fact slice goes through Ray's HASH
+    JOIN against orders (the general two-big-sides path — orders
+    carries no selective filter here), and the customer→nation map
+    broadcasts into the tiny post-join map.  The final (supp, cust,
+    year) aggregate is 4 rows."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nat.column("n_nationkey").to_pylist(),
+                    nat.column("n_name").to_pylist()))
+    keys = {v: k for k, v in nmap.items()}
+    k1, k2 = keys["NATION_1"], keys["NATION_2"]
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    smask = np.isin(sn, [k1, k2])
+    sk, sn = sk[smask], sn[smask]
+    so = np.argsort(sk, kind="stable")
+    sk, sn = sk[so], sn[so]
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    co = np.argsort(ck, kind="stable")
+    ck, cn = ck[co], cn[co]
+
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def li_side(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi),
+        )
+        t = t.filter(m)
+        lsk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(lsk) == 0 or len(sk) == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "supp_nk": pa.array([], pa.int64()),
+                "l_year": pa.array([], pa.int64()),
+                "volume": pa.array([], pa.float64()),
+            })
+        pos = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+        hit = sk[pos] == lsk
+        t = t.filter(pa.array(hit))
+        yr = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        vol = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey").combine_chunks(),
+            "supp_nk": pa.array(sn[pos[hit]]),
+            "l_year": pa.array(yr),
+            "volume": pa.array(vol),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_side, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def pair(t: pa.Table) -> pa.Table:
+        oc = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
+        cust_nk = cn[pos] if len(ck) else np.full(len(oc), -1, dtype=np.int64)
+        snk = t.column("supp_nk").to_numpy(zero_copy_only=False)
+        keep = ((snk == k1) & (cust_nk == k2)) | ((snk == k2) & (cust_nk == k1))
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "supp_nation": pa.array(
+                [nmap[int(v)] for v in snk[keep]], type=pa.string()
+            ),
+            "cust_nation": pa.array(
+                [nmap[int(v)] for v in cust_nk[keep]], type=pa.string()
+            ),
+            "l_year": t.column("l_year").combine_chunks(),
+            "volume": t.column("volume").combine_chunks(),
+        })
+
+    agg = (
+        joined.map_batches(pair, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("volume", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = _round(agg["revenue"].to_numpy(dtype=np.float64), 2)
+    return agg.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], kind="stable"
+    ).reset_index(drop=True)
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(sf_dir: str):
+    """Top supplier (TPC-H Q15 shape): argmax OF an aggregate — the
+    per-supplier revenue aggregate (map-side combined partials, one
+    supplier-sized groupby) feeds a driver-side max + tie-keeping
+    filter; the supplier dimension joins into the ≤few winner rows.
+    Float note: quantities/prices sum in different orders here vs the
+    oracle, but winner selection only flips if two suppliers sit within
+    one ulp of the max — not a structural hazard."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), lo),
+            pc.less(t.column("l_shipdate"), hi),
+        )
+        t = t.filter(m)
+        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        u, inv = np.unique(skey, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.float64)
+        np.add.at(sums, inv, rev)
+        return pa.table({"l_suppkey": pa.array(u), "rev_part": pa.array(sums)})
+
+    rev = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_part", alias_name="total_revenue"))
+        .to_pandas()  # one row per supplier: dimension-sized
+    )
+    best = rev["total_revenue"].max()
+    win = rev[rev["total_revenue"] == best]
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = win.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = _round(
+        out["total_revenue"].to_numpy(dtype=np.float64), 2
+    )
+    return out.sort_values("s_suppkey", kind="stable").reset_index(drop=True)[
+        ["s_suppkey", "s_name", "total_revenue"]
+    ]
+
+
+@register(
+    "tpch_q17",
+    """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17(sf_dir: str):
+    """Small-quantity-order revenue (TPC-H Q17 shape): a CORRELATED
+    scalar subquery — per-part AVG(quantity) — becomes a two-pass
+    broadcast: pass 1 map-side-combines (part, Σqty, n) partials into a
+    part-sized table for the brand's parts only, the 0.2·avg thresholds
+    broadcast, pass 2 re-scans and sums prices under threshold.
+    Quantities are small integers, so the float average is EXACT
+    (integer sums in f64) and the strict < cannot flip vs the oracle."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    pk = part.filter(
+        pc.equal(part.column("p_brand"), pa.scalar("Brand#1"))
+    ).column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = np.sort(pk)
+
+    def moments(t: pa.Table) -> pa.Table:
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk) == 0 or len(lp) == 0:
+            return pa.table({
+                "l_partkey": pa.array([], pa.int64()),
+                "qty_sum": pa.array([], pa.float64()),
+                "qty_n": pa.array([], pa.int64()),
+            })
+        pos = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+        hit = pk[pos] == lp
+        lp = lp[hit]
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)[hit]
+        u, inv = np.unique(lp, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.float64)
+        n = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, q)
+        np.add.at(n, inv, 1)
+        return pa.table({
+            "l_partkey": pa.array(u), "qty_sum": pa.array(s),
+            "qty_n": pa.array(n),
+        })
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    mom = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("qty_sum", alias_name="s"), Sum("qty_n", alias_name="n"))
+        .to_pandas()
+    )
+    tk = mom["l_partkey"].to_numpy(dtype=np.int64)
+    thr = 0.2 * (mom["s"].to_numpy() / mom["n"].to_numpy())
+    to = np.argsort(tk, kind="stable")
+    tk, thr = tk[to], thr[to]
+
+    def under(t: pa.Table) -> pa.Table:
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(tk) == 0 or len(lp) == 0:
+            return pa.table({"price_part": pa.array([], pa.float64())})
+        pos = np.clip(np.searchsorted(tk, lp), 0, len(tk) - 1)
+        hit = tk[pos] == lp
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = hit & (q < thr[pos])
+        s = float(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep].sum()
+        )
+        return pa.table({"price_part": pa.array([s], type=pa.float64())})
+
+    total = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+        .map_batches(under, batch_format="pyarrow")
+        .sum("price_part")
+    )
+    return pd.DataFrame({"avg_yearly": [float(_round(
+        np.array([total / 7.0]), 2
+    )[0])]})
+
+
+@register(
+    "tpch_q22",
+    """
+    WITH pos AS (
+      SELECT AVG(c_acctbal) AS a FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+    )
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer, pos
+    WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+      AND c_acctbal > a
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22(sf_dir: str):
+    """Global sales opportunity (TPC-H Q22 shape): a scalar-subquery
+    threshold (avg positive balance over the nation set) + an ANTI-join
+    against orders (customers who never ordered).  The distinct
+    o_custkey set is reduced map-side (unique per batch), exchanged
+    once at customer cardinality, and applied as a sorted-array
+    anti-probe; the threshold itself is an exact two-pass moment
+    (Σ, n) so the strict > matches the oracle to the ulp of one final
+    division."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    nk = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    bal = cust.column("c_acctbal").to_numpy(zero_copy_only=False)
+    ckey = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    in_set = np.isin(nk, np.arange(1, 8))
+    posm = in_set & (bal > 0.0)
+    thr = float(bal[posm].sum() / posm.sum())
+
+    def dedup_cust(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"o_custkey": pa.array(u)})
+
+    have = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(dedup_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .to_pandas()["o_custkey"]
+        .to_numpy(dtype=np.int64)
+    )
+    have = np.sort(have)
+    keep = in_set & (bal > thr)
+    if len(have):
+        pos = np.clip(np.searchsorted(have, ckey), 0, len(have) - 1)
+        keep &= ~(have[pos] == ckey)
+    u, inv = np.unique(nk[keep], return_inverse=True)
+    cnt = np.bincount(inv)
+    sums = np.zeros(len(u), dtype=np.float64)
+    np.add.at(sums, inv, bal[keep])
+    return pd.DataFrame({
+        "cntrycode": u.astype(np.int64),
+        "numcust": cnt.astype(np.int64),
+        "totacctbal": _round(sums, 2),
+    })
+
+
+@register(
     "pip_nation_salted",
     # identical SQL to pip_nation: the ENGINE path differs (explicit
     # cell-keyed shuffle with salted mega-cells), the answer must not
