@@ -4064,6 +4064,178 @@ def tpch_q22(sf_dir: str):
 
 
 @register(
+    "word_heavy_hitters",
+    """
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM words),
+    cnt AS (SELECT word, COUNT(*) AS n_occurrences FROM words GROUP BY word)
+    SELECT c.word, c.n_occurrences
+    FROM cnt c, tot
+    WHERE c.n_occurrences * 64 > tot.n
+    """,
+)
+def word_heavy_hitters(sf_dir: str):
+    """Heavy hitters (frequency > n/64) with an O(1)-per-block
+    exchange: each batch emits only its LOCAL heavy words (freq_b >
+    n_b/64 — at most 63 rows per block, a frequent-items sketch in the
+    Misra-Gries sense).  Completeness is provable: a globally heavy
+    word must be locally heavy in at least one block (else its total
+    ≤ Σ n_b/64 = n/64).  The candidate union (≤63·blocks words) is then
+    EXACTLY counted in a pruned second scan, so the output equals the
+    full vocabulary groupby — which `word_counts` runs — without ever
+    exchanging vocabulary-sized state."""
+    import ray
+
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].str.split(" ").explode().to_numpy(dtype=object)
+        u, c = np.unique(words, return_counts=True)
+        n_b = int(c.sum())
+        keep = c * 64 > n_b
+        return pd.DataFrame({"word": u[keep]})
+
+    cand_parts = [
+        b
+        for b in rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text"]
+        )
+        .map_batches(local_heavy, batch_format="pandas")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not cand_parts:
+        return pd.DataFrame({
+            "word": pd.Series([], dtype=object),
+            "n_occurrences": pd.Series([], dtype="int64"),
+        })
+    cands = np.unique(
+        pa.concat_tables(cand_parts).column("word").to_numpy(zero_copy_only=False)
+    )
+    cref = ray.put(cands)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(cref)
+        words = df["text"].str.split(" ").explode().to_numpy(dtype=object)
+        total = len(words)
+        u, c = np.unique(words, return_counts=True)
+        pos = np.searchsorted(want, u)
+        pos = np.clip(pos, 0, max(len(want) - 1, 0))
+        hit = (want[pos] == u) if len(want) else np.zeros(len(u), bool)
+        out = pd.DataFrame({"word": u[hit], "n_part": c[hit].astype("int64"),
+                            "is_total": False})
+        out.loc[len(out)] = ["", total, True]
+        return out
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(verify, batch_format="pandas")
+        .groupby(["word", "is_total"])
+        .aggregate(Sum("n_part", alias_name="n_occurrences"))
+        .to_pandas()
+    )
+    total = int(agg.loc[agg["is_total"], "n_occurrences"].sum())
+    out = agg[~agg["is_total"]]
+    out = out[out["n_occurrences"].to_numpy() * 64 > total]
+    return out[["word", "n_occurrences"]].reset_index(drop=True)
+
+
+@register(
+    "events_ntile",
+    """
+    SELECT event_id, event_type,
+           CAST(NTILE(4) OVER (
+             PARTITION BY event_type ORDER BY value, event_id
+           ) AS BIGINT) AS quartile
+    FROM events
+    """,
+)
+def events_ntile(sf_dir: str):
+    """NTILE(4) per event type WITHOUT a global sort: pass 1 exchanges
+    only (type, value-range-bucket) COUNTS (64 monotone buckets over
+    the global value range), the driver prefix-sums them into
+    per-bucket global-rank offsets, and pass 2 ranks each (type,
+    bucket) group locally by (value, event_id) — the same
+    range-bucket global-ROW_NUMBER shape as doc_shuffle_shards, which
+    also splits a hot event_type across 64 groups instead of one
+    giant ordered partition."""
+    rd = _rd()
+    from ray.data.aggregate import Max, Min, Sum
+
+    K, B = 4, 64
+    src = lambda cols: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/events.parquet", columns=cols
+    )
+    stats = src(["value"]).aggregate(Min("value"), Max("value"))
+    lo, hi = float(stats["min(value)"]), float(stats["max(value)"])
+    span = (hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(
+            ((v - lo) / span * B).astype(np.int64), 0, B - 1
+        )
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        b = bucket_of(v)
+        df = pd.DataFrame({"event_type": et, "bucket": b})
+        g = df.groupby(["event_type", "bucket"], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["event_type", "bucket", "c_part"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cdf = (
+        src(["event_type", "value"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .aggregate(Sum("c_part", alias_name="c"))
+        .to_pandas()
+        .sort_values(["event_type", "bucket"], kind="stable")
+    )
+    offsets: dict = {}
+    totals: dict = {}
+    for et, grp in cdf.groupby("event_type", sort=False):
+        cum = np.concatenate([[0], np.cumsum(grp["c"].to_numpy())])
+        offsets[et] = dict(zip(grp["bucket"].to_numpy(), cum[:-1]))
+        totals[et] = int(cum[-1])
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        b = int(g["bucket"].iloc[0])
+        g = g.sort_values(["value", "event_id"], kind="stable")
+        r = int(offsets[et][b]) + np.arange(len(g), dtype=np.int64)
+        n = totals[et]
+        base = n // K
+        m = n % K
+        first = m * (base + 1)
+        tile = np.where(
+            r < first,
+            r // max(base + 1, 1),
+            m + np.where(base > 0, (r - first) // max(base, 1), 0),
+        ) + 1
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "event_type": g["event_type"].to_numpy(),
+            "quartile": tile.astype(np.int64),
+        })
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(bucket_of(v)))
+
+    return (
+        src(["event_id", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+@register(
     "pip_nation_salted",
     # identical SQL to pip_nation: the ENGINE path differs (explicit
     # cell-keyed shuffle with salted mega-cells), the answer must not
