@@ -1527,6 +1527,10 @@ def dedup_exact_q(sf_dir: str):
     from .stages.dedup_docs import _hash_group_marks, tag_hash128
 
     rd = _rd()
+    # NOTE: deliberately NOT materialized — the verify pass re-reads
+    # from parquet rather than pinning corpus-sized text blocks in the
+    # object store; scans are the cheap resource, exchanges and
+    # residency are the scarce ones at 100 TB
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
