@@ -119,6 +119,12 @@ def headline_spatial_join(rd, num_cpus: int) -> dict:
     from osm_live_updates_ray.stages import geometry, spatial
 
     cfg = EngineConfig()
+    if os.environ.get("OLU_BENCH_BATCH"):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, map_batch_size=int(os.environ["OLU_BENCH_BATCH"])
+        )
     nodes = pq.read_table(os.path.join(BENCH_CACHE, "nodes.parquet"))
     ways = pq.read_table(os.path.join(BENCH_CACHE, "ways.parquet"))
     rels = pq.read_table(os.path.join(BENCH_CACHE, "relations.parquet"))
