@@ -4067,6 +4067,46 @@ def tpch_q22(sf_dir: str):
     })
 
 
+@register("doc_length_quantiles_kmv")  # rows-only (sketch; bound pytest)
+def doc_length_quantiles_kmv(sf_dir: str):
+    """Mergeable QUANTILE SKETCH per language — the unbounded-domain
+    companion of the exact histogram quantiles (`doc_length_quantiles`
+    relies on lengths being small ints; this works for any ordered
+    value).  Shape = KMV bottom-k: each block keeps the k rows whose
+    hashed doc_id is smallest (a deterministic uniform sample);
+    bottom-k of a union IS the union of bottom-k's, so the merge is a
+    per-lang sort+head over ≤ k·blocks rows and quantiles interpolate
+    from the merged sample.  Error is O(1/√k) — bounded by pytest
+    against the exact per-lang quantiles (`tests/test_sketch.py`)."""
+    from .functions import hashing
+    from .stages.sketchq import KMV_K, kmv_merge_quantiles
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False)
+        h = hashing.hash_int64(ids)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        out = []
+        df = pd.DataFrame({"lang": langs, "h": h, "v": ln.astype(np.int64)})
+        for lang, g in df.groupby("lang", sort=False):
+            g = g.nsmallest(KMV_K, "h")
+            out.append(g)
+        res = pd.concat(out) if out else df
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    samples = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(kmv_merge_quantiles, batch_format="pandas")
+    )
+    return samples
+
+
 @register(
     "word_heavy_hitters",
     """

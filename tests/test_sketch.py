@@ -396,3 +396,52 @@ class TestAudioMeta:
         assert audio_meta(b"RIFF\x00\x00\x00\x00WAVE") == (
             "unknown", -1, -1, -1)
         assert audio_meta(b"") == ("unknown", -1, -1, -1)
+
+
+class TestKmvQuantiles:
+    def test_merge_equals_single_pass_and_error_bound(self):
+        """Bottom-k of the union == union of bottom-k's (exact), and the
+        sketch quantiles land within the rank-space error bound of the
+        exact quantiles."""
+        import pandas as pd
+
+        from osm_live_updates_ray.functions import hashing
+        from osm_live_updates_ray.stages.sketchq import KMV_K, kmv_merge_quantiles
+
+        rng = np.random.RandomState(11)
+        n = 60_000
+        vals = rng.lognormal(5.0, 1.0, n)
+        ids = np.arange(n, dtype=np.int64)
+        h = hashing.hash_int64(ids)
+        df = pd.DataFrame({"lang": "en", "h": h, "v": vals})
+        # split into 13 uneven "blocks", bottom-k each, merge
+        parts = np.array_split(df.sample(frac=1.0, random_state=3), 13)
+        partials = pd.concat([p.nsmallest(KMV_K, "h") for p in parts])
+        merged = kmv_merge_quantiles(partials)
+        direct = kmv_merge_quantiles(df)  # single-pass bottom-k
+        pd.testing.assert_frame_equal(
+            merged.reset_index(drop=True), direct.reset_index(drop=True)
+        )
+        for q in (0.5, 0.9, 0.99):
+            est = float(merged[f"p{int(q * 100)}"].iloc[0])
+            # rank-space bound: 5 standard errors of sqrt(q(1-q)/k)
+            tol = 5.0 * np.sqrt(q * (1 - q) / KMV_K)
+            lo = float(np.quantile(vals, max(q - tol, 0.0)))
+            hi = float(np.quantile(vals, min(q + tol, 1.0)))
+            assert lo <= est <= hi, (q, est, lo, hi)
+
+    def test_entry_close_to_exact(self, ray_session):
+        from osm_live_updates_ray import queries as Q
+
+        got = Q.QUERIES["doc_length_quantiles_kmv"]("/root/testdata/sf0.01")
+        df = got.to_pandas() if hasattr(got, "to_pandas") else got
+        exact = Q.QUERIES["doc_length_quantiles"]("/root/testdata/sf0.01")
+        exact = exact.to_pandas() if hasattr(exact, "to_pandas") else exact
+        m = df.merge(exact, on="lang", suffixes=("_kmv", "_exact"))
+        assert len(m) > 0
+        for q in ("p50", "p90"):
+            a = m[f"{q}_kmv"].to_numpy(dtype=np.float64)
+            b = m[f"{q}_exact"].to_numpy(dtype=np.float64)
+            # lengths are tightly distributed; 15% relative is ample for
+            # a 1024-point sample at these quantiles
+            assert (np.abs(a - b) <= 0.15 * np.maximum(b, 1.0)).all()
