@@ -4067,7 +4067,30 @@ def tpch_q22(sf_dir: str):
     })
 
 
-@register("doc_length_quantiles_kmv")  # rows-only (sketch; bound pytest)
+def _kmv_sql() -> str:
+    from .stages.sketchq import KMV_K, splitmix64_sql
+
+    return f"""
+    WITH h AS (
+      SELECT lang, CAST(LENGTH(text) AS DOUBLE) AS v,
+             {splitmix64_sql('doc_id')} AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, v,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h
+    )
+    SELECT lang, COUNT(*) AS sample_n,
+           ROUND(quantile_cont(v, 0.5), 4) AS p50,
+           ROUND(quantile_cont(v, 0.9), 4) AS p90,
+           ROUND(quantile_cont(v, 0.99), 4) AS p99
+    FROM r WHERE rn <= {KMV_K}
+    GROUP BY lang
+    """
+
+
+@register("doc_length_quantiles_kmv", _kmv_sql())
 def doc_length_quantiles_kmv(sf_dir: str):
     """Mergeable QUANTILE SKETCH per language — the unbounded-domain
     companion of the exact histogram quantiles (`doc_length_quantiles`
@@ -4077,7 +4100,10 @@ def doc_length_quantiles_kmv(sf_dir: str):
     bottom-k of a union IS the union of bottom-k's, so the merge is a
     per-lang sort+head over ≤ k·blocks rows and quantiles interpolate
     from the merged sample.  Error is O(1/√k) — bounded by pytest
-    against the exact per-lang quantiles (`tests/test_sketch.py`)."""
+    against the exact per-lang quantiles (`tests/test_sketch.py`).
+    Because the sample is DETERMINISTIC (splitmix64 is a bijection —
+    no hash ties), the sketch itself is oracle-checked: the SQL mirror
+    reproduces the hash bit-exactly and takes the same bottom-k."""
     from .functions import hashing
     from .stages.sketchq import KMV_K, kmv_merge_quantiles
 
@@ -4086,7 +4112,8 @@ def doc_length_quantiles_kmv(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         ln = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False)
-        h = hashing.hash_int64(ids)
+        # UNSIGNED order — the SQL mirror's UBIGINT sorts unsigned
+        h = hashing.hash_int64(ids).view(np.uint64)
         langs = t.column("lang").to_numpy(zero_copy_only=False)
         out = []
         df = pd.DataFrame({"lang": langs, "h": h, "v": ln.astype(np.int64)})
