@@ -234,8 +234,11 @@ def fingerprint64_batch(strings) -> np.ndarray:
     n = len(strings)
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    # large_string carries int64 offsets — reading them as int32 would
+    # silently misread every boundary (ADVICE r3)
+    off_dtype = np.int64 if pa.types.is_large_string(strings.type) else np.int32
     bufs = strings.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int32)[
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
         strings.offset : strings.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8)

@@ -726,26 +726,34 @@ def apply_changes(
             batch_format="pyarrow",
         )
         if n_nodes > cfg.broadcast_node_rows:
-            # node layer too big to broadcast: cell-range file shards,
-            # each read and indexed by its OWN actor — no process
-            # (driver included) ever holds the full layer
-            rings_all = store.read_all("polygon_rings")
+            # layers too big to broadcast: file-group shards for BOTH
+            # sides (nodes by cell range, rings by the store's
+            # polygon_id hash partitions), each read and indexed by its
+            # OWN actor — no process (driver included) ever holds a
+            # full layer
             k = min(8, len(node_files)) or 1
             groups = [list(g) for g in np.array_split(node_files, k)]
+            ring_files = store._files("polygon_rings")
+            kr = min(4, len(ring_files)) or 1
+            ring_groups = [
+                list(g) for g in np.array_split(ring_files, kr) if len(g)
+            ]
             ds = spatial.spatial_join_sharded(
-                rejoin_in, rings_all, groups, cfg,
+                rejoin_in, ring_groups, groups, cfg,
                 keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
             )
         else:
             _ti = _time.time()
-            poly_idx, node_idx, built = store.layer_indexes(cfg, pending=True)
+            poly_ref, node_ref, built = store.layer_index_refs(
+                cfg, pending=True
+            )
             timers["index_build" if built else "index_reuse"] = (
                 _time.time() - _ti
             )
             ds = spatial.spatial_join(
                 rejoin_in, None, None, cfg,
                 keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
-                layer_refs=(ray.put(poly_idx), ray.put(node_idx)),
+                layer_refs=(poly_ref, node_ref),
             )
         summary_rows, old_cells, stats = store.cow_merge_tiles_streaming(
             ds, tiles.tile_rollup_table, tiles.cell_summary_table
@@ -774,19 +782,25 @@ def apply_changes(
             n_cpu = int(ray.cluster_resources().get("CPU", 8))
             pages_in = rd.from_arrow(rejoin_input).repartition(max(16, n_cpu * 2))
             if n_nodes > cfg.broadcast_node_rows:
-                # node layer too big to broadcast: cell-range file
-                # shards, each read and indexed by its OWN actor — no
-                # process (driver included) ever holds the full layer
-                rings_all = store.read_all("polygon_rings")
+                # layers too big to broadcast: file-group shards for
+                # BOTH sides (nodes by cell range, rings by the store's
+                # polygon_id hash partitions), each read and indexed by
+                # its OWN actor — no process (driver included) ever
+                # holds a full layer
                 k = min(8, len(node_files)) or 1
                 groups = [list(g) for g in np.array_split(node_files, k)]
+                ring_files = store._files("polygon_rings")
+                kr = min(4, len(ring_files)) or 1
+                ring_groups = [
+                    list(g) for g in np.array_split(ring_files, kr) if len(g)
+                ]
                 ds = spatial.spatial_join_sharded(
-                    pages_in, rings_all, groups, cfg,
+                    pages_in, ring_groups, groups, cfg,
                     keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
                 )
             else:
                 _ti = _time.time()
-                poly_idx, node_idx, built = store.layer_indexes(
+                poly_ref, node_ref, built = store.layer_index_refs(
                     cfg, pending=True
                 )
                 timers["index_build" if built else "index_reuse"] = (
@@ -795,7 +809,7 @@ def apply_changes(
                 ds = spatial.spatial_join(
                     pages_in, None, None, cfg,
                     keep_lonlat=True, concurrency=(2, max(4, n_cpu - 2)),
-                    layer_refs=(ray.put(poly_idx), ray.put(node_idx)),
+                    layer_refs=(poly_ref, node_ref),
                 )
             recomputed = pa.concat_tables(
                 list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))

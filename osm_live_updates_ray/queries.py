@@ -3805,7 +3805,12 @@ def tpch_q7(sf_dir: str):
     def pair(t: pa.Table) -> pa.Table:
         oc = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
-        cust_nk = cn[pos] if len(ck) else np.full(len(oc), -1, dtype=np.int64)
+        if len(ck):
+            # verified probe: a custkey absent from customer must NOT
+            # inherit a neighbour's nationkey (ADVICE r3)
+            cust_nk = np.where(ck[pos] == oc, cn[pos], -1)
+        else:
+            cust_nk = np.full(len(oc), -1, dtype=np.int64)
         snk = t.column("supp_nk").to_numpy(zero_copy_only=False)
         keep = ((snk == k1) & (cust_nk == k2)) | ((snk == k2) & (cust_nk == k1))
         t = t.filter(pa.array(keep))

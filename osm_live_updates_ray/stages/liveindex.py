@@ -83,7 +83,31 @@ class SmallNodeIndex:
         self.offsets = np.append(starts, len(cs))
         self._oix = (self.ucells >> np.int64(32)).astype(np.int64)
         self._oiy = (self.ucells & np.int64(0xFFFFFFFF)).astype(np.int64)
+        #: thread-safety contract (ADVICE r3): instances are queried
+        #: from the driver thread-pool's racing threads — memo reads are
+        #: lock-free (dict.get is atomic under the GIL; values are
+        #: immutable-once-published arrays that outlive a clear), and
+        #: the compound clear-then-insert on the write side is guarded
+        #: by ``_memo_lock`` so a cap-triggered clear can never
+        #: interleave with a concurrent insert.
         self._memo: dict[int, np.ndarray] = {}
+        import threading
+
+        self._memo_lock = threading.Lock()
+
+    # Lock objects are not cloudpickle-able; live indexes travel via
+    # ray.put.  Ship WITHOUT the memo (receivers rebuild their own).
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_memo"] = {}
+        d["_memo_lock"] = None
+        return d
+
+    def __setstate__(self, d):
+        import threading
+
+        self.__dict__.update(d)
+        self._memo_lock = threading.Lock()
 
     def _candidates(self, cell: int) -> np.ndarray:
         got = self._memo.get(cell)
@@ -101,9 +125,10 @@ class SmallNodeIndex:
         jumps = np.cumsum(lens)[:-1]
         out[jumps] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
         np.cumsum(out, out=out)
-        if len(self._memo) > 100_000:
-            self._memo.clear()
-        self._memo[cell] = out
+        with self._memo_lock:
+            if len(self._memo) > 100_000:
+                self._memo.clear()
+            self._memo[cell] = out
         return out
 
     def knn1(self, cell: int, px: np.ndarray, py: np.ndarray

@@ -435,6 +435,10 @@ class StateStore:
                  "op": "build"}
             )
         self._manifest["tables"][name] = entry
+        if name in self._HOT_TABLES and self._hot_tables:
+            # a full rewrite bypasses the COW hot-cache maintenance —
+            # drop the entry so a pre-commit read can't see stale rows
+            self._hot_tables.pop(name, None)
 
     # -- reads -------------------------------------------------------------
     def _files(self, name: str) -> list[str]:
@@ -559,6 +563,12 @@ class StateStore:
 
     def _update_hot_table(self, name: str, key: str, upserts: pa.Table,
                           drop_set: pa.Array) -> None:
+        """COW-maintain the in-memory hot copy alongside a partition
+        rewrite.  Invariant (ADVICE r3): the gen+1 stamp assumes ONE
+        apply per _HOT_TABLES member per commit — a second apply within
+        the same pending generation hits the gen-mismatch guard below
+        and conservatively DROPS the cache (correct, never stale), and
+        full rewrites (_write_table_partitions) drop it explicitly."""
         c = (self._hot_tables or {}).get(name)
         if c is None:
             return
@@ -607,6 +617,23 @@ class StateStore:
         }
         return poly, node, True
 
+    def layer_index_refs(self, cfg, pending: bool = False):
+        """(poly ObjectRef, node ObjectRef, built_fresh) — the
+        :meth:`layer_indexes` pair pre-``ray.put`` with the refs cached
+        alongside the index cache, so steady-state windows ship ZERO
+        layer bytes to the object store (the put is O(layer); re-putting
+        per window was exactly the cost the live indexes removed —
+        ADVICE r3).  The refs are dropped whenever the indexes mutate
+        (update_layer_indexes) or the cache rebuilds."""
+        import ray
+
+        poly, node, built = self.layer_indexes(cfg, pending=pending)
+        c = self._layer_cache
+        if "poly_ref" not in c:
+            c["poly_ref"] = ray.put(poly)
+            c["node_ref"] = ray.put(node)
+        return c["poly_ref"], c["node_ref"], built
+
     def update_layer_indexes(
         self,
         ring_delete_pids: np.ndarray,
@@ -625,6 +652,13 @@ class StateStore:
         if c["gen"] != self._manifest["generation"]:
             self._layer_cache = None  # stale (crashed window) — drop
             return
+        if (
+            len(ring_delete_pids) or ring_upserts.num_rows
+            or len(node_delete_ids) or node_upserts.num_rows
+        ):
+            # in-place mutation below invalidates any ray.put snapshot
+            c.pop("poly_ref", None)
+            c.pop("node_ref", None)
         need1 = c["poly"].apply_delta(ring_delete_pids, ring_upserts)
         need2 = c["node"].apply_delta(
             node_delete_ids,

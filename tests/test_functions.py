@@ -159,6 +159,12 @@ class TestText:
         arr = pa.array(docs, type=pa.string()).slice(4, 9)
         got2 = text.fingerprint64_batch(arr)
         np.testing.assert_array_equal(got2, want[4:13])
+        # large_string (int64 offsets) must agree too, incl. sliced
+        big = pa.array(docs, type=pa.large_string())
+        np.testing.assert_array_equal(text.fingerprint64_batch(big), want)
+        np.testing.assert_array_equal(
+            text.fingerprint64_batch(big.slice(4, 9)), want[4:13]
+        )
 
     def test_extract_text_batch_equals_per_row(self):
         import pyarrow as pa

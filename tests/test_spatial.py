@@ -274,6 +274,54 @@ class TestShardedJoin:
         want = out.sort_by("url")
         assert got.cast(want.schema).equals(want)
 
+    def test_ring_sharded_equals_broadcast(self, ray_session, joined):
+        """Ring-sharded PIP (polygons split into whole-polygon shards,
+        each held by its own actor — no broadcast ring layer) must equal
+        the broadcast SpatialJoiner output exactly."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        w, rings, pg, na, out = joined
+        nodes_tbl = pa.Table.from_pydict(
+            {"id": na["id"], "lon": na["lon"], "lat": na["lat"]}
+        )
+        ring_shards = spatial._shard_rings_by_pid(rings, 3)
+        assert len(ring_shards) > 1  # the split actually sharded
+        ds = spatial.spatial_join_sharded(
+            rd.from_arrow(pg).repartition(4), ring_shards, nodes_tbl, n_shards=3
+        )
+        got = pa.concat_tables(
+            list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        ).sort_by("url")
+        want = out.sort_by("url")
+        assert got.cast(want.schema).equals(want)
+
+    def test_ring_sharded_file_groups(self, ray_session, joined, tmp_path):
+        """File-group ring shards (the store's polygon_id-partitioned
+        layout): each PIP actor reads its own parquet; output identical
+        to the broadcast path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        w, rings, pg, na, out = joined
+        nodes_tbl = pa.Table.from_pydict(
+            {"id": na["id"], "lon": na["lon"], "lat": na["lat"]}
+        )
+        files = []
+        for i, shard in enumerate(spatial._shard_rings_by_pid(rings, 3)):
+            f = str(tmp_path / f"rings_{i}.parquet")
+            pq.write_table(shard, f)
+            files.append([f])
+        ds = spatial.spatial_join_sharded(
+            rd.from_arrow(pg).repartition(4), files, nodes_tbl, n_shards=2
+        )
+        got = pa.concat_tables(
+            list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        ).sort_by("url")
+        want = out.sort_by("url")
+        assert got.cast(want.schema).equals(want)
+
 
 class TestShardedDeltaRejoin:
     def test_delta_with_broadcast_disabled(
@@ -306,7 +354,21 @@ class TestShardedDeltaRejoin:
                 root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
                 w["osm_relations"], cfg=cfg,
             )
+            if cfg.broadcast_node_rows == 0:
+                # the layer-too-big escape hatch must NEVER materialize
+                # the full ring layer on the driver (VERDICT r3 item 1)
+                orig_read_all = st.read_all
+
+                def guarded(name, columns=None):
+                    assert name != "polygon_rings", (
+                        "sharded re-join read the full ring layer on the driver"
+                    )
+                    return orig_read_all(name, columns)
+
+                st.read_all = guarded
             update.apply_changes(st, w["changes"], cfg=cfg)
+            if cfg.broadcast_node_rows == 0:
+                st.read_all = orig_read_all
             outs.append(st.read_tiles("assignments").sort_by("url"))
         a = outs[0]
         for b in outs[1:]:
