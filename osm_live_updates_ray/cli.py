@@ -205,7 +205,7 @@ def main(argv=None) -> int:
             # span merged into one micro-batch
             from .pipelines import watermark as wmk
 
-            src = wmk.LocalReplicationSource(args.replication)
+            src = wmk.open_replication_source(args.replication)
             source = src.uri
             wm_notes: list[str] = []
             try:

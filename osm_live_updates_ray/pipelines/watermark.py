@@ -234,3 +234,66 @@ class LocalReplicationSource:
             raise DatabaseUpToDate("no windows at or past the start sequence")
         tables = [self.load(s) for s in seqs]
         return pa.concat_tables([t.cast(tables[0].schema) for t in tables])
+
+
+class SeqTreeReplicationSource(LocalReplicationSource):
+    """A replication source laid out exactly like the reference's HTTP
+    server tree, read from a local root (the transport is the only
+    thing the sandbox removes — the path arithmetic is the real one):
+
+        <root>/state.txt                      latest DatabaseState
+        <root>/XXX/XXX/XXX.state.txt          per-sequence state
+        <root>/XXX/XXX/XXX.osc.gz             change file (or .osc/.parquet)
+
+    Paths are built with ``replication_url.format_sequence_for_url`` /
+    ``state_path`` / ``change_file_path`` — the same zero-padded
+    ``XXX/XXX/XXX`` arithmetic as
+    src/osm/OsmReplicationServerHelper.cpp:64-107 — and state files are
+    parsed with the reference's regexes
+    (OsmReplicationServerHelper.cpp:210-236)."""
+
+    def __init__(self, path: str):
+        from ..sources import replication_url as ru
+
+        self.path = path
+        with open(os.path.join(path, ru.PATH_TO_STATE_FILE)) as fh:
+            self._latest = ru.parse_state_file(fh.read())
+        self._files = {}
+        self._states = []
+        # walk BACK from the latest sequence while per-seq state files
+        # exist (the reference walks the same tree over HTTP, batch=10,
+        # OsmReplicationServerHelper.cpp:174-207)
+        seq = self._latest.sequence_number
+        while seq >= 0:
+            frag = ru.format_sequence_for_url(seq)
+            sf = os.path.join(path, frag + "." + ru.PATH_TO_STATE_FILE)
+            if not os.path.exists(sf):
+                break
+            with open(sf) as fh:
+                st = ru.parse_state_file(fh.read())
+            cf = None
+            for ext in (".osc.gz", ".osc", ".parquet"):
+                cand = os.path.join(path, frag + ext)
+                if os.path.exists(cand):
+                    cf = cand
+                    break
+            if cf is None:
+                break
+            self._files[seq] = cf
+            self._states.append(ReplicationState(st.sequence_number, st.ts))
+            seq -= 1
+        if not self._files:
+            raise ReplicationError(f"no change windows under {path}")
+        self._states.sort(key=lambda s: s.seq)
+
+    def latest_state(self) -> ReplicationState:
+        return ReplicationState(self._latest.sequence_number, self._latest.ts)
+
+
+def open_replication_source(path: str) -> LocalReplicationSource:
+    """Pick the source layout: a root ``state.txt`` means the
+    reference's XXX/XXX/XXX sequence tree; otherwise the flat
+    ``<seq>.parquet`` dir."""
+    if os.path.exists(os.path.join(path, "state.txt")):
+        return SeqTreeReplicationSource(path)
+    return LocalReplicationSource(path)

@@ -190,3 +190,192 @@ def test_store_older_than_all_windows_clamps_to_oldest():
     assert len(notes) == 1 and "2023-01-01T00:00:00" in notes[0]
     with pytest.raises(wmk.ReplicationError):
         wmk.state_for_timestamp(states, latest, "2023-01-01T00:00:00")
+
+
+class TestReplicationUrl:
+    """Pure-string URL/path arithmetic vs the reference's own unit tests
+    (reference tests/util/URLHelper.cpp golden strings)."""
+
+    def test_format_sequence_golden(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        assert ru.format_sequence_for_url(6177383) == "006/177/383"
+        assert ru.format_sequence_for_url(116177383) == "116/177/383"
+        assert ru.format_sequence_for_url(0) == "000/000/000"
+        assert ru.format_sequence_for_url(999999999) == "999/999/999"
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            ru.format_sequence_for_url(1234567890)
+        with _pt.raises(ValueError):
+            ru.format_sequence_for_url(-1)
+
+    def test_parse_sequence_inverse(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        for s in (0, 7, 6177383, 116177383, 999999999):
+            assert ru.parse_sequence_from_path(ru.change_file_path(s)) == s
+            assert ru.parse_sequence_from_path(ru.state_path(s)) == s
+
+    def test_build_url_golden(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        assert ru.build_url(
+            ["https://www.openstreetmap.org/api/0.6/node", "state.txt"]
+        ) == "https://www.openstreetmap.org/api/0.6/node/state.txt"
+        assert ru.build_url([]) == ""
+
+    def test_encode_for_url_query_golden(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        assert ru.encode_for_url_query(
+            "https://www.openstreetmap.org/api/0.6/node/123456789"
+        ) == "https%3A%2F%2Fwww.openstreetmap.org%2Fapi%2F0.6%2Fnode%2F123456789"
+        assert ru.encode_for_url_query("Hello World!") == "Hello%20World%21"
+        assert ru.encode_for_url_query(
+            "Special characters: & ? = #"
+        ) == "Special%20characters%3A%20%26%20%3F%20%3D%20%23"
+
+    def test_is_valid_uri(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        assert ru.is_valid_uri("https://planet.osm.org/replication/minute/")
+        assert not ru.is_valid_uri("not a uri")
+
+    def test_state_and_change_paths(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        assert ru.state_path() == "state.txt"
+        assert ru.state_path(4290) == "000/004/290.state.txt"
+        assert ru.change_file_path(4290) == "000/004/290.osc.gz"
+
+    def test_parse_state_file_roundtrip(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        body = ru.render_state_file(4290, "2025-01-04T21:21:15")
+        st = ru.parse_state_file(body)
+        assert st.sequence_number == 4290
+        assert st.ts_raw == "2025-01-04T21\\:21\\:15Z"
+        assert st.ts == "2025-01-04T21:21:15"
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            ru.parse_state_file("timestamp=2025-01-04T21\\:21\\:15Z")
+        with _pt.raises(ValueError):
+            ru.parse_state_file("sequenceNumber=7")
+
+    def test_educated_guess(self):
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        now = "2025-01-04T22:21:15"
+        ts = "2025-01-04T21:21:15"
+        assert ru.educated_guess_sequence(
+            ts, 1000, "https://planet.osm.org/replication/minute/", now
+        ) == 940
+        assert ru.educated_guess_sequence(
+            ts, 1000, "https://planet.osm.org/replication/hour/", now
+        ) == 999
+        assert ru.educated_guess_sequence(
+            ts, 1000, "https://planet.osm.org/replication/day/", now
+        ) == 1000
+        assert ru.educated_guess_sequence(
+            ts, 1000, "https://example.org/replication/minute/", now
+        ) == -1
+
+
+def _write_seq_tree(path, windows):
+    """Write the reference's XXX/XXX/XXX replication-server layout
+    locally: root state.txt + per-seq .state.txt and .osc.gz files."""
+    from osm_live_updates_ray.sources import replication_url as ru
+
+    os.makedirs(path, exist_ok=True)
+    latest = None
+    for seq, t, ts in windows:
+        frag = ru.format_sequence_for_url(seq)
+        os.makedirs(os.path.join(path, os.path.dirname(frag)), exist_ok=True)
+        with open(os.path.join(path, frag + ".state.txt"), "w") as f:
+            f.write(ru.render_state_file(seq, ts))
+        pq.write_table(t, os.path.join(path, frag + ".parquet"))
+        latest = (seq, ts)
+    with open(os.path.join(path, "state.txt"), "w") as f:
+        f.write(ru.render_state_file(*latest))
+
+
+class TestSeqTreeSource:
+    def test_seq_tree_end_to_end(self, ray_session, t1_world, tmp_path_factory):
+        """The reference's XXX/XXX/XXX tree layout drives the same
+        pull-and-apply path as the flat dir — same final state."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from osm_live_updates_ray import cli
+        from osm_live_updates_ray.pipelines import watermark as wmk
+
+        w = t1_world
+        ch = w["changes"]
+        w1 = ch.filter(pc.less_equal(ch.column("seq"), 1))
+        w2 = ch.filter(pc.greater(ch.column("seq"), 1))
+        rep = str(tmp_path_factory.mktemp("seqtree"))
+        _write_seq_tree(
+            rep,
+            [(6177382, w1, "2024-06-01T00:00:00"),
+             (6177383, w2, "2024-06-02T00:00:00")],
+        )
+        src = wmk.open_replication_source(rep)
+        assert isinstance(src, wmk.SeqTreeReplicationSource)
+        sts = src.states()
+        assert [s.seq for s in sts] == [6177382, 6177383]
+        assert src.latest_state().seq == 6177383
+
+        rootA = str(tmp_path_factory.mktemp("seqA"))
+        static_join.build_state(
+            rootA, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"]
+        )
+        rc = cli.main(["apply", "--state", rootA, "--replication", rep,
+                       "--sequence-number", "6177382"])
+        assert rc == 0
+        A = StateStore(rootA)
+        assert A.watermark["seq"] == 6177383
+        # re-run: up-to-date no-op
+        rc = cli.main(["apply", "--state", rootA, "--replication", rep])
+        assert rc == 0
+
+        # equality with the one-batch apply
+        rootB = str(tmp_path_factory.mktemp("seqB"))
+        B = static_join.build_state(
+            rootB, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"]
+        )
+        update.apply_changes(B, ch)
+        a = A.read_tiles("assignments").sort_by("url")
+        b = B.read_tiles("assignments").sort_by("url")
+        assert a.equals(b.cast(a.schema))
+
+    def test_seq_tree_osc_gz_window(self, tmp_path):
+        """A seq-tree whose change file is a real .osc.gz loads through
+        the gz branch of the per-seq file lookup."""
+        import gzip
+
+        from osm_live_updates_ray.pipelines import watermark as wmk
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        seq = 4290
+        frag = ru.format_sequence_for_url(seq)
+        os.makedirs(os.path.join(tmp_path, os.path.dirname(frag)))
+        xml = (
+            b'<osmChange version="0.6"><create>'
+            b'<node id="7" version="1" timestamp="2024-06-01T00:00:00Z" '
+            b'lat="1.5" lon="2.5"/></create></osmChange>'
+        )
+        with gzip.open(os.path.join(tmp_path, frag + ".osc.gz"), "wb") as f:
+            f.write(xml)
+        with open(os.path.join(tmp_path, frag + ".state.txt"), "w") as f:
+            f.write(ru.render_state_file(seq, "2024-06-01T00:00:00"))
+        with open(os.path.join(tmp_path, "state.txt"), "w") as f:
+            f.write(ru.render_state_file(seq, "2024-06-01T00:00:00"))
+        src = wmk.open_replication_source(str(tmp_path))
+        t = src.load(seq)
+        assert t.num_rows == 1
+        assert t.column("id")[0].as_py() == 7
+        assert t.column("seq")[0].as_py() == seq
