@@ -35,6 +35,8 @@ def sniff(payload: bytes) -> str:
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"PPMV":
@@ -264,7 +266,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniffed decode: PPM/BMP/PNG natively; anything else needs PIL."""
+    """Sniffed decode: PPM/BMP/PNG/baseline-JPEG natively; anything
+    else needs PIL (absent here — surfaces as a decode-failure row)."""
     kind = sniff(payload)
     if kind == "ppm":
         return decode_ppm(payload)
@@ -272,6 +275,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "jpeg":
+        from . import jpeg
+
+        return jpeg.decode_jpeg(payload)
     try:
         from PIL import Image  # noqa: F401  (absent in this container)
     except ImportError:

@@ -72,7 +72,7 @@ class ImageFeaturizer:
     (see :func:`featurize_images`).
     """
 
-    VERSION = 3  # 3 = real compressed decode (PNG via stdlib zlib)
+    VERSION = 4  # 4 = real compressed decode (PNG + baseline JPEG)
 
     def __init__(self, out_dim: int = 64, resize: tuple[int, int] = (224, 224)):
         self.out_dim = out_dim
@@ -81,7 +81,7 @@ class ImageFeaturizer:
         self.proj = rng.standard_normal((out_dim, out_dim)).astype(np.float32)
 
     def _raw(self, payload: bytes) -> np.ndarray:
-        if _media.sniff(payload) in ("ppm", "bmp", "png"):
+        if _media.sniff(payload) in ("ppm", "bmp", "png", "jpeg"):
             img = _media.decode_image(payload)
             img = _media.resize_nearest(img, *self.resize)
             col = img.astype(np.float32).mean(axis=(0, 2))  # per-column gray
@@ -116,10 +116,11 @@ class ImageFeaturizer:
         )
 
 
-def _doc_png(doc_id: int, w: int, h: int, text: bytes) -> bytes:
-    """Deterministic small REAL PNG for an image-kind document row:
-    a doc-seeded gradient, run through the actual encoder, so the
-    featurize path exercises the zlib decode + unfilter for real."""
+def _doc_image(doc_id: int, w: int, h: int, text: bytes) -> bytes:
+    """Deterministic small REAL compressed image for an image-kind
+    document row: a doc-seeded gradient through the actual encoders —
+    PNG and baseline JPEG alternate per doc (a real crawl is mostly
+    JPEG), so featurization exercises BOTH compressed decode paths."""
     xs = np.arange(w, dtype=np.int64)[None, :]
     ys = np.arange(h, dtype=np.int64)[:, None]
     s = int(doc_id) & 0xFF
@@ -132,6 +133,13 @@ def _doc_png(doc_id: int, w: int, h: int, text: bytes) -> bytes:
         ],
         axis=2,
     )
+    if (int(doc_id) // 3) % 2:
+        from ..functions import jpeg as _jp
+
+        return _jp.encode_jpeg(
+            img, quality=85 + (int(doc_id) % 3) * 5,
+            subsample=bool(int(doc_id) % 2),
+        )
     return _media.encode_png(img, filter_type=int(doc_id) % 5)
 
 
@@ -139,8 +147,9 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     """MEDIA rows derived deterministically from the documents corpus:
     the battery's multimodal entries exercise the real test tables
     through the actor-pool plumbing instead of a synthesized side
-    table.  IMAGE rows carry real doc-seeded PNG payloads (so
-    featurization runs the actual compressed decode); audio/video rows
+    table.  IMAGE rows carry real doc-seeded PNG/JPEG payloads
+    (alternating — so featurization runs BOTH actual compressed
+    decodes); audio/video rows
     keep utf-8 text payloads standing in for encoded media (their
     oracled entries hash those bytes).  Runs inside map_batches."""
     import pyarrow.compute as pc
@@ -150,6 +159,9 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     kinds = np.array(["image", "audio", "video"], dtype=object)[kind_idx]
     mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[kind_idx]
     is_img = kind_idx == 0
+    mimes = np.where(
+        is_img & (((did // 3) % 2) == 1), "image/jpeg", mimes
+    ).astype(object)
     is_timed = ~is_img
     # small real dimensions for image rows (payload must match the
     # metadata); the byte payloads stay tiny so batch x concurrency
@@ -159,7 +171,7 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     dur = (1000 + (did % 10) * 500).astype(np.int32)
     texts = pc.cast(batch.column("text"), pa.binary()).to_pylist()
     payloads = [
-        _doc_png(int(d), int(w_), int(h_), t or b"")
+        _doc_image(int(d), int(w_), int(h_), t or b"")
         if im
         else (t or b"")
         for d, w_, h_, im, t in zip(did, width, height, is_img, texts)

@@ -632,14 +632,16 @@ class TestRealMediaDecode:
             assert (media.decode_ppm(blob) == frames[idx]).all()
 
     def test_compressed_decode_gated(self):
-        # PNG now decodes natively (stdlib zlib); the PIL gate remains
-        # for formats without a native path (e.g. JPEG) — a JPEG SOI
-        # payload must still surface NotImplementedError in this
-        # container, and a malformed PNG raises ValueError not a crash
+        # PNG and baseline JPEG now decode natively; the PIL gate
+        # remains for formats without a native path (e.g. GIF/WebP) —
+        # such payloads must surface NotImplementedError in this
+        # container; malformed PNG/JPEG raise ValueError, not a crash
         from osm_live_updates_ray.functions import media
 
         with pytest.raises(NotImplementedError):
-            media.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+            media.decode_image(b"GIF89a-rest-of-gif")
+        with pytest.raises(ValueError):
+            media.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")  # no SOF/SOS
         with pytest.raises(ValueError):
             media.decode_image(b"\x89PNG\r\n\x1a\nrest")
 

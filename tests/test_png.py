@@ -111,20 +111,27 @@ class TestFeaturizerRealPngPath:
         out = fz(batch)
         f = out.column("feat").to_pylist()
         assert f[0] is not None and f[0] == f[1]
-        assert out.column("decoder_version").to_pylist() == [3, 3]
+        assert out.column("decoder_version").to_pylist() == [4, 4]
 
-    def test_media_from_documents_image_rows_are_real_png(self):
+    def test_media_from_documents_image_rows_are_real_compressed(self):
         from osm_live_updates_ray.stages import multimodal
 
         docs = pa.table({
-            "doc_id": pa.array([0, 3, 6, 1, 2], type=pa.int64()),
-            "text": pa.array(["aaa", "bbb", "ccc", "ddd", "eee"]),
+            "doc_id": pa.array([0, 3, 6, 9, 1, 2], type=pa.int64()),
+            "text": pa.array(["aaa", "bbb", "ccc", "ddd", "eee", "fff"]),
         })
         m = multimodal.media_from_documents(docs)
         imgs = m.filter(pa.compute.equal(m.column("kind"), "image"))
-        assert imgs.num_rows == 3
+        assert imgs.num_rows == 4
+        kinds = set()
         for row in imgs.to_pylist():
             p = row["payload"]
-            assert media.sniff(p) == "png"
-            arr = media.decode_png(p)
+            k = media.sniff(p)
+            kinds.add(k)
+            expect = "jpeg" if (row["media_id"] // 3) % 2 else "png"
+            assert k == expect
+            assert row["mime"] == f"image/{expect}"
+            arr = media.decode_image(p)
             assert arr.shape == (row["height"], row["width"], 3)
+        # both real compressed decode paths exercised
+        assert kinds == {"png", "jpeg"}
