@@ -35,6 +35,44 @@ def hash_strings128(values) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
+def hash_strings_poly(values) -> np.ndarray:
+    """SQL-MIRRORABLE stable 64-bit string hash: FNV-prime polynomial
+    over unicode CODE POINTS (mod 2^64) + splitmix64 finalizer — the
+    same construction as the shingle kernel, over whole strings.
+
+    Exists so sketch operators hashed with it (HLL registers) can be
+    oracle-gated by a bit-exact DuckDB mirror (list_reduce over
+    unicode(substr(w,j,1)) with UHUGEINT mod-2^64 arithmetic, then
+    splitmix64 as CTE steps) — pd.util.hash_array's siphash cannot be
+    expressed in plain SQL.  Vectorized with the same invertible-base
+    global-position trick as fingerprint64_batch: one cumprod pair per
+    batch, no per-row Python."""
+    arr = [v if isinstance(v, str) else ("" if v is None else str(v)) for v in values]
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(s) for s in arr), dtype=np.int64, count=n)
+    ends = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=ends[1:])
+    buf = np.frombuffer("".join(arr).encode("utf-32-le"), dtype=np.uint32)
+    if len(buf) == 0:
+        return hash_int64(np.zeros(n, dtype=np.int64))
+    with np.errstate(over="ignore"):
+        cp = buf.astype(np.uint64)
+        ppow = np.full(len(buf), _SHINGLE_BASE, dtype=np.uint64)
+        ppow[0] = np.uint64(1)
+        np.cumprod(ppow, out=ppow)  # BASE^g mod 2^64
+        ipow = np.full(len(buf), _SHINGLE_INV, dtype=np.uint64)
+        ipow[0] = np.uint64(1)
+        np.cumprod(ipow, out=ipow)  # BASE^-g mod 2^64
+        cs = np.zeros(len(buf) + 1, dtype=np.uint64)
+        np.cumsum(cp * ipow, out=cs[1:])
+        seg = cs[ends[1:]] - cs[ends[:-1]]
+        poly = seg * ppow[np.maximum(ends[1:] - 1, 0)]
+    poly = np.where(lens > 0, poly, np.uint64(0))
+    return hash_int64(poly.view(np.int64))
+
+
 def hash_int64(values: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — stable scrambling of int64 keys (for
     hash-partitioning / salting)."""
@@ -95,6 +133,8 @@ def lsh_band_keys(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
 
 
 _SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+#: BASE is odd => invertible mod 2^64 (the global-position cumprod trick)
+_SHINGLE_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
 
 def shingle_hashes_batch(

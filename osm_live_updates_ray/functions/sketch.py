@@ -10,15 +10,18 @@ merge is associative/commutative so Ray can combine partials in any
 order.  (Flajolet et al. 2007, "HyperLogLog: the analysis of a
 near-optimal cardinality estimation algorithm".)
 
-All hashing goes through :func:`hashing.hash_strings` (stable across
-processes), so sketches built by independently scheduled tasks agree.
+All hashing goes through :func:`hashing.hash_strings_poly` (stable
+across processes AND bit-exactly mirrorable in SQL — the HLL battery
+entry is oracle-gated by a DuckDB mirror of the register computation;
+splitmix64 finalization keeps the register/rank bits uniform), so
+sketches built by independently scheduled tasks agree.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .hashing import hash_strings
+from .hashing import hash_strings_poly
 
 # register-count exponent: m = 2^P registers => typical error 1.04/sqrt(m)
 P = 10
@@ -44,7 +47,7 @@ def register_ranks(values) -> tuple[np.ndarray, np.ndarray]:
     high bits (exact for values below 2^53; the 54..64-bit range
     cannot change the leading-zero count of a 54-bit-plus value).
     """
-    h = hash_strings(values).view(np.uint64)
+    h = hash_strings_poly(values).view(np.uint64)
     reg = (h & np.uint64(M - 1)).astype(np.int64)
     rest = h >> np.uint64(P)
     bits = 64 - P

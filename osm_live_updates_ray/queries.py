@@ -3111,8 +3111,54 @@ def lang_distinct_words(sf_dir: str):
     )
 
 
-@register("lang_distinct_words_hll")  # approximate: no SQL oracle;
-# tests/test_sketch.py bounds the error vs the exact operator
+@register(
+    "lang_distinct_words_hll",
+    # bit-exact DuckDB mirror of the HLL register computation (VERDICT
+    # r3 item 7): the engine's word hash is hash_strings_poly — an
+    # FNV-prime polynomial over unicode code points mod 2^64 + a
+    # splitmix64 finalizer — reproduced here with UHUGEINT mod-2^64
+    # arithmetic; registers/ranks/union/estimate then mirror
+    # functions/sketch.py exactly (P=10, m=1024, linear-counting
+    # small-range correction).  tests/test_sketch.py still bounds the
+    # error vs the exact operator.
+    """
+    WITH words AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    h0 AS (SELECT lang, CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(w)+1),
+                           j -> CAST(unicode(substr(w, j, 1)) AS UHUGEINT))),
+            (a, c) -> (a * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT) AS v FROM words),
+    s1 AS (SELECT lang, CAST((v::UHUGEINT + 11400714819323198485)
+            % 18446744073709551616 AS UBIGINT) AS v FROM h0),
+    s2 AS (SELECT lang, xor(v, v >> 30) AS v FROM s1),
+    s3 AS (SELECT lang, CAST((v::UHUGEINT * 13787848793156543929)
+            % 18446744073709551616 AS UBIGINT) AS v FROM s2),
+    s4 AS (SELECT lang, xor(v, v >> 27) AS v FROM s3),
+    s5 AS (SELECT lang, CAST((v::UHUGEINT * 10723151780598845931)
+            % 18446744073709551616 AS UBIGINT) AS v FROM s4),
+    h  AS (SELECT lang, xor(v, v >> 31) AS v FROM s5),
+    regs AS (SELECT lang, v % 1024 AS reg,
+                    CASE WHEN (v >> 10) = 0 THEN 55
+                         ELSE GREATEST(54 - CAST(FLOOR(LOG2(
+                              CAST(v >> 10 AS DOUBLE))) AS INT), 1)
+                    END AS rank FROM h),
+    merged AS (SELECT lang, reg, MAX(rank) AS mx
+               FROM regs GROUP BY lang, reg),
+    agg AS (SELECT lang, COUNT(*) AS nz, SUM(POWER(2.0, -mx)) AS s
+            FROM merged GROUP BY lang),
+    fin AS (SELECT lang, 1024 - nz AS zeros,
+                   (0.7213 / (1.0 + 1.079 / 1024)) * 1024.0 * 1024.0
+                     / (s + (1024 - nz)) AS e
+            FROM agg)
+    SELECT lang,
+           CAST(FLOOR(CASE WHEN e <= 2560.0 AND zeros > 0
+                           THEN 1024.0 * LN(1024.0 / zeros)
+                           ELSE e END + 0.5) AS BIGINT) AS n_distinct_approx
+    FROM fin ORDER BY lang
+    """,
+)
 def lang_distinct_words_hll(sf_dir: str):
     """Approximate per-lang distinct-word count via HyperLogLog
     PARTIALS-AS-ROWS (functions/sketch.py): each batch emits at most
@@ -3146,8 +3192,11 @@ def lang_distinct_words_hll(sf_dir: str):
         .to_pandas()  # langs x 1024 rows — driver-safe by construction
     )
     out = [
-        (lang, int(round(sketch.estimate(
-            g["reg"].to_numpy(), g["mx"].to_numpy()))))
+        # floor(e + 0.5): matches the SQL mirror exactly (Python round()
+        # is banker's rounding; DuckDB ROUND is half-away — this form is
+        # identical in both)
+        (lang, int(np.floor(sketch.estimate(
+            g["reg"].to_numpy(), g["mx"].to_numpy()) + 0.5)))
         for lang, g in merged.groupby("lang", sort=True)
     ]
     return pd.DataFrame(
@@ -3470,7 +3519,103 @@ def events_lag(sf_dir: str):
     )
 
 
-@register("near_dup_incremental")  # not SQL-expressible -> rows-only
+def _near_dup_incremental_sql() -> str:
+    """Bit-exact DuckDB mirror of the incremental near-dup flow (VERDICT
+    r3 item 7): shingle -> polynomial+splitmix64 hash -> MinHash (the
+    engine's exact (a,b) permutation constants baked in as literals) ->
+    FNV band fold -> bucket join (window x index + in-window pairs) ->
+    signature-estimated Jaccard >= 0.8.  All mod-2^64 arithmetic runs
+    in UHUGEINT; the engine's wrap/fold steps are mirrored op for op.
+    The engine chains (instead of all-pairs) in-window buckets larger
+    than 200 rows — the testdata's buckets are far smaller, so the
+    all-pairs SQL join is exact here."""
+    from .functions import hashing as _h
+
+    a, b = _h._minhash_params(64, 1)
+    params = ", ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64)
+    )
+    m61 = (1 << 61) - 1
+    return f"""
+    WITH params(p, pa, pb) AS (VALUES {params}),
+    docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(
+        CASE WHEN length(norm) <= 5 THEN [norm]
+             ELSE list_transform(range(1, length(norm) - 3),
+                                 i -> substr(norm, i, 5)) END) AS s
+      FROM docs
+    ),
+    h0 AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(s)+1),
+                           j -> CAST(unicode(substr(s, j, 1)) AS UHUGEINT))),
+            (acc, c) -> (acc * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT) AS v FROM sh),
+    m1 AS (SELECT doc_id, CAST((v::UHUGEINT + 11400714819323198485)
+            % 18446744073709551616 AS UBIGINT) AS v FROM h0),
+    m2 AS (SELECT doc_id, xor(v, v >> 30) AS v FROM m1),
+    m3 AS (SELECT doc_id, CAST((v::UHUGEINT * 13787848793156543929)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m2),
+    m4 AS (SELECT doc_id, xor(v, v >> 27) AS v FROM m3),
+    m5 AS (SELECT doc_id, CAST((v::UHUGEINT * 10723151780598845931)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m4),
+    hh AS (SELECT doc_id, xor(v, v >> 31) AS v FROM m5),
+    xs AS (SELECT DISTINCT doc_id, v % {m61} AS x FROM hh),
+    sig AS (
+      SELECT doc_id, p, MIN(CASE WHEN r >= {m61} THEN r - {m61} ELSE r END)
+             AS sig
+      FROM (
+        SELECT doc_id, p, (prod >> 61) + (prod & {m61}) AS r
+        FROM (
+          SELECT xs.doc_id, params.p,
+                 CAST((CAST(params.pa AS UHUGEINT) * xs.x
+                       + CAST(params.pb AS UHUGEINT))
+                      % 18446744073709551616 AS UBIGINT) AS prod
+          FROM xs, params
+        )
+      ) GROUP BY doc_id, p
+    ),
+    siglist AS (SELECT doc_id, list(sig ORDER BY p) AS sigs
+                FROM sig GROUP BY doc_id),
+    bandrows AS (
+      SELECT doc_id, t.range AS b,
+        CAST(list_reduce(list_prepend(CAST(1469598103934665603 AS UHUGEINT),
+          [sigs[t.range*4+1], sigs[t.range*4+2],
+           sigs[t.range*4+3], sigs[t.range*4+4]]),
+          (h, s) -> (CAST(xor(CAST(h AS UBIGINT), CAST(s AS UBIGINT))
+                          AS UHUGEINT) * 1099511628211)
+                     % 18446744073709551616) AS UBIGINT) AS bh
+      FROM siglist, range(0, 16) t
+    ),
+    wband AS (SELECT * FROM bandrows WHERE doc_id % 2 = 1),
+    aband AS (SELECT * FROM bandrows WHERE doc_id % 2 = 0),
+    cand AS (
+      SELECT DISTINCT w.doc_id AS new_id, a.doc_id AS match_id
+      FROM wband w JOIN aband a ON w.b = a.b AND w.bh = a.bh
+      UNION
+      SELECT DISTINCT w2.doc_id AS new_id, w1.doc_id AS match_id
+      FROM wband w1 JOIN wband w2
+        ON w1.b = w2.b AND w1.bh = w2.bh AND w1.doc_id < w2.doc_id
+    ),
+    est AS (
+      SELECT c.new_id, c.match_id,
+             SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / 64.0 AS e
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.new_id
+      JOIN sig sb ON sb.doc_id = c.match_id AND sb.p = sa.p
+      GROUP BY c.new_id, c.match_id
+    )
+    SELECT new_id, match_id,
+           FLOOR(e * 10000 + 0.5) / 10000 AS est_jaccard
+    FROM est WHERE e >= 0.8 ORDER BY new_id, match_id
+    """
+
+
+@register("near_dup_incremental", _near_dup_incremental_sql())
 def near_dup_incremental(sf_dir: str):
     """Incremental NEAR-dup ingest (the near-dup companion of
     `dedup_incremental`): even-doc_id documents form the accepted

@@ -1496,9 +1496,12 @@ def incremental_near_dup(window_ds, index_dir: str, id_col: str = "doc_id",
         match_ids = g["match_id"].to_numpy().astype(np.int64)
         est = (lookup(new_ids) == lookup(match_ids)).mean(axis=1)
         keep = est >= threshold
+        # floor(x*1e4+0.5)/1e4 (not np.round): matches the DuckDB
+        # oracle mirror exactly — np.round is banker's at k/64 ties
+        # (0.90625 -> 0.9062) where SQL ROUND is half-away (0.9063)
         return pd.DataFrame(
             {"new_id": new_ids[keep], "match_id": match_ids[keep],
-             "est_jaccard": np.round(est[keep], 4)}
+             "est_jaccard": np.floor(est[keep] * 1e4 + 0.5) / 1e4}
         )
 
     out = (
