@@ -1900,7 +1900,124 @@ def doc_shuffle_shards(sf_dir: str):
     return hs.groupby("bucket").map_groups(rank, batch_format="pandas")
 
 
-@register("minhash_near_dups")  # not SQL-expressible -> rows-only check
+def _minhash_prefix_sql() -> str:
+    """Shared CTE chain of the MinHash oracle mirrors: docs -> distinct
+    string shingles (sh) -> polynomial+splitmix64 hash -> x mod M61 ->
+    MinHash signatures (the engine's exact (a,b) permutation constants
+    baked in as literals) -> FNV-folded LSH band rows.  All mod-2^64
+    arithmetic runs in UHUGEINT (a UHUGEINT + BIGNT mix silently
+    promotes to DOUBLE — every addend is cast); the engine's wrap/fold
+    steps are mirrored op for op."""
+    from .functions import hashing as _h
+
+    a, b = _h._minhash_params(64, 1)
+    params = ", ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64)
+    )
+    m61 = (1 << 61) - 1
+    return f"""params(p, pa, pb) AS (VALUES {params}),
+    docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(
+        CASE WHEN length(norm) <= 5 THEN [norm]
+             ELSE list_transform(range(1, length(norm) - 3),
+                                 i -> substr(norm, i, 5)) END) AS s
+      FROM docs
+    ),
+    h0 AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(s)+1),
+                           j -> CAST(unicode(substr(s, j, 1)) AS UHUGEINT))),
+            (acc, c) -> (acc * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT) AS v FROM sh),
+    m1 AS (SELECT doc_id, CAST((v::UHUGEINT + 11400714819323198485)
+            % 18446744073709551616 AS UBIGINT) AS v FROM h0),
+    m2 AS (SELECT doc_id, xor(v, v >> 30) AS v FROM m1),
+    m3 AS (SELECT doc_id, CAST((v::UHUGEINT * 13787848793156543929)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m2),
+    m4 AS (SELECT doc_id, xor(v, v >> 27) AS v FROM m3),
+    m5 AS (SELECT doc_id, CAST((v::UHUGEINT * 10723151780598845931)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m4),
+    hh AS (SELECT doc_id, xor(v, v >> 31) AS v FROM m5),
+    xs AS (SELECT DISTINCT doc_id, v % {m61} AS x FROM hh),
+    sig AS (
+      SELECT doc_id, p, MIN(CASE WHEN r >= {m61} THEN r - {m61} ELSE r END)
+             AS sig
+      FROM (
+        SELECT doc_id, p, (prod >> 61) + (prod & {m61}) AS r
+        FROM (
+          SELECT xs.doc_id, params.p,
+                 CAST((CAST(params.pa AS UHUGEINT) * xs.x
+                       + CAST(params.pb AS UHUGEINT))
+                      % 18446744073709551616 AS UBIGINT) AS prod
+          FROM xs, params
+        )
+      ) GROUP BY doc_id, p
+    ),
+    siglist AS (SELECT doc_id, list(sig ORDER BY p) AS sigs
+                FROM sig GROUP BY doc_id),
+    bandrows AS (
+      SELECT doc_id, t.range AS b,
+        CAST(list_reduce(list_prepend(CAST(1469598103934665603 AS UHUGEINT),
+          [sigs[t.range*4+1], sigs[t.range*4+2],
+           sigs[t.range*4+3], sigs[t.range*4+4]]),
+          (h, s) -> (CAST(xor(CAST(h AS UBIGINT), CAST(s AS UBIGINT))
+                          AS UHUGEINT) * 1099511628211)
+                     % 18446744073709551616) AS UBIGINT) AS bh
+      FROM siglist, range(0, 16) t
+    )"""
+
+
+def _minhash_near_dups_sql() -> str:
+    """Bit-exact DuckDB mirror of the full MinHash+LSH near-dup
+    pipeline: the shared MinHash prefix (exact signature/band
+    arithmetic), all-pairs candidates within each (band, band_hash)
+    bucket, EXACT string-shingle Jaccard >= 0.8 verification (the same
+    shingle definition the ngram_jaccard_dups oracle pins), and
+    connected components as a recursive transitive closure with
+    min-label components.  The engine chains buckets > 200 rows; the
+    testdata's buckets are far smaller, so all-pairs is exact here."""
+    return f"""
+    WITH RECURSIVE {_minhash_prefix_sql()},
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bandrows b1 JOIN bandrows b2
+        ON b1.b = b2.b AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id
+    ),
+    cntx AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN cntx ca ON ca.doc_id = id_a
+      JOIN cntx cb ON cb.doc_id = id_b
+      WHERE i / (ca.n + cb.n - i) >= 0.8e0
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+    )
+    SELECT a AS doc_id, MIN(b) AS component
+    FROM reach GROUP BY a ORDER BY doc_id
+    """
+
+
+@register("minhash_near_dups", _minhash_near_dups_sql())
 def minhash_near_dups(sf_dir: str):
     """MinHash+LSH candidate pairs, Jaccard-verified by joining the
     pairs back to the documents Dataset (no driver-side corpus text),
@@ -1990,7 +2107,67 @@ def ngram_jaccard_dups_q(sf_dir: str):
     return out
 
 
-@register("simhash_near_dups")  # rows-only
+def _simhash_near_dups_sql() -> str:
+    """Bit-exact DuckDB mirror of the SimHash near-dup pipeline:
+    whitespace tokens (duplicates kept — bit votes count multiplicity)
+    -> polynomial+splitmix64 token hash -> majority bit votes -> 64-bit
+    signature -> four 16-bit sub-band buckets -> in-bucket pairs with
+    XOR popcount hamming <= 3.  A pair sharing two bands emits twice on
+    both sides (the engine does not dedupe across bands).  The engine
+    chains buckets > 500 rows; testdata buckets are far smaller."""
+    return """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+        str_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    h0 AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(w)+1),
+                           j -> CAST(unicode(substr(w, j, 1)) AS UHUGEINT))),
+            (acc, c) -> (acc * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT) AS v FROM toks),
+    m1 AS (SELECT doc_id, CAST((v::UHUGEINT + 11400714819323198485)
+            % 18446744073709551616 AS UBIGINT) AS v FROM h0),
+    m2 AS (SELECT doc_id, xor(v, v >> 30) AS v FROM m1),
+    m3 AS (SELECT doc_id, CAST((v::UHUGEINT * 13787848793156543929)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m2),
+    m4 AS (SELECT doc_id, xor(v, v >> 27) AS v FROM m3),
+    m5 AS (SELECT doc_id, CAST((v::UHUGEINT * 10723151780598845931)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m4),
+    hh AS (SELECT doc_id, xor(v, v >> 31) AS v FROM m5),
+    votes AS (
+      SELECT doc_id, t.range AS bit,
+             SUM(CAST((v >> t.range) & 1 AS BIGINT)) AS ones,
+             COUNT(*) AS n
+      FROM hh, range(0, 64) t GROUP BY doc_id, t.range
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN 2 * ones > n
+                           THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                           ELSE 0 END) AS UBIGINT) AS s
+      FROM votes GROUP BY doc_id
+    ),
+    siga AS (
+      SELECT d.doc_id, COALESCE(s.s, CAST(0 AS UBIGINT)) AS s
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN sig s USING (doc_id)
+    ),
+    bandrows AS (
+      SELECT doc_id, t.range AS band,
+             (s >> (16 * t.range)) & 65535 AS key, s
+      FROM siga, range(0, 4) t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM bandrows a JOIN bandrows b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register("simhash_near_dups", _simhash_near_dups_sql())
 def simhash_near_dups_q(sf_dir: str):
     from .stages import dedup_docs
 
@@ -3521,76 +3698,13 @@ def events_lag(sf_dir: str):
 
 def _near_dup_incremental_sql() -> str:
     """Bit-exact DuckDB mirror of the incremental near-dup flow (VERDICT
-    r3 item 7): shingle -> polynomial+splitmix64 hash -> MinHash (the
-    engine's exact (a,b) permutation constants baked in as literals) ->
-    FNV band fold -> bucket join (window x index + in-window pairs) ->
-    signature-estimated Jaccard >= 0.8.  All mod-2^64 arithmetic runs
-    in UHUGEINT; the engine's wrap/fold steps are mirrored op for op.
+    r3 item 7): the shared MinHash prefix, then bucket join (window x
+    index + in-window pairs) and signature-estimated Jaccard >= 0.8.
     The engine chains (instead of all-pairs) in-window buckets larger
     than 200 rows — the testdata's buckets are far smaller, so the
     all-pairs SQL join is exact here."""
-    from .functions import hashing as _h
-
-    a, b = _h._minhash_params(64, 1)
-    params = ", ".join(
-        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64)
-    )
-    m61 = (1 << 61) - 1
     return f"""
-    WITH params(p, pa, pb) AS (VALUES {params}),
-    docs AS (
-      SELECT doc_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-      FROM documents
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, UNNEST(
-        CASE WHEN length(norm) <= 5 THEN [norm]
-             ELSE list_transform(range(1, length(norm) - 3),
-                                 i -> substr(norm, i, 5)) END) AS s
-      FROM docs
-    ),
-    h0 AS (SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
-            list_transform(range(1, length(s)+1),
-                           j -> CAST(unicode(substr(s, j, 1)) AS UHUGEINT))),
-            (acc, c) -> (acc * 1099511628211 + c) % 18446744073709551616)
-            AS UBIGINT) AS v FROM sh),
-    m1 AS (SELECT doc_id, CAST((v::UHUGEINT + 11400714819323198485)
-            % 18446744073709551616 AS UBIGINT) AS v FROM h0),
-    m2 AS (SELECT doc_id, xor(v, v >> 30) AS v FROM m1),
-    m3 AS (SELECT doc_id, CAST((v::UHUGEINT * 13787848793156543929)
-            % 18446744073709551616 AS UBIGINT) AS v FROM m2),
-    m4 AS (SELECT doc_id, xor(v, v >> 27) AS v FROM m3),
-    m5 AS (SELECT doc_id, CAST((v::UHUGEINT * 10723151780598845931)
-            % 18446744073709551616 AS UBIGINT) AS v FROM m4),
-    hh AS (SELECT doc_id, xor(v, v >> 31) AS v FROM m5),
-    xs AS (SELECT DISTINCT doc_id, v % {m61} AS x FROM hh),
-    sig AS (
-      SELECT doc_id, p, MIN(CASE WHEN r >= {m61} THEN r - {m61} ELSE r END)
-             AS sig
-      FROM (
-        SELECT doc_id, p, (prod >> 61) + (prod & {m61}) AS r
-        FROM (
-          SELECT xs.doc_id, params.p,
-                 CAST((CAST(params.pa AS UHUGEINT) * xs.x
-                       + CAST(params.pb AS UHUGEINT))
-                      % 18446744073709551616 AS UBIGINT) AS prod
-          FROM xs, params
-        )
-      ) GROUP BY doc_id, p
-    ),
-    siglist AS (SELECT doc_id, list(sig ORDER BY p) AS sigs
-                FROM sig GROUP BY doc_id),
-    bandrows AS (
-      SELECT doc_id, t.range AS b,
-        CAST(list_reduce(list_prepend(CAST(1469598103934665603 AS UHUGEINT),
-          [sigs[t.range*4+1], sigs[t.range*4+2],
-           sigs[t.range*4+3], sigs[t.range*4+4]]),
-          (h, s) -> (CAST(xor(CAST(h AS UBIGINT), CAST(s AS UBIGINT))
-                          AS UHUGEINT) * 1099511628211)
-                     % 18446744073709551616) AS UBIGINT) AS bh
-      FROM siglist, range(0, 16) t
-    ),
+    WITH {_minhash_prefix_sql()},
     wband AS (SELECT * FROM bandrows WHERE doc_id % 2 = 1),
     aband AS (SELECT * FROM bandrows WHERE doc_id % 2 = 0),
     cand AS (

@@ -728,10 +728,11 @@ def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 20) -> pd.Dat
 # SimHash
 # ---------------------------------------------------------------------------
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """Batch SimHash: ONE ``hash_strings`` call over every token of
-    every doc, bit votes folded per doc with ``add.reduceat`` — no
-    per-doc hashing loop (same bit definition as
-    ``hashing.simhash64``)."""
+    """Batch SimHash: ONE ``hash_strings_poly`` call over every token
+    of every doc (the SQL-mirrorable hash — the simhash battery entry
+    is oracle-gated by a DuckDB mirror of the bit-vote computation),
+    bit votes folded per doc with ``add.reduceat`` — no per-doc
+    hashing loop (same bit definition as ``hashing.simhash64``)."""
     tok_lists = [t.lower().split() for t in batch.column(text_col).to_pylist()]
     counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
                          count=len(tok_lists))
@@ -739,7 +740,7 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     sigs = np.zeros(n, dtype=np.uint64)
     flat = [tok for toks in tok_lists for tok in toks]
     if flat:
-        h = hashing.hash_strings(flat).view(np.uint64)
+        h = hashing.hash_strings_poly(flat).view(np.uint64)
         bits = (
             (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         ).astype(np.int32)
