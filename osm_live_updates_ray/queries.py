@@ -1185,21 +1185,24 @@ def reconstruct_nodes(sf_dir: str):
     """,
 )
 def doc_stats(sf_dir: str):
-    """Token counting + length stats (vectorized pandas str kernels)."""
+    """Token counting + length stats — zero-copy Arrow kernels
+    (utf8_length / split_pattern + list_value_length), no pandas
+    object-dtype round trip."""
     rd = _rd()
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_chars": df["text"].str.len().astype("int64"),
-                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
-            }
-        )
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pc.cast(
+                pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+            ),
+        })
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(stats, batch_format="pandas")
+    ).map_batches(stats, batch_format="pyarrow")
 
 
 @register(
@@ -1294,26 +1297,29 @@ def doc_pack_chunks(sf_dir: str):
 def doc_quality(sf_dir: str):
     """Quality-scoring features (single-space-token world; richer
     whitespace/stopword/punct features live in functions/text.py and
-    are covered by unit tests)."""
+    are covered by unit tests).  Zero-copy Arrow kernels throughout."""
     rd = _rd()
 
-    def q(df: pd.DataFrame) -> pd.DataFrame:
-        n_tok = df["text"].str.split(" ").str.len().astype("int64")
-        nonspace = df["text"].str.replace(" ", "", regex=False).str.len()
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_chars": df["text"].str.len().astype("int64"),
-                "n_tokens": n_tok,
-                "mean_token_len": _round(
-                    (nonspace.astype("float64") / n_tok).to_numpy(), 4
-                ),
-            }
-        )
+    def q(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        nonspace = pc.utf8_length(
+            pc.replace_substring(text, " ", "")
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "mean_token_len": pa.array(
+                _round(nonspace.astype(np.float64) / n_tok, 4)
+            ),
+        })
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(q, batch_format="pandas")
+    ).map_batches(q, batch_format="pyarrow")
 
 
 @register(
@@ -1349,14 +1355,18 @@ def word_counts(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].str.split(" ").explode()
-        u, c = np.unique(words.to_numpy(dtype=object), return_counts=True)
-        return pd.DataFrame({"word": u, "n_part": c.astype("int64")})
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(t.column("text"), " ")
+        ).combine_chunks()
+        vc = pc.value_counts(words)
+        return pa.table({
+            "word": vc.field("values"), "n_part": vc.field("counts"),
+        })
 
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("n_part", alias_name="n"))
     )
@@ -1458,15 +1468,19 @@ def tfidf_top_term(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Sum
 
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = (
-            df[["doc_id"]]
-            .assign(word=df["text"].str.split(" "))
-            .explode("word")
-            .drop_duplicates()
-        )
-        u, c = np.unique(pairs["word"].to_numpy(dtype=object), return_counts=True)
-        return pd.DataFrame({"word": u, "df_part": c.astype("int64")})
+    def df_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        parent = pc.list_parent_indices(lists)
+        pairs = pa.table({
+            "doc_id": t.column("doc_id").combine_chunks().take(parent),
+            "word": pc.list_flatten(lists),
+        })
+        dis = pairs.group_by(["doc_id", "word"]).aggregate([])
+        vc = pc.value_counts(dis.column("word").combine_chunks())
+        return pa.table({
+            "word": vc.field("values"),
+            "df_part": vc.field("counts"),
+        })
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1474,7 +1488,7 @@ def tfidf_top_term(sf_dir: str):
     # each doc lives in exactly one batch, so summing per-batch distinct
     # (doc, word) counts gives the exact global document frequency
     df_tbl = (
-        docs.map_batches(df_partial, batch_format="pandas")
+        docs.map_batches(df_partial, batch_format="pyarrow")
         .groupby("word")
         .aggregate(Sum("df_part", alias_name="df"))
         .to_pandas()
@@ -3262,27 +3276,29 @@ def lang_distinct_words(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Count, Sum
 
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = (
-            df[["lang"]]
-            .assign(word=df["text"].str.split(" "))
-            .explode("word")
-            .drop_duplicates()
-        )
-        return pairs.reset_index(drop=True)
+    def pair_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        parent = pc.list_parent_indices(lists)
+        pairs = pa.table({
+            "lang": t.column("lang").combine_chunks().take(parent),
+            "word": pc.list_flatten(lists),
+        })
+        # batch-local distinct (Arrow hash group-by, no object dtypes)
+        return pairs.group_by(["lang", "word"]).aggregate([])
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("lang", sort=False).size()
-        return pd.DataFrame(
-            {"lang": g.index.to_numpy(), "n_part": g.to_numpy().astype("int64")}
-        )
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("lang", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_part": pc.cast(g.column("lang_count"), pa.int64()),
+        })
 
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
-        .map_batches(pair_partial, batch_format="pandas")
+        .map_batches(pair_partial, batch_format="pyarrow")
         .groupby(["lang", "word"])
         .aggregate(Count(alias_name="_dup"))
-        .map_batches(count_partial, batch_format="pandas")
+        .map_batches(count_partial, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(Sum("n_part", alias_name="n_distinct"))
     )
@@ -3576,29 +3592,34 @@ def doc_lm_score(sf_dir: str):
 
     vocab = word_counts(sf_dir).to_pandas()
     total = float(vocab["n"].sum())
-    logp = pd.Series(
-        np.log(vocab["n"].to_numpy(dtype=np.float64) / total),
-        index=vocab["word"],
-    )
-    ref = ray.put(logp)
+    logp = np.log(vocab["n"].to_numpy(dtype=np.float64) / total)
+    vocab_words = pa.array(vocab["word"].to_numpy(dtype=object),
+                           type=pa.string())
+    ref = ray.put((vocab_words, logp))
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        lp = ray.get(ref)
-        words = df["text"].str.split(" ")
-        n_tok = words.str.len().astype("int64").to_numpy()
-        flat = words.explode()
-        vals = flat.map(lp).to_numpy(dtype=np.float64)
+    def score(t: pa.Table) -> pa.Table:
+        vw, lp = ray.get(ref)
+        lists = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        flat = pc.list_flatten(lists)
+        # Arrow C hash lookup (no per-token Python dict probe)
+        idx = pc.index_in(flat, value_set=vw).fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = np.where(idx >= 0, lp[np.maximum(idx, 0)], np.nan)
+        n_tok = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         starts = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
         sums = np.add.reduceat(vals, starts)
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"],
-             "n_tokens": n_tok,
-             "lm_score": _round(sums / n_tok, 4)}
-        )
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "lm_score": pa.array(_round(sums / n_tok, 4)),
+        })
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(score, batch_format="pandas")
+    ).map_batches(score, batch_format="pyarrow")
 
 
 @register(
@@ -4378,14 +4399,23 @@ def doc_length_quantiles_kmv(sf_dir: str):
         ln = pc.utf8_length(t.column("text")).to_numpy(zero_copy_only=False)
         # UNSIGNED order — the SQL mirror's UBIGINT sorts unsigned
         h = hashing.hash_int64(ids).view(np.uint64)
-        langs = t.column("lang").to_numpy(zero_copy_only=False)
-        out = []
-        df = pd.DataFrame({"lang": langs, "h": h, "v": ln.astype(np.int64)})
-        for lang, g in df.groupby("lang", sort=False):
-            g = g.nsmallest(KMV_K, "h")
-            out.append(g)
-        res = pd.concat(out) if out else df
-        return pa.Table.from_pandas(res, preserve_index=False)
+        # vectorized per-lang bottom-k: one lexsort over (lang code, h),
+        # rank-within-group < k (no per-group pandas nsmallest)
+        codes = (
+            t.column("lang").combine_chunks().dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.lexsort((h, codes))
+        cs = codes[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(cs)) + 1])
+        sizes = np.diff(np.append(starts, len(cs)))
+        rank = np.arange(len(cs)) - np.repeat(starts, sizes)
+        keep = pa.array(order[rank < KMV_K])
+        return pa.table({
+            "lang": t.column("lang").take(keep),
+            "h": pa.array(h[order[rank < KMV_K]]),
+            "v": pa.array(ln[order[rank < KMV_K]].astype(np.int64)),
+        })
 
     samples = (
         rd.read_parquet(
