@@ -348,6 +348,12 @@ class TestShardedDeltaRejoin:
             # broadcast-distributed re-join branch (Ray pipeline with
             # the node layer broadcast; driver path disabled)
             dataclasses.replace(DEFAULT_CONFIG, rejoin_driver_rows=0),
+            # distributed NON-streaming sharded branch: dirty rows are a
+            # Table (driver_scan_rows default keeps the scan on the
+            # driver) but the layer is "too big" to broadcast
+            dataclasses.replace(
+                DEFAULT_CONFIG, broadcast_node_rows=0, rejoin_driver_rows=0,
+            ),
         ):
             root = str(tmp_path_factory.mktemp("shardrejoin"))
             st = static_join.build_state(
