@@ -2451,8 +2451,77 @@ def embedding_near_dups(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-@register("embedding_near_dups_lsh")  # rows-only (approximate scale path)
+def _lsh_prefix_sql(n_cols: int, salt: int, dim: int = 64) -> str:
+    """Shared CTE chain of the LSH oracle mirrors: ±1 Rademacher plane
+    signs from splitmix64 (`stages/similarity.lsh_plane_signs` baked
+    as SQL), int64 fixed-point quantization of the embedding column
+    (FLOOR(x·2^24) — exact in both float64 and DuckDB DOUBLE), and the
+    per-(vector, plane-column) integer dot products.  All arithmetic
+    is integer-exact, so the bucket keys are bit-identical to the
+    engine's.  `dim` is the testdata's fixed embedding width (64 at
+    every sf tier); the engine reads it dynamically."""
+    from .stages.sketchq import splitmix64_sql
+
+    h = splitmix64_sql(f"({salt} + c*256 + d)")
+    return f"""planes AS (
+      SELECT c, d, CASE WHEN ({h}) % 2 = 1 THEN 1 ELSE -1 END AS s
+      FROM range(0, {n_cols}) rc(c), range(0, {dim}) rd0(d)
+    ),
+    qe AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS d,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 16777216)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT qe.vec_id, p.c, SUM(p.s * qe.q) AS dot
+      FROM qe JOIN planes p ON p.d = qe.d
+      GROUP BY qe.vec_id, p.c
+    )"""
+
+
+def _embedding_near_dups_lsh_sql() -> str:
+    """Bit-exact mirror of `cosine_near_dups_lsh` at the entry's
+    parameters (8 tables × 4 planes, threshold 0.35): per-table bucket
+    keys from the shared LSH prefix, candidate pairs sharing any
+    table's bucket, exact float cosine verification, 4-decimal
+    rounding.  The engine's >max_bucket chaining never fires at the
+    oracle scales (bucket size ≤ corpus size 500/2000 ≤ 2000)."""
+    from .stages.similarity import LSH_SALT_PAIRS
+
+    return f"""
+    WITH {_lsh_prefix_sql(32, LSH_SALT_PAIRS)},
+    keys AS (
+      SELECT vec_id, c // 4 AS t,
+             SUM(CASE WHEN dot > 0 THEN 1 << (c % 4) ELSE 0 END) AS key
+      FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    nn AS (
+      SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM cand c
+    JOIN nn a ON a.vec_id = c.id_a
+    JOIN nn b ON b.vec_id = c.id_b
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+    ORDER BY id_a, id_b
+    """
+
+
+@register("embedding_near_dups_lsh", _embedding_near_dups_lsh_sql())
 def embedding_near_dups_lsh(sf_dir: str):
+    """LSH-bucketed near-dup pairs (the no-all-pairs scale path of
+    `embedding_near_dups`).  Buckets come from splitmix64-derived ±1
+    planes over fixed-point vectors, which is what lets this
+    APPROXIMATE entry carry a bit-exact SQL oracle."""
     from .stages.similarity import cosine_near_dups_lsh
 
     rd = _rd()
@@ -2467,19 +2536,61 @@ def embedding_near_dups_lsh(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-@register("ann_topk_lsh")  # rows-only (approximate; recall tested in pytest)
+def _ann_topk_lsh_sql() -> str:
+    """Bit-exact mirror of `lsh_bucketed_topk` at the entry's
+    parameters (one table of 8 planes, k=10): bucket keys from the
+    shared LSH prefix, candidates = corpus vectors whose key equals a
+    query's key, float dot-product scoring, rank by (score DESC,
+    neighbor_id) — the same tree the exact `ann_topk` oracle pins."""
+    from .stages.similarity import LSH_SALT_TOPK
+
+    return f"""
+    WITH {_lsh_prefix_sql(8, LSH_SALT_TOPK)},
+    keys AS (
+      SELECT vec_id, SUM(CASE WHEN dot > 0 THEN 1 << c ELSE 0 END) AS key
+      FROM dots GROUP BY vec_id
+    ),
+    q AS (
+      SELECT k.vec_id AS query_id, k.key,
+             CAST(e.embedding AS DOUBLE[]) AS qv
+      FROM keys k JOIN embeddings e ON e.vec_id = k.vec_id
+      WHERE k.vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, k.vec_id AS neighbor_id,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) AS score
+      FROM q
+      JOIN keys k ON k.key = q.key
+      JOIN embeddings e ON e.vec_id = k.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("ann_topk_lsh", _ann_topk_lsh_sql())
 def ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (candidate reduction next to the
+    exact `ann_topk`).  Oracle-checked bit-exactly: the splitmix64
+    ±1-plane buckets are reproduced in SQL, so the candidate set —
+    normally the un-checkable part of an ANN — is pinned too."""
     from .stages.similarity import _stack, lsh_bucketed_topk
 
     rd = _rd()
     emb = td.read(sf_dir, "embeddings")
     q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
-    return lsh_bucketed_topk(
+    out = lsh_bucketed_topk(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
         q.column("vec_id").to_numpy(zero_copy_only=False),
         _stack(q, "embedding"),
         k=10,
     )
+    return out[["query_id", "neighbor_id", "rank"]]
 
 
 @register("ann_topk_ivf")  # rows-only (approximate; recall tested in pytest)

@@ -90,18 +90,55 @@ def brute_force_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
     return top[["query_id", "neighbor_id", "rank", "score"]]
 
 
+#: fixed-point scale for the LSH signature dot products.  x·2^24 is an
+#: EXACT float64 operation (power-of-two scaling), FLOOR is exact, and
+#: the int64 plane sums cannot overflow at dim ≤ 256 — so the bucket
+#: keys computed here are bit-identical to the DuckDB oracle mirror's.
+LSH_QUANT = float(1 << 24)
+#: salts separating the two LSH plane families (top-k vs near-dup)
+LSH_SALT_TOPK = 1_000_003
+LSH_SALT_PAIRS = 2_000_003
+
+
+def lsh_plane_signs(dim: int, n_cols: int, salt: int) -> np.ndarray:
+    """Deterministic Rademacher (±1) hyperplanes:
+    ``sign(c, d) = splitmix64(salt + c·256 + d) & 1 ? +1 : -1``
+    (requires dim ≤ 256).  ±1 directions are a standard
+    sign-random-projection variant (Achlioptas-style sparse/± random
+    projections); deriving them from splitmix64 instead of a numpy
+    Gaussian makes the bucket assignment SQL-expressible, so the
+    approximate LSH entries are ORACLE-checked bit-exactly (same
+    precedent as the KMV / MinHash splitmix64 mirrors)."""
+    from ..functions.hashing import hash_int64
+
+    if dim > 256:
+        raise ValueError(f"lsh_plane_signs requires dim <= 256, got {dim}")
+    idx = salt + np.arange(n_cols)[None, :] * 256 + np.arange(dim)[:, None]
+    h = hash_int64(idx.astype(np.int64).ravel()).view(np.uint64)
+    return np.where(
+        (h & np.uint64(1)).astype(bool), np.int64(1), np.int64(-1)
+    ).reshape(dim, n_cols)
+
+
+def lsh_quantize(X: np.ndarray) -> np.ndarray:
+    """int64 fixed-point view of the vectors used ONLY for signature
+    bits — scoring always runs on the raw float64 vectors."""
+    return np.floor(np.asarray(X, dtype=np.float64) * LSH_QUANT).astype(np.int64)
+
+
 def lsh_bucketed_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
-                      k: int = 10, n_planes: int = 8, seed: int = 11) -> pd.DataFrame:
+                      k: int = 10, n_planes: int = 8,
+                      salt: int = LSH_SALT_TOPK) -> pd.DataFrame:
     """Approximate variant: random-hyperplane bucket per vector; only
     vectors sharing a query's bucket are scored (scale path — trades
     recall for a candidate reduction; bucket histogram documents the
-    reduction)."""
+    reduction).  Buckets come from quantized ±1 projections
+    (`lsh_plane_signs`) so the candidate set is oracle-mirrorable."""
     import ray
 
     dim = query_vecs.shape[1]
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    qsig = (query_vecs.astype(np.float64) @ planes > 0).astype(np.uint32)
+    planes = lsh_plane_signs(dim, n_planes, salt)
+    qsig = (lsh_quantize(query_vecs) @ planes > 0).astype(np.uint32)
     qkey = (qsig << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
     wanted = set(qkey.tolist())
     ref = ray.put({"ids": query_ids.astype(np.int64),
@@ -116,7 +153,7 @@ def lsh_bucketed_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
         def __call__(self, batch: pa.Table) -> pa.Table:
             X = _stack(batch, "embedding")
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            sig = (X @ self.q["planes"] > 0).astype(np.uint32)
+            sig = (lsh_quantize(X) @ self.q["planes"] > 0).astype(np.uint32)
             key = (sig << np.arange(sig.shape[1], dtype=np.uint32)).sum(axis=1)
             keep = np.isin(key, list(wanted))
             X, ids, key = X[keep], ids[keep], key[keep]
@@ -434,7 +471,7 @@ def cosine_near_dups(ds, all_vectors: pa.Table, threshold: float = 0.9,
 
 
 def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_tables: int = 8,
-                         planes_per_table: int = 4, seed: int = 11,
+                         planes_per_table: int = 4, salt: int = LSH_SALT_PAIRS,
                          max_bucket: int = 2000):
     """Scale path: MULTI-TABLE random-hyperplane LSH — each vector is
     exploded to ``n_tables`` (table, bucket) rows; pairs sharing any
@@ -449,11 +486,10 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_tables: int = 8,
     def sig_batch(t: pa.Table) -> pa.Table:
         X = _stack(t, "embedding")
         if "planes" not in planes_holder:
-            rng = np.random.RandomState(seed)
-            planes_holder["planes"] = rng.standard_normal(
-                (X.shape[1], n_tables * planes_per_table)
+            planes_holder["planes"] = lsh_plane_signs(
+                X.shape[1], n_tables * planes_per_table, salt
             )
-        sig = (X @ planes_holder["planes"] > 0).astype(np.uint32)
+        sig = (lsh_quantize(X) @ planes_holder["planes"] > 0).astype(np.uint32)
         n = t.num_rows
         ids = t.column("vec_id").combine_chunks()
         emb = t.column("embedding").combine_chunks()

@@ -835,3 +835,70 @@ class TestShuffleShards:
         assert (out["shard"].to_numpy() == out["pos"].to_numpy() // 100).all()
         # content-hash order is a real shuffle: not doc_id order
         assert out["doc_id"].tolist() != sorted(out["doc_id"].tolist())
+
+
+class TestLshOracleExactness:
+    """The LSH entries are APPROXIMATE yet oracled: the splitmix64
+    Rademacher planes + int64 fixed-point quantization make the bucket
+    keys integer-exact, so the SQL mirror must reproduce them bit for
+    bit.  This pins the numpy-kernel <-> DuckDB equality directly (the
+    per-round gate then pins the full pipelines)."""
+
+    def test_sql_bucket_keys_equal_numpy(self):
+        import duckdb
+
+        from osm_live_updates_ray.queries import _lsh_prefix_sql
+        from osm_live_updates_ray.stages.similarity import (
+            LSH_SALT_PAIRS, LSH_SALT_TOPK, lsh_plane_signs, lsh_quantize)
+
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+        ids = t.column("vec_id").to_numpy()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        # single-table top-k keys (8 planes)
+        signs = lsh_plane_signs(X.shape[1], 8, LSH_SALT_TOPK)
+        knp = ((lsh_quantize(X) @ signs > 0).astype(np.uint32)
+               << np.arange(8, dtype=np.uint32)).sum(axis=1)
+        df = con.execute(
+            f"WITH {_lsh_prefix_sql(8, LSH_SALT_TOPK)}, keys AS ("
+            "SELECT vec_id, SUM(CASE WHEN dot > 0 THEN 1 << c ELSE 0 END)"
+            " AS key FROM dots GROUP BY vec_id) SELECT * FROM keys"
+        ).df()
+        m = dict(zip(df.vec_id, df.key))
+        assert all(int(m[i]) == int(k) for i, k in zip(ids, knp))
+        # multi-table near-dup keys (8 tables x 4 planes)
+        signs2 = lsh_plane_signs(X.shape[1], 32, LSH_SALT_PAIRS)
+        sig = (lsh_quantize(X) @ signs2 > 0).astype(np.uint32)
+        df2 = con.execute(
+            f"WITH {_lsh_prefix_sql(32, LSH_SALT_PAIRS)}, keys AS ("
+            "SELECT vec_id, c // 4 AS t, SUM(CASE WHEN dot > 0 THEN"
+            " 1 << (c % 4) ELSE 0 END) AS key FROM dots"
+            " GROUP BY vec_id, t) SELECT * FROM keys"
+        ).df()
+        km = {(int(r.vec_id), int(r.t)): int(r.key)
+              for r in df2.itertuples()}
+        for vi, i in enumerate(ids):
+            for b in range(8):
+                sub = sig[vi, b * 4:(b + 1) * 4]
+                k = int((sub << np.arange(4, dtype=np.uint32)).sum())
+                assert km[(int(i), b)] == k
+
+    def test_plane_signs_deterministic_and_balanced(self):
+        from osm_live_updates_ray.stages.similarity import lsh_plane_signs
+
+        a = lsh_plane_signs(64, 8, 12345)
+        b = lsh_plane_signs(64, 8, 12345)
+        assert (a == b).all() and set(np.unique(a)) == {-1, 1}
+        # splitmix64 low bit is uniform: signs roughly balanced
+        frac = (a == 1).mean()
+        assert 0.35 < frac < 0.65
+        with pytest.raises(ValueError):
+            lsh_plane_signs(300, 8, 1)
