@@ -4845,6 +4845,708 @@ def tpch_q13(sf_dir: str):
 
 
 @register(
+    "tpch_q2",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(ps_supplycost, 4) AS supplycost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size <= 15 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(sf_dir: str):
+    """Min-cost supplier (TPC-H Q2 shape: correlated-MIN subquery over
+    a supply relation).  The testdata has no partsupp table; observed
+    unit price MIN(l_extendedprice / l_quantity) per (part, supplier)
+    stands in for ps_supplycost, mirrored in the oracle.  Shape: one
+    lineitem groupby-MIN (map-side partial mins first), region/size
+    dimension filters BROADCAST into the scan, then the correlated
+    per-part MIN + tie-keeping equality on the dimension-sized
+    aggregate (driver-side; result ≤ qualifying pairs)."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Min
+
+    nat = td.read(sf_dir, "nation")
+    reg = td.read(sf_dir, "region")
+    eu_reg = set(
+        reg.filter(pc.equal(reg.column("r_name"), "EUROPE"))
+        .column("r_regionkey").to_pylist()
+    )
+    nmask = pc.is_in(nat.column("n_regionkey"),
+                     value_set=pa.array(sorted(eu_reg)))
+    eu_nat = nat.filter(nmask)
+    nat_name = dict(zip(eu_nat.column("n_nationkey").to_pylist(),
+                        eu_nat.column("n_name").to_pylist()))
+    sup = td.read(sf_dir, "supplier")
+    smask = pc.is_in(sup.column("s_nationkey"),
+                     value_set=pa.array(sorted(nat_name) or [-1]))
+    sup = sup.filter(smask)
+    sk = np.sort(sup.column("s_suppkey").to_numpy(zero_copy_only=False))
+    part = td.read(sf_dir, "part")
+    pmask = pc.and_(pc.less_equal(part.column("p_size"), pa.scalar(15)),
+                    pc.equal(part.column("p_type"), "LARGE"))
+    part = part.filter(pmask)
+    pk = np.sort(part.column("p_partkey").to_numpy(zero_copy_only=False))
+
+    def partial(t: pa.Table) -> pa.Table:
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(lp), dtype=bool)
+        if len(pk) and len(sk):
+            pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+            keep = (pk[pp] == lp) & (sk[ss] == ls)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"ps_partkey": pa.array([], type=pa.int64()),
+                             "ps_suppkey": pa.array([], type=pa.int64()),
+                             "unit": pa.array([], type=pa.float64())})
+        unit = (
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            / t.column("l_quantity").to_numpy(zero_copy_only=False)
+        )
+        lp, ls = lp[keep], ls[keep]
+        # map-side MIN per (part, supp): the exchange carries pairs
+        key = np.stack([lp, ls], axis=1)
+        u, inv = np.unique(key, axis=0, return_inverse=True)
+        mins = np.full(len(u), np.inf)
+        np.minimum.at(mins, inv, unit)
+        return pa.table({"ps_partkey": pa.array(u[:, 0]),
+                         "ps_suppkey": pa.array(u[:, 1]),
+                         "unit": pa.array(mins)})
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["ps_partkey", "ps_suppkey"])
+        .aggregate(Min("unit", alias_name="ps_supplycost"))
+        .to_pandas()  # qualifying (part, supplier) pairs: dimension-sized
+    )
+    cols = ["s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supplycost"]
+    if not len(agg):
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    best = agg.groupby("ps_partkey")["ps_supplycost"].transform("min")
+    win = agg[agg["ps_supplycost"] == best].copy()
+    supdf = sup.select(["s_suppkey", "s_name", "s_acctbal", "s_nationkey"]).to_pandas()
+    supdf["n_name"] = supdf["s_nationkey"].map(nat_name)
+    partdf = part.select(["p_partkey", "p_name"]).to_pandas()
+    out = (
+        win.merge(supdf, left_on="ps_suppkey", right_on="s_suppkey")
+        .merge(partdf, left_on="ps_partkey", right_on="p_partkey")
+    )
+    out["supplycost"] = _round(out["ps_supplycost"].to_numpy(np.float64), 4)
+    out = out.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], kind="stable",
+    ).head(100).reset_index(drop=True)
+    return out[cols]
+
+
+@register(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1,
+           nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                            AND TIMESTAMP '1996-12-31'
+        AND p_type = 'PROMO'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8(sf_dir: str):
+    """National market share (TPC-H Q8 shape): the two facts hash-join
+    on the Dataset (lineitem ⋈ orders, the q4 precedent), every
+    dimension (part filter, supplier→nation, customer→region) rides
+    along as BROADCAST sorted-array probes, and the share is two sums
+    per year (conditional + total) combined in one groupby."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    part = td.read(sf_dir, "part", ["p_partkey", "p_type"])
+    pk = np.sort(
+        part.filter(pc.equal(part.column("p_type"), "PROMO"))
+        .column("p_partkey").to_numpy(zero_copy_only=False)
+    )
+    sup = td.read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = td.read(sf_dir, "nation")
+    reg = td.read(sf_dir, "region")
+    nname = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+    so = np.argsort(sup.column("s_suppkey").to_numpy(zero_copy_only=False))
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)[so]
+    s_is_nat3 = np.array(
+        [nname.get(k) == "NATION_3"
+         for k in sup.column("s_nationkey").to_numpy(zero_copy_only=False)[so]]
+    )
+    asia_reg = set(
+        reg.filter(pc.equal(reg.column("r_name"), "ASIA"))
+        .column("r_regionkey").to_pylist()
+    )
+    asia_nk = {
+        int(k) for k, r in zip(nat.column("n_nationkey").to_pylist(),
+                               nat.column("n_regionkey").to_pylist())
+        if int(r) in asia_reg
+    }
+    cust = td.read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    co = np.argsort(cust.column("c_custkey").to_numpy(zero_copy_only=False))
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)[co]
+    c_asia = np.array(
+        [int(k) in asia_nk
+         for k in cust.column("c_nationkey").to_numpy(zero_copy_only=False)[co]]
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def volume(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        oc = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (
+            (od >= np.datetime64("1995-01-01", "us"))
+            & (od <= np.datetime64("1996-12-31", "us"))
+        )
+        if len(pk):
+            pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            keep &= pk[pp] == lp
+        else:
+            keep &= False
+        cc = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
+        keep &= (ck[cc] == oc) & c_asia[cc] if len(ck) else False
+        ss = np.clip(np.searchsorted(sk, ls), 0, max(len(sk) - 1, 0))
+        found_s = (sk[ss] == ls) if len(sk) else np.zeros(len(ls), bool)
+        keep &= found_s
+        t2 = t.filter(pa.array(keep))
+        if t2.num_rows == 0:
+            return pa.table({"o_year": pa.array([], type=pa.int64()),
+                             "vol": pa.array([], type=pa.float64()),
+                             "vol_nat": pa.array([], type=pa.float64())})
+        vol = (
+            t2.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t2.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        yr = t2.column("o_orderdate").to_numpy(zero_copy_only=False)
+        yr = yr.astype("datetime64[Y]").astype(np.int64) + 1970
+        is3 = s_is_nat3[ss[keep]]
+        return pa.table({"o_year": pa.array(yr),
+                         "vol": pa.array(vol),
+                         "vol_nat": pa.array(np.where(is3, vol, 0.0))})
+
+    out = (
+        joined.map_batches(volume, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("vol", alias_name="tot"),
+                   Sum("vol_nat", alias_name="nat"))
+        .to_pandas()  # one row per year
+    )
+    out["mkt_share"] = _round(
+        out["nat"].to_numpy(np.float64) / out["tot"].to_numpy(np.float64), 4
+    )
+    out = out.sort_values("o_year", kind="stable").reset_index(drop=True)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out[["o_year", "mkt_share"]]
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit FROM (
+      SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(sf_dir: str):
+    """Product-type profit (TPC-H Q9 shape).  No partsupp in the
+    testdata, so profit has no supplycost term — amount is the
+    discounted revenue, mirrored in the oracle; the distributed shape
+    (fact ⋈ fact Dataset join, part-name LIKE filter and
+    supplier→nation broadcast, two-key groupby) is the reference's."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    part = td.read(sf_dir, "part", ["p_partkey", "p_name"])
+    pmask = pc.match_substring(part.column("p_name"), "red")
+    pk = np.sort(
+        part.filter(pmask).column("p_partkey").to_numpy(zero_copy_only=False)
+    )
+    sup = td.read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = td.read(sf_dir, "nation")
+    nname = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+    so = np.argsort(sup.column("s_suppkey").to_numpy(zero_copy_only=False))
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False)[so]
+    s_nat = np.array(
+        [nname[int(k)]
+         for k in sup.column("s_nationkey").to_numpy(zero_copy_only=False)[so]],
+        dtype=object,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def amount(t: pa.Table) -> pa.Table:
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(lp), dtype=bool)
+        if len(pk) and len(sk):
+            pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+            keep = (pk[pp] == lp) & (sk[ss] == ls)
+        t2 = t.filter(pa.array(keep))
+        if t2.num_rows == 0:
+            return pa.table({"nation": pa.array([], type=pa.string()),
+                             "o_year": pa.array([], type=pa.int64()),
+                             "amount": pa.array([], type=pa.float64())})
+        amt = (
+            t2.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t2.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        yr = t2.column("o_orderdate").to_numpy(zero_copy_only=False)
+        yr = yr.astype("datetime64[Y]").astype(np.int64) + 1970
+        ss = np.clip(np.searchsorted(sk, ls[keep]), 0, len(sk) - 1)
+        return pa.table({"nation": pa.array(list(s_nat[ss]), type=pa.string()),
+                         "o_year": pa.array(yr),
+                         "amount": pa.array(amt)})
+
+    out = (
+        joined.map_batches(amount, batch_format="pyarrow")
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("amount", alias_name="sum_profit"))
+        .to_pandas()  # nations × years rows
+    )
+    out["sum_profit"] = _round(out["sum_profit"].to_numpy(np.float64), 2)
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return out.sort_values(
+        ["nation", "o_year"], ascending=[True, False], kind="stable"
+    ).reset_index(drop=True)[["nation", "o_year", "sum_profit"]]
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey, value FROM ps
+    WHERE value > (SELECT SUM(value) * 0.0002 FROM ps)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11(sf_dir: str):
+    """Important stock (TPC-H Q11 shape: HAVING > scalar-subquery
+    fraction of the global sum).  No partsupp availqty/supplycost in
+    the testdata — shipped quantity per part from one nation's
+    suppliers stands in for stock value (integer-valued, so the
+    threshold crossing is float-exact), mirrored in the oracle.  The
+    global total comes from a Dataset sum (no driver collect of the
+    aggregate); the filter streams."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    sup = td.read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = td.read(sf_dir, "nation")
+    nk7 = {
+        int(k) for k, n in zip(nat.column("n_nationkey").to_pylist(),
+                               nat.column("n_name").to_pylist())
+        if n == "NATION_7"
+    }
+    sk = np.sort(
+        sup.filter(
+            pc.is_in(sup.column("s_nationkey"),
+                     value_set=pa.array(sorted(nk7) or [-1]))
+        ).column("s_suppkey").to_numpy(zero_copy_only=False)
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(ls), dtype=bool)
+        if len(sk):
+            ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+            keep = sk[ss] == ls
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        u, inv = np.unique(lp, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.float64)
+        np.add.at(sums, inv, q)
+        return pa.table({"ps_partkey": pa.array(u),
+                         "qty_part": pa.array(sums)})
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ps_partkey")
+        .aggregate(Sum("qty_part", alias_name="value"))
+        .materialize()  # read twice below: global sum + threshold filter
+    )
+    empty = pd.DataFrame({"ps_partkey": pd.Series(dtype=np.int64),
+                          "value": pd.Series(dtype=np.int64)})
+    schema = agg.schema(fetch_if_missing=True)
+    if schema is None or "value" not in schema.names:
+        return empty  # no qualifying supplier rows at this scale
+    total = agg.sum("value") or 0.0
+    thresh = total * 0.0002
+
+    def over(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(v > thresh))
+        return t.set_column(
+            t.schema.get_field_index("value"), "value",
+            pa.array(t.column("value").to_numpy(zero_copy_only=False)
+                     .astype(np.int64)),
+        )
+
+    out = agg.map_batches(over, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return empty
+    return out.sort_values(["value", "ps_partkey"],
+                           ascending=[False, True], kind="stable"
+                           ).reset_index(drop=True)[["ps_partkey", "value"]]
+
+
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(sf_dir: str):
+    """Supplier count by part attributes (TPC-H Q16 shape: NOT-IN
+    anti-filter + COUNT DISTINCT via two groupbys).  lineitem's
+    (partkey, suppkey) pairs stand in for partsupp; 'complaint'
+    suppliers are the negative-acctbal ones — both mirrored in the
+    oracle.  DISTINCT never lands on the driver: dedup groupby on
+    (brand, type, size, suppkey), then a count groupby."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    part = td.read(sf_dir, "part")
+    sizes = pa.array([1, 9, 14, 19, 23, 36, 45, 49])
+    pmask = pc.and_(
+        pc.and_(
+            pc.invert(pc.equal(part.column("p_brand"), "Brand#5")),
+            pc.invert(pc.starts_with(part.column("p_type"), "PROMO")),
+        ),
+        pc.is_in(part.column("p_size"), value_set=sizes),
+    )
+    part = part.filter(pmask)
+    po = np.argsort(part.column("p_partkey").to_numpy(zero_copy_only=False))
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)[po]
+    pbrand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)[po]
+    ptype = np.asarray(part.column("p_type").to_pylist(), dtype=object)[po]
+    psize = part.column("p_size").to_numpy(zero_copy_only=False)[po]
+    sup = td.read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    bad = np.sort(
+        sup.filter(pc.less(sup.column("s_acctbal"), pa.scalar(0.0)))
+        .column("s_suppkey").to_numpy(zero_copy_only=False)
+    )
+
+    def attrs(t: pa.Table) -> pa.Table:
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(lp), dtype=bool)
+        if len(pk):
+            pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            keep = pk[pp] == lp
+        if len(bad):
+            bb = np.clip(np.searchsorted(bad, ls), 0, len(bad) - 1)
+            keep &= bad[bb] != ls
+        pp = np.clip(np.searchsorted(pk, lp[keep]), 0, max(len(pk) - 1, 0))
+        return pa.table({
+            "p_brand": pa.array(list(pbrand[pp]), type=pa.string()),
+            "p_type": pa.array(list(ptype[pp]), type=pa.string()),
+            "p_size": pa.array(psize[pp].astype(np.int64)),
+            "l_suppkey": pa.array(ls[keep]),
+        })
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_suppkey"])
+        .map_batches(attrs, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+        .aggregate(Count(alias_name="_dup"))     # DISTINCT
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="stable",
+    ).reset_index(drop=True)[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
+@register(
+    "tpch_q20",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9' AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 20)
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(sf_dir: str):
+    """Suppliers with excess volume (TPC-H Q20 shape: nested IN over a
+    grouped HAVING subquery).  No partsupp availqty — 'shipped more
+    than 20 units of some small% part in 1996' stands in for the
+    excess-stock predicate, mirrored in the oracle.  The HAVING
+    aggregate is a distributed (suppkey, partkey) groupby (integer
+    quantities, float-exact threshold); only qualifying suppkeys —
+    dimension-sized — reach the driver for the name join."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    part = td.read(sf_dir, "part", ["p_partkey", "p_name"])
+    pk = np.sort(
+        part.filter(pc.starts_with(part.column("p_name"), "small"))
+        .column("p_partkey").to_numpy(zero_copy_only=False)
+    )
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (sd >= lo) & (sd < hi)
+        if len(pk):
+            pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            keep &= pk[pp] == lp
+        else:
+            keep &= False
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)[keep]
+        key = np.stack([ls, lp[keep]], axis=1)
+        u, inv = np.unique(key, axis=0, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.float64)
+        np.add.at(sums, inv, q)
+        return pa.table({"l_suppkey": pa.array(u[:, 0]),
+                         "l_partkey": pa.array(u[:, 1]),
+                         "qty_part": pa.array(sums)})
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Sum("qty_part", alias_name="qty"))
+    )
+
+    def over(t: pa.Table) -> pa.Table:
+        q = t.column("qty").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q > 20.0)).select(["l_suppkey"])
+
+    win = (
+        agg.map_batches(over, batch_format="pyarrow")
+        .groupby("l_suppkey").count().to_pandas()  # qualifying suppliers
+    )
+    sup = td.read(sf_dir, "supplier").to_pandas()
+    nat = td.read(sf_dir, "nation")
+    nk9 = {
+        int(k) for k, n in zip(nat.column("n_nationkey").to_pylist(),
+                               nat.column("n_name").to_pylist())
+        if n == "NATION_9"
+    }
+    out = sup[sup["s_nationkey"].isin(nk9)
+              & sup["s_suppkey"].isin(set(win["l_suppkey"]))]
+    return out.sort_values("s_name", kind="stable").reset_index(drop=True)[
+        ["s_name", "s_acctbal"]
+    ]
+
+
+@register(
+    "tpch_q21",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    ),
+    allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_19'
+      AND EXISTS (SELECT 1 FROM allsupp a
+                  WHERE a.l_orderkey = l1.l_orderkey
+                    AND a.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21(sf_dir: str):
+    """Suppliers who kept orders waiting (TPC-H Q21 shape: self-join
+    EXISTS / NOT EXISTS over per-order supplier sets).  The testdata
+    has no commit/receipt dates — 'shipped > 30 days after ordering'
+    on 'F' orders stands in for the late predicate, mirrored in the
+    oracle.  The EXISTS pair becomes two per-order counts: a late pair
+    qualifies iff its order has ≥ 2 distinct suppliers and EXACTLY 1
+    late one.  Everything is Dataset joins/groupbys on l_orderkey (one
+    partitioning key end to end); only the per-supplier counts —
+    dimension-sized — reach the driver."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderstatus"])
+    fo = orders.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow",
+    )
+    joined = li.join(
+        fo, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def late_rows(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = sd > od + np.timedelta64(30, "D")
+        return t.filter(pa.array(keep)).select(["l_orderkey", "l_suppkey"])
+
+    late = (
+        joined.map_batches(late_rows, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))     # DISTINCT pairs
+        .materialize()  # reused: pair stream + per-order late counts
+    )
+    late_cnt = late.groupby("l_orderkey").count()  # -> count()
+    supp_cnt = (
+        li.groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("l_orderkey").count()
+    )
+    pairs = late.drop_columns(["_n"]).join(
+        late_cnt.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "n_late"]),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("l_orderkey",),
+    ).join(
+        supp_cnt.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "n_supp"]),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("l_orderkey",),
+    )
+
+    def qualify(t: pa.Table) -> pa.Table:
+        nl = t.column("n_late").to_numpy(zero_copy_only=False)
+        ns = t.column("n_supp").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((nl == 1) & (ns >= 2))).select(["l_suppkey"])
+
+    per_supp = (
+        pairs.map_batches(qualify, batch_format="pyarrow")
+        .groupby("l_suppkey").count().to_pandas()  # supplier-sized
+    )
+    sup = td.read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    nat = td.read(sf_dir, "nation")
+    nk = {
+        int(k) for k, n in zip(nat.column("n_nationkey").to_pylist(),
+                               nat.column("n_name").to_pylist())
+        if n == "NATION_19"
+    }
+    supdf = sup.to_pandas()
+    supdf = supdf[supdf["s_nationkey"].isin(nk)]
+    out = per_supp.merge(supdf, left_on="l_suppkey", right_on="s_suppkey")
+    out = (
+        out.groupby("s_name", as_index=False)["count()"].sum()
+        .rename(columns={"count()": "numwait"})
+    )
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out.sort_values(["numwait", "s_name"], ascending=[False, True],
+                           kind="stable").reset_index(drop=True)[
+        ["s_name", "numwait"]
+    ]
+
+
+@register(
     "events_zscore",
     """
     SELECT event_id,
