@@ -314,7 +314,10 @@ def battery(sf_dir: str) -> dict:
                  # round-2 continued additions (keep the list above
                  # stable for round-over-round comparability)
                  "events_sliding", "lang_distinct_words", "doc_lm_score",
-                 "training_mix", "geo_training_mix", "tpch_q10"):
+                 "training_mix", "geo_training_mix", "tpch_q10",
+                 # round-4 additions (append-only for comparability):
+                 # the two heaviest new TPC-H join shapes
+                 "tpch_q9", "tpch_q21"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

@@ -2652,6 +2652,93 @@ def ann_topk_ivf_persisted(sf_dir: str):
     )
 
 
+def _ann_topk_ivf_sampled_sql() -> str:
+    """Bit-exact mirror of `ivf_topk_sampled` at the entry's parameters
+    (nlist=16, nprobe=4, k=10, queries vec_id < 5): centroids are the
+    16 vectors with smallest splitmix64(vec_id) (UBIGINT order),
+    assignment/probing use the integer score 2·(q(x)·q(c)) − q(c)·q(c)
+    over floor(x·2^24) fixed-point values (exact in both engines, ties
+    to the smaller centroid id), and the in-list scoring is the float
+    dot-product tree the exact `ann_topk` oracle pins."""
+    from .stages.sketchq import splitmix64_sql
+
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid FROM (
+        SELECT vec_id, {splitmix64_sql('vec_id')} AS hv FROM embeddings
+        ORDER BY hv LIMIT 16)
+    ),
+    qe AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS d,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 16777216)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    cq AS (SELECT c.cid, qe.d, qe.q FROM cent c JOIN qe ON qe.vec_id = c.cid),
+    cnorm AS (SELECT cid, SUM(q * q) AS cc FROM cq GROUP BY cid),
+    scores AS (
+      SELECT v.vec_id, c.cid, 2 * SUM(v.q * c.q) - MAX(n.cc) AS s
+      FROM qe v JOIN cq c ON c.d = v.d JOIN cnorm n ON n.cid = c.cid
+      GROUP BY v.vec_id, c.cid
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scores) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scores WHERE vec_id < 5) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign a ON a.cid = p.cid
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(CAST(eq.embedding AS DOUBLE[]),
+                              CAST(en.embedding AS DOUBLE[])) AS score
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings en ON en.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("ann_topk_ivf_sampled", _ann_topk_ivf_sampled_sql())
+def ann_topk_ivf_sampled(sf_dir: str):
+    """IVF ANN over the splitmix64-SAMPLED coarse quantizer — the
+    partition-pruning scale path made fully ORACLE-CHECKABLE: centroid
+    choice (mergeable bottom-k by hash, the KMV discipline), integer
+    fixed-point assignment, and probe-list selection are all
+    bit-reproducible in SQL, so the candidate set — normally the
+    un-checkable part of an ANN — is pinned per round, next to the
+    k-means `ann_topk_ivf` whose recall the pytest suite governs."""
+    from .stages.similarity import _stack, ivf_topk_sampled
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
+    out = ivf_topk_sampled(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        q.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(q, "embedding"),
+        emb.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(emb, "embedding"),
+        k=10, nlist=16, nprobe=4,
+    )
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 @register(
     "events_hourly",
     """

@@ -248,10 +248,13 @@ class IvfScorer:
         }
         self.k = k
 
+    def _assign(self, X: np.ndarray) -> np.ndarray:
+        return np.argmax(X @ self.C.T - self.chalf[None, :], axis=1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         X = _stack(batch, "embedding")
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        assign = np.argmax(X @ self.C.T - self.chalf[None, :], axis=1)
+        assign = self._assign(X)
         keep = np.isin(assign, self.wanted)
         X, ids, assign = X[keep], ids[keep], assign[keep]
         rows_q: list[np.ndarray] = []
@@ -310,6 +313,87 @@ def ivf_topk(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
     Q = query_vecs.astype(np.float64)
     probe = _probe_lists(Q, C, nprobe)
     return _ivf_query(ds, query_ids, Q, C, probe, k)
+
+
+class IntIvfScorer(IvfScorer):
+    """IVF scorer with INTEGER-EXACT assignment: both sides are
+    fixed-point quantized (`lsh_quantize`) and the assignment score is
+    ``2·(q(x)·q(c)) − q(c)·q(c)`` (the argmin ‖x−c‖² tree in integers,
+    overflow-free at dim ≤ 256 and |x| ≲ 500).  ``np.argmax`` takes the
+    FIRST max, so ties break toward the smallest centroid id when the
+    centroid rows are ordered by id — exactly the SQL mirror's
+    ``ORDER BY s DESC, cid``.  Candidate scoring still runs on the raw
+    float vectors (only the PARTITIONING is quantized)."""
+
+    def __init__(self, ref, k: int):
+        super().__init__(ref, k)
+        self.Cq = lsh_quantize(self.C)
+        self.ccq = np.einsum("ij,ij->i", self.Cq, self.Cq)
+
+    def _assign(self, X: np.ndarray) -> np.ndarray:
+        s = 2 * (lsh_quantize(X) @ self.Cq.T) - self.ccq[None, :]
+        return np.argmax(s, axis=1)
+
+
+def sampled_centroids(ids: np.ndarray, X: np.ndarray,
+                      nlist: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic coarse quantizer for the ORACLED IVF variant: the
+    ``nlist`` corpus vectors whose splitmix64(vec_id) is smallest (in
+    UNSIGNED order, matching SQL UBIGINT) are the centroids — a
+    mergeable bottom-k sample (the KMV discipline), so at scale the
+    selection is a map-side bottom-k + tiny merge, never a k-means
+    fit.  Returned ordered by vec_id ascending so positional argmax
+    tie-breaks equal the SQL mirror's (score DESC, cid ASC)."""
+    from ..functions.hashing import hash_int64
+
+    ids = np.asarray(ids, dtype=np.int64)
+    h = hash_int64(ids).view(np.uint64)
+    take = np.argsort(h, kind="stable")[: min(nlist, len(ids))]
+    order = np.argsort(ids[take], kind="stable")
+    sel = take[order]
+    return ids[sel], np.asarray(X, dtype=np.float64)[sel]
+
+
+def _probe_lists_int(Q: np.ndarray, C: np.ndarray, nprobe: int) -> np.ndarray:
+    """Integer-exact probe selection (stable argsort of the quantized
+    score: ties keep ascending centroid order — the SQL mirror's)."""
+    Cq = lsh_quantize(C)
+    s = 2 * (lsh_quantize(Q) @ Cq.T) - np.einsum("ij,ij->i", Cq, Cq)[None, :]
+    npb = min(nprobe, C.shape[0])
+    return np.argsort(-s, axis=1, kind="stable")[:, :npb].astype(np.int64)
+
+
+def ivf_topk_sampled(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
+                     corpus_ids: np.ndarray, corpus_vecs: np.ndarray,
+                     k: int = 10, nlist: int = 16,
+                     nprobe: int = 4) -> pd.DataFrame:
+    """IVF top-k over the splitmix64-SAMPLED quantizer with
+    integer-exact assignment/probing — the partition-pruning ANN path
+    whose candidate set (normally the un-checkable part of an ANN) IS
+    oracle-checkable: centroid choice, assignment, and probe lists are
+    all bit-reproducible in SQL; only the final in-list scoring is
+    float, the same tree the exact `ann_topk` oracle pins."""
+    import ray
+
+    cent_ids, C = sampled_centroids(corpus_ids, corpus_vecs, nlist)
+    Q = query_vecs.astype(np.float64)
+    probe = _probe_lists_int(Q, C, nprobe)
+    ref = ray.put({"ids": query_ids.astype(np.int64), "vecs": Q,
+                   "centroids": C, "probe": probe})
+    parts = ds.map_batches(
+        IntIvfScorer, fn_constructor_args=(ref, k), batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [],
+                             "score": []})
+    parts = parts.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True],
+        kind="stable",
+    )
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank", "score"]]
 
 
 def _probe_lists(Q: np.ndarray, C: np.ndarray, nprobe: int) -> np.ndarray:

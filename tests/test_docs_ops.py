@@ -902,3 +902,34 @@ class TestLshOracleExactness:
         assert 0.35 < frac < 0.65
         with pytest.raises(ValueError):
             lsh_plane_signs(300, 8, 1)
+
+
+class TestSampledIvf:
+    def test_sampled_ivf_subset_and_deterministic(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.RandomState(3)
+        X = rng.standard_normal((200, 16))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in X],
+                                  type=pa.list_(pa.float32())),
+        })
+        from osm_live_updates_ray.stages.similarity import (
+            _stack, ivf_topk_sampled, sampled_centroids)
+
+        ids = t.column("vec_id").to_numpy()
+        V = _stack(t, "embedding")
+        cids, C = sampled_centroids(ids, V, 8)
+        # centroid ids ascending, vectors are the ids' own rows
+        assert (np.diff(cids) > 0).all()
+        assert all((C[i] == V[int(c)]).all() for i, c in enumerate(cids))
+        Q = V[:3]
+        a = ivf_topk_sampled(rd.from_arrow(t), np.arange(3), Q, ids, V,
+                             k=5, nlist=8, nprobe=3)
+        b = ivf_topk_sampled(rd.from_arrow(t).repartition(4), np.arange(3),
+                             Q, ids, V, k=5, nlist=8, nprobe=3)
+        assert a.equals(b)  # partitioning-invariant
+        # each query finds itself (its own list is always probed first)
+        for qi in range(3):
+            assert qi in a[a["query_id"] == qi]["neighbor_id"].tolist()
