@@ -2774,6 +2774,50 @@ def events_hourly(sf_dir: str):
 
 
 @register(
+    "events_props_extract",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_props_extract(sf_dir: str):
+    """JSON field extraction over a semi-structured string column (the
+    webtext staple): the flat `{"k": N}` payload is pulled with ONE
+    RE2 `pc.extract_regex` C kernel per batch (no per-row json.loads —
+    a general nested-path extractor would be the same stage with an
+    actor-held parser), then a per-type aggregate.  Rows without the
+    key yield nulls, skipped by SUM/MAX in both engines."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Max, Sum
+
+    pat = r'"k"\s*:\s*(?P<k>-?\d+)'
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), pat)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"),
+                   Sum("k", alias_name="sum_k"),
+                   Max("k", alias_name="max_k"))
+        .to_pandas()
+    )
+    for c in ("n", "sum_k", "max_k"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type", kind="stable").reset_index(
+        drop=True)[["event_type", "n", "sum_k", "max_k"]]
+
+
+@register(
     "doc_length_quantiles",
     """
     SELECT lang,
