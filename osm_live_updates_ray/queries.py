@@ -5565,46 +5565,80 @@ def tpch_q20(sf_dir: str):
     ]
 
 
-@register(
-    "tpch_q21",
-    """
-    WITH late AS (
-      SELECT DISTINCT l_orderkey, l_suppkey
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-      WHERE o_orderstatus = 'F'
-        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
-    ),
-    allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
-    SELECT s_name, COUNT(*) AS numwait
-    FROM late l1
-    JOIN supplier ON s_suppkey = l1.l_suppkey
-    JOIN nation ON n_nationkey = s_nationkey
-    WHERE n_name = 'NATION_19'
-      AND EXISTS (SELECT 1 FROM allsupp a
-                  WHERE a.l_orderkey = l1.l_orderkey
-                    AND a.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM late l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey)
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name
-    """,
-)
-def tpch_q21(sf_dir: str):
-    """Suppliers who kept orders waiting (TPC-H Q21 shape: self-join
-    EXISTS / NOT EXISTS over per-order supplier sets).  The testdata
-    has no commit/receipt dates — 'shipped > 30 days after ordering'
-    on 'F' orders stands in for the late predicate, mirrored in the
-    oracle.  The EXISTS pair becomes two per-order counts: a late pair
-    qualifies iff its order has ≥ 2 distinct suppliers and EXACTLY 1
-    late one.  Everything is Dataset joins/groupbys on l_orderkey (one
-    partitioning key end to end); only the per-supplier counts —
-    dimension-sized — reach the driver."""
-    rd = _rd()
-    from ray.data.aggregate import Count
+def _q21_broadcast_path(rd, li, sf_dir: str, Count) -> pd.DataFrame:
+    """Small-orders q21 plan: F-order dates broadcast as sorted arrays,
+    ONE lineitem scan emits per-batch-deduped late (order, supplier)
+    pairs, a small distinct groupby finalizes them; the per-order
+    supplier counts are computed in a SECOND scan that probes only the
+    qualifying (exactly-one-late-supplier) orders.  Zero fact-fact
+    exchanges; both scans carry pairs, never lines."""
+    orders_t = td.read(sf_dir, "orders",
+                       ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    f = orders_t.filter(pc.equal(orders_t.column("o_orderstatus"), "F"))
+    oo = np.argsort(f.column("o_orderkey").to_numpy(zero_copy_only=False))
+    ok = f.column("o_orderkey").to_numpy(zero_copy_only=False)[oo]
+    od = f.column("o_orderdate").to_numpy(zero_copy_only=False)[oo]
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    def late_pairs(t: pa.Table) -> pa.Table:
+        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(lo), dtype=bool)
+        if len(ok):
+            pos = np.clip(np.searchsorted(ok, lo), 0, len(ok) - 1)
+            hit = ok[pos] == lo
+            sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+            keep = hit & (sd > od[pos] + np.timedelta64(30, "D"))
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        u = np.unique(np.stack([lo[keep], ls], axis=1), axis=0)
+        return pa.table({"l_orderkey": pa.array(u[:, 0]),
+                         "l_suppkey": pa.array(u[:, 1])})
+
+    late = (
+        li.map_batches(late_pairs, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()  # late pairs: delta-sized by the 30-day predicate
+    )
+    if not len(late):
+        return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                             "count()": pd.Series(dtype=np.int64)})
+    n_late = late.groupby("l_orderkey")["l_suppkey"].transform("size")
+    solo = late[n_late == 1]  # orders with EXACTLY one late supplier
+    if not len(solo):
+        return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                             "count()": pd.Series(dtype=np.int64)})
+    qok = np.sort(solo["l_orderkey"].to_numpy(np.int64))
+
+    def pairs_for(t: pa.Table) -> pa.Table:
+        lo = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(lo), dtype=bool)
+        if len(qok):
+            pos = np.clip(np.searchsorted(qok, lo), 0, len(qok) - 1)
+            keep = qok[pos] == lo
+        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        u = np.unique(np.stack([lo[keep], ls], axis=1), axis=0)
+        return pa.table({"l_orderkey": pa.array(u[:, 0]),
+                         "l_suppkey": pa.array(u[:, 1])})
+
+    qs = (
+        li.map_batches(pairs_for, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()  # suppliers of qualifying-late orders only
+    )
+    if not len(qs):
+        return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                             "count()": pd.Series(dtype=np.int64)})
+    n_supp = qs.groupby("l_orderkey")["l_suppkey"].transform("size")
+    multi = set(qs.loc[n_supp >= 2, "l_orderkey"])
+    win = solo[solo["l_orderkey"].isin(multi)]
+    out = win.groupby("l_suppkey", as_index=False).size()
+    return out.rename(columns={"size": "count()"})
+
+
+def _q21_join_path(rd, li, sf_dir: str, Count) -> pd.DataFrame:
+    """Large-orders q21 plan: Dataset joins/groupbys keyed on
+    l_orderkey end to end (the 100-TB shape — no broadcast of the
+    orders fact)."""
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderdate",
                                       "o_orderstatus"])
@@ -5652,10 +5686,65 @@ def tpch_q21(sf_dir: str):
         ns = t.column("n_supp").to_numpy(zero_copy_only=False)
         return t.filter(pa.array((nl == 1) & (ns >= 2))).select(["l_suppkey"])
 
-    per_supp = (
+    return (
         pairs.map_batches(qualify, batch_format="pyarrow")
         .groupby("l_suppkey").count().to_pandas()  # supplier-sized
     )
+
+
+@register(
+    "tpch_q21",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    ),
+    allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_19'
+      AND EXISTS (SELECT 1 FROM allsupp a
+                  WHERE a.l_orderkey = l1.l_orderkey
+                    AND a.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21(sf_dir: str):
+    """Suppliers who kept orders waiting (TPC-H Q21 shape: self-join
+    EXISTS / NOT EXISTS over per-order supplier sets).  The testdata
+    has no commit/receipt dates — 'shipped > 30 days after ordering'
+    on 'F' orders stands in for the late predicate, mirrored in the
+    oracle.  The EXISTS pair becomes two per-order counts: a late pair
+    qualifies iff its order has ≥ 2 distinct suppliers and EXACTLY 1
+    late one.  Shape switch (the re-join discipline — collect
+    delta-sized sets, stream corpus-sized ones): below the orders
+    broadcast gate, F-order dates ride into ONE lineitem scan as a
+    sorted-array probe (q12's discipline — no fact-fact exchange) and
+    the late-order qualification probes back in a second scan; above
+    it, everything is Dataset joins/groupbys on l_orderkey (one
+    partitioning key end to end).  Either way only supplier-sized
+    frames reach the driver; the two paths are equality-pinned by
+    pytest."""
+    import pyarrow.parquet as _pq
+
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= 2_000_000:
+        per_supp = _q21_broadcast_path(rd, li, sf_dir, Count)
+    else:
+        per_supp = _q21_join_path(rd, li, sf_dir, Count)
     sup = td.read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
     nat = td.read(sf_dir, "nation")
     nk = {

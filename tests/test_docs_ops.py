@@ -933,3 +933,29 @@ class TestSampledIvf:
         # each query finds itself (its own list is always probed first)
         for qi in range(3):
             assert qi in a[a["query_id"] == qi]["neighbor_id"].tolist()
+
+
+class TestQ21PathEquality:
+    def test_broadcast_equals_join_path(self, ray_session):
+        """tpch_q21's shape switch (broadcast F-order probe vs Dataset
+        joins) must be invisible in the result."""
+        import pandas as pd
+
+        from osm_live_updates_ray import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        rd = Q._rd()
+        from ray.data.aggregate import Count
+
+        li = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_orderkey", "l_suppkey",
+                                      "l_shipdate"])
+        a = Q._q21_broadcast_path(rd, li, sf, Count)
+        b = Q._q21_join_path(rd, li, sf, Count)
+        a = a.sort_values(["l_suppkey"]).reset_index(drop=True)
+        b = b.sort_values(["l_suppkey"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a.astype({"l_suppkey": "int64", "count()": "int64"}),
+            b.astype({"l_suppkey": "int64", "count()": "int64"}),
+        )
+        assert len(a) > 0  # non-trivial at this tier
