@@ -5116,12 +5116,14 @@ def tpch_q2(sf_dir: str):
     ) GROUP BY o_year ORDER BY o_year
     """,
 )
-def tpch_q8(sf_dir: str):
-    """National market share (TPC-H Q8 shape): the two facts hash-join
-    on the Dataset (lineitem ⋈ orders, the q4 precedent), every
-    dimension (part filter, supplier→nation, customer→region) rides
-    along as BROADCAST sorted-array probes, and the share is two sums
-    per year (conditional + total) combined in one groupby."""
+def tpch_q8(sf_dir: str, _force_join: bool = False):
+    """National market share (TPC-H Q8 shape): every dimension (part
+    filter, supplier→nation, customer→region) rides along as a
+    BROADCAST sorted-array probe, and the share is two sums per year
+    (conditional + total) combined in one groupby.  Shape switch
+    (q21's gate): below 2M orders the QUALIFYING orders (window ∧
+    ASIA, pre-joined driver-side) probe into one lineitem scan; above
+    it the two facts hash-join on the Dataset (the q4 precedent)."""
     rd = _rd()
     from ray.data.aggregate import Sum
 
@@ -5163,35 +5165,8 @@ def tpch_q8(sf_dir: str):
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
     )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    )
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
 
-    def volume(t: pa.Table) -> pa.Table:
-        od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
-        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        oc = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (
-            (od >= np.datetime64("1995-01-01", "us"))
-            & (od <= np.datetime64("1996-12-31", "us"))
-        )
-        if len(pk):
-            pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
-            keep &= pk[pp] == lp
-        else:
-            keep &= False
-        cc = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
-        keep &= (ck[cc] == oc) & c_asia[cc] if len(ck) else False
-        ss = np.clip(np.searchsorted(sk, ls), 0, max(len(sk) - 1, 0))
-        found_s = (sk[ss] == ls) if len(sk) else np.zeros(len(ls), bool)
-        keep &= found_s
-        t2 = t.filter(pa.array(keep))
+    def emit(t2: pa.Table, ls: np.ndarray, yr: np.ndarray) -> pa.Table:
         if t2.num_rows == 0:
             return pa.table({"o_year": pa.array([], type=pa.int64()),
                              "vol": pa.array([], type=pa.float64()),
@@ -5200,15 +5175,86 @@ def tpch_q8(sf_dir: str):
             t2.column("l_extendedprice").to_numpy(zero_copy_only=False)
             * (1.0 - t2.column("l_discount").to_numpy(zero_copy_only=False))
         )
-        yr = t2.column("o_orderdate").to_numpy(zero_copy_only=False)
-        yr = yr.astype("datetime64[Y]").astype(np.int64) + 1970
-        is3 = s_is_nat3[ss[keep]]
+        ss = np.clip(np.searchsorted(sk, ls), 0, max(len(sk) - 1, 0))
+        is3 = s_is_nat3[ss] if len(sk) else np.zeros(len(ls), bool)
         return pa.table({"o_year": pa.array(yr),
                          "vol": pa.array(vol),
                          "vol_nat": pa.array(np.where(is3, vol, 0.0))})
 
+    import pyarrow.parquet as _pq
+
+    n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= 2_000_000 and not _force_join:
+        # broadcast-probe plan (q21's gate discipline): the QUALIFYING
+        # orders — date window ∧ ASIA customer, pre-joined driver-side
+        # against the already-broadcast customer arrays — ride into one
+        # lineitem scan as sorted (okey, year) arrays
+        ot = td.read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"])
+        od = ot.column("o_orderdate").to_numpy(zero_copy_only=False)
+        oc = ot.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        win = (
+            (od >= np.datetime64("1995-01-01", "us"))
+            & (od <= np.datetime64("1996-12-31", "us"))
+        )
+        if len(ck):
+            cc = np.clip(np.searchsorted(ck, oc), 0, len(ck) - 1)
+            win &= (ck[cc] == oc) & c_asia[cc]
+        else:
+            win &= False
+        okq = ot.column("o_orderkey").to_numpy(zero_copy_only=False)[win]
+        oyq = od[win].astype("datetime64[Y]").astype(np.int64) + 1970
+        oo = np.argsort(okq)
+        okq, oyq = okq[oo], oyq[oo]
+
+        def volume(t: pa.Table) -> pa.Table:
+            lo = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.zeros(len(lo), dtype=bool)
+            op = np.zeros(len(lo), dtype=np.int64)
+            if len(okq) and len(pk) and len(sk):
+                op = np.clip(np.searchsorted(okq, lo), 0, len(okq) - 1)
+                pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+                ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+                keep = (okq[op] == lo) & (pk[pp] == lp) & (sk[ss] == ls)
+            return emit(t.filter(pa.array(keep)), ls[keep], oyq[op[keep]])
+    else:
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        li = li.join(
+            orders, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+
+        def volume(t: pa.Table) -> pa.Table:
+            od = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            oc = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (
+                (od >= np.datetime64("1995-01-01", "us"))
+                & (od <= np.datetime64("1996-12-31", "us"))
+            )
+            if len(pk):
+                pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+                keep &= pk[pp] == lp
+            else:
+                keep &= False
+            cc = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
+            keep &= (ck[cc] == oc) & c_asia[cc] if len(ck) else False
+            ss = np.clip(np.searchsorted(sk, ls), 0, max(len(sk) - 1, 0))
+            found_s = (sk[ss] == ls) if len(sk) else np.zeros(len(ls), bool)
+            keep &= found_s
+            t2 = t.filter(pa.array(keep))
+            yr = (t2.column("o_orderdate").to_numpy(zero_copy_only=False)
+                  .astype("datetime64[Y]").astype(np.int64) + 1970)
+            return emit(t2, ls[keep], yr)
+
     out = (
-        joined.map_batches(volume, batch_format="pyarrow")
+        li.map_batches(volume, batch_format="pyarrow")
         .groupby("o_year")
         .aggregate(Sum("vol", alias_name="tot"),
                    Sum("vol_nat", alias_name="nat"))
@@ -5236,12 +5282,13 @@ def tpch_q8(sf_dir: str):
     ORDER BY nation, o_year DESC
     """,
 )
-def tpch_q9(sf_dir: str):
+def tpch_q9(sf_dir: str, _force_join: bool = False):
     """Product-type profit (TPC-H Q9 shape).  No partsupp in the
     testdata, so profit has no supplycost term — amount is the
-    discounted revenue, mirrored in the oracle; the distributed shape
-    (fact ⋈ fact Dataset join, part-name LIKE filter and
-    supplier→nation broadcast, two-key groupby) is the reference's."""
+    discounted revenue, mirrored in the oracle; part-name LIKE filter
+    and supplier→nation ride as broadcasts into a two-key groupby.
+    Shape switch (q21's gate): order years probe into one lineitem
+    scan below 2M orders; a fact ⋈ fact Dataset join above."""
     rd = _rd()
     from ray.data.aggregate import Sum
 
@@ -5267,23 +5314,8 @@ def tpch_q9(sf_dir: str):
         columns=["l_orderkey", "l_partkey", "l_suppkey",
                  "l_extendedprice", "l_discount"],
     )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
-    )
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
 
-    def amount(t: pa.Table) -> pa.Table:
-        lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.zeros(len(lp), dtype=bool)
-        if len(pk) and len(sk):
-            pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
-            ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
-            keep = (pk[pp] == lp) & (sk[ss] == ls)
-        t2 = t.filter(pa.array(keep))
+    def finish(t2: pa.Table, ls: np.ndarray, yr: np.ndarray) -> pa.Table:
         if t2.num_rows == 0:
             return pa.table({"nation": pa.array([], type=pa.string()),
                              "o_year": pa.array([], type=pa.int64()),
@@ -5292,15 +5324,59 @@ def tpch_q9(sf_dir: str):
             t2.column("l_extendedprice").to_numpy(zero_copy_only=False)
             * (1.0 - t2.column("l_discount").to_numpy(zero_copy_only=False))
         )
-        yr = t2.column("o_orderdate").to_numpy(zero_copy_only=False)
-        yr = yr.astype("datetime64[Y]").astype(np.int64) + 1970
-        ss = np.clip(np.searchsorted(sk, ls[keep]), 0, len(sk) - 1)
+        ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
         return pa.table({"nation": pa.array(list(s_nat[ss]), type=pa.string()),
                          "o_year": pa.array(yr),
                          "amount": pa.array(amt)})
 
+    import pyarrow.parquet as _pq
+
+    n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= 2_000_000 and not _force_join:
+        # broadcast-probe plan (q21's gate discipline): order years ride
+        # into ONE lineitem scan as sorted arrays — no fact-fact exchange
+        ot = td.read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        oo = np.argsort(ot.column("o_orderkey").to_numpy(zero_copy_only=False))
+        ok_b = ot.column("o_orderkey").to_numpy(zero_copy_only=False)[oo]
+        oyr = (ot.column("o_orderdate").to_numpy(zero_copy_only=False)[oo]
+               .astype("datetime64[Y]").astype(np.int64) + 1970)
+
+        def amount(t: pa.Table) -> pa.Table:
+            lo = t.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.zeros(len(lp), dtype=bool)
+            op = np.zeros(len(lo), dtype=np.int64)
+            if len(pk) and len(sk) and len(ok_b):
+                pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+                ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+                op = np.clip(np.searchsorted(ok_b, lo), 0, len(ok_b) - 1)
+                keep = (pk[pp] == lp) & (sk[ss] == ls) & (ok_b[op] == lo)
+            return finish(t.filter(pa.array(keep)), ls[keep], oyr[op[keep]])
+    else:
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        li = li.join(
+            orders, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+
+        def amount(t: pa.Table) -> pa.Table:
+            lp = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            ls = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.zeros(len(lp), dtype=bool)
+            if len(pk) and len(sk):
+                pp = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+                ss = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+                keep = (pk[pp] == lp) & (sk[ss] == ls)
+            t2 = t.filter(pa.array(keep))
+            yr = (t2.column("o_orderdate").to_numpy(zero_copy_only=False)
+                  .astype("datetime64[Y]").astype(np.int64) + 1970)
+            return finish(t2, ls[keep], yr)
+
     out = (
-        joined.map_batches(amount, batch_format="pyarrow")
+        li.map_batches(amount, batch_format="pyarrow")
         .groupby(["nation", "o_year"])
         .aggregate(Sum("amount", alias_name="sum_profit"))
         .to_pandas()  # nations × years rows

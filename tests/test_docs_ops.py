@@ -959,3 +959,19 @@ class TestQ21PathEquality:
             b.astype({"l_suppkey": "int64", "count()": "int64"}),
         )
         assert len(a) > 0  # non-trivial at this tier
+
+
+class TestQ8Q9PathEquality:
+    def test_broadcast_equals_join_paths(self, ray_session):
+        """The q8/q9 shape switch (broadcast order probe below the 2M
+        gate vs fact-fact Dataset join above) must be invisible."""
+        import pandas as pd
+
+        from osm_live_updates_ray.queries import tpch_q8, tpch_q9
+
+        sf = "/root/testdata/sf0.001"
+        for fn in (tpch_q8, tpch_q9):
+            a = fn(sf).reset_index(drop=True)
+            b = fn(sf, _force_join=True).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+            assert len(a) > 0
