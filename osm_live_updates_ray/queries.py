@@ -6043,3 +6043,325 @@ def doc_embedding_join(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(pre_norm, batch_format="pyarrow")
     return docs.join(emb, join_type="inner", num_partitions=4, on=("doc_id",))
+
+
+# ===========================================================================
+# Corpus-hygiene operators: PII redaction, paragraph-level dedup,
+# benchmark-contamination screening (round 4)
+# ===========================================================================
+@register(
+    "pii_redact",
+    r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@ex-' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.net call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                  || '.7' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(t,
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+    FROM pii
+    """,
+)
+def pii_redact(sf_dir: str):
+    """PII scrubbing over the corpus: count and redact emails / phone
+    numbers / IPv4 addresses with RE2 in one vectorized pass (the
+    pre-tokenization hygiene step of a crawl pipeline).  The synthetic
+    corpus carries no PII, so a deterministic doc-seeded contact line
+    is appended first on BOTH sides (the doc-seeded-payload discipline
+    the multimodal battery rows use) — the oracle then checks the
+    redaction kernel itself, not the generator.  Both engines run RE2
+    (pyarrow's replace_substring_regex and DuckDB's regexp_replace),
+    so match semantics are identical by construction.  Embarrassingly
+    parallel: no shuffle, pruned read, compiled-once patterns."""
+    rd = _rd()
+    EMAIL = r"[A-Za-z0-9_.]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\+1-555-[0-9]{4}"
+    IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+    def k(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def istr(x: np.ndarray) -> pa.Array:
+            return pc.cast(pa.array(x), pa.string())
+
+        full = pc.binary_join_element_wise(
+            t.column("text"),
+            pa.scalar(" contact user"), istr(idn),
+            pa.scalar("@ex-"), istr(idn % 7),
+            pa.scalar(".net call +1-555-"),
+            pc.utf8_lpad(istr(idn % 10000), 4, padding="0"),
+            pa.scalar(" ip 10."), istr(idn % 256),
+            pa.scalar("."), istr((idn // 256) % 256),
+            pa.scalar(".7"),
+            pa.scalar(""),  # separator
+        )
+        red = pc.replace_substring_regex(full, pattern=EMAIL,
+                                         replacement="<EMAIL>")
+        red = pc.replace_substring_regex(red, pattern=PHONE,
+                                         replacement="<PHONE>")
+        red = pc.replace_substring_regex(red, pattern=IP,
+                                         replacement="<IP>")
+        return pa.table({
+            "doc_id": ids,
+            "n_emails": pc.cast(pc.count_substring_regex(full, EMAIL),
+                                pa.int64()),
+            "n_phones": pc.cast(pc.count_substring_regex(full, PHONE),
+                                pa.int64()),
+            "n_ips": pc.cast(pc.count_substring_regex(full, IP), pa.int64()),
+            "redacted": red,
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow")
+
+
+@register(
+    "paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             UNNEST(range(1, len(w) + 1)) AS ord
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, CAST((ord - 1) // 16 AS BIGINT) AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY ord) AS chunk
+      FROM words GROUP BY doc_id, chunk_idx
+    ), flagged AS (
+      SELECT doc_id, chunk_idx, chunk,
+             doc_id * 1048576 + chunk_idx =
+               MIN(doc_id * 1048576 + chunk_idx) OVER (PARTITION BY chunk)
+               AS keep
+      FROM chunks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' '
+                               ORDER BY chunk_idx), '') AS text,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(sf_dir: str):
+    """Paragraph-level (passage-level) exact dedup a la Lee et al.
+    "Deduplicating Training Data Makes Language Models Better": split
+    every doc into fixed 16-word passages (the single-space synthetic
+    corpus has no newlines, so fixed windows stand in for paragraphs),
+    keep only the globally FIRST occurrence of each passage (min by
+    (doc_id, chunk_idx)), and re-emit each doc with its duplicated
+    passages removed.
+
+    Distributed shape: (1) vectorized chunking inside map_batches
+    (split -> rebuilt list offsets -> pc.binary_join, no Python
+    per-row loop); (2) one groupby(chunk).min(pos) exchange — the
+    aggregate's OUTPUT is exactly the kept set, so no join-back is
+    needed (pos encodes (doc_id << 20) | chunk_idx); (3) winners union
+    per-doc totals re-bucketed by doc_id range and reconstructed
+    vectorized (np.lexsort + list-offset binary_join per bucket).  At
+    100 TB the chunk exchange would carry a 128-bit chunk hash instead
+    of the text with a pruned re-read for multi-member groups,
+    mirroring stages/dedup_docs.exact_drop_ids."""
+    rd = _rd()
+    from ray.data.aggregate import Min
+
+    C, SHIFT, SPAN = 16, 20, 4096
+
+    def chunkify(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(text, " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = off[1:] - off[:-1]
+        nch = (L + C - 1) // C  # >= 1: split('') == ['']
+        tot = int(nch.sum())
+        excl = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        within = np.arange(tot) - np.repeat(excl, nch)
+        starts = np.repeat(off[:-1], nch) + C * within
+        bounds = np.concatenate([starts, off[-1:]])
+        cl = pa.ListArray.from_arrays(
+            pa.array(bounds, type=pa.int32()), lists.values
+        )
+        pos = (np.repeat(ids, nch) << SHIFT) + within
+        return pa.table({
+            "chunk": pc.binary_join(cl, " "),
+            "pos": pa.array(pos),
+        })
+
+    def totals(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.list_value_length(
+            pc.split_pattern(t.column("text").combine_chunks(), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array(ids // SPAN),
+            "doc_id": pa.array(ids),
+            "chunk_idx": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "chunk": pa.array([""] * len(ids), type=pa.string()),
+            "n_chunks": pa.array((n + C - 1) // C),
+        })
+
+    def decode_winners(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        did = pos >> SHIFT
+        return pa.table({
+            "part": pa.array(did // SPAN),
+            "doc_id": pa.array(did),
+            "chunk_idx": pa.array(pos & ((1 << SHIFT) - 1)),
+            "chunk": t.column("chunk"),
+            "n_chunks": pa.array(np.zeros(len(pos), dtype=np.int64)),
+        })
+
+    def reconstruct(g: pa.Table) -> pa.Table:
+        is_tot = g.column("chunk_idx").to_numpy(zero_copy_only=False) < 0
+        tot = g.filter(pa.array(is_tot))
+        win = g.filter(pa.array(~is_tot))
+        tdoc = tot.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tord = np.argsort(tdoc, kind="stable")
+        tdoc = tdoc[tord]
+        tn = tot.column("n_chunks").to_numpy(zero_copy_only=False)[tord]
+        wdoc = win.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        widx = win.column("chunk_idx").to_numpy(zero_copy_only=False)
+        word = np.lexsort((widx, wdoc))
+        wdoc, widx = wdoc[word], widx[word]
+        chunks = win.column("chunk").combine_chunks().take(pa.array(word))
+        # kept chunks per totals-doc, then list offsets into the sorted wins
+        kept = np.searchsorted(wdoc, tdoc, side="right") - np.searchsorted(
+            wdoc, tdoc, side="left"
+        )
+        bounds = np.concatenate([[0], np.cumsum(kept)]).astype(np.int32)
+        dl = pa.ListArray.from_arrays(pa.array(bounds), chunks)
+        return pa.table({
+            "doc_id": pa.array(tdoc),
+            "text": pc.binary_join(dl, " "),
+            "n_dropped": pa.array(tn - kept),
+        })
+
+    read = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    winners = (
+        read()
+        .map_batches(chunkify, batch_format="pyarrow")
+        .groupby("chunk")
+        .aggregate(Min("pos", alias_name="pos"))
+        .map_batches(decode_winners, batch_format="pyarrow")
+    )
+    tot_ds = read().map_batches(totals, batch_format="pyarrow")
+    return (
+        winners.union(tot_ds)
+        .groupby("part")
+        .map_groups(reconstruct, batch_format="pyarrow")
+    )
+
+
+@register(
+    "contamination_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             UNNEST(range(1, len(w) + 1)) AS ord, len(w) AS n
+      FROM toks
+    ), grams AS (
+      SELECT doc_id,
+             string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram
+      FROM words QUALIFY ord + 7 <= n
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 31 = 0
+    ), hits AS (
+      SELECT g.doc_id, COUNT(*) AS c
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 31 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS n_contam,
+           COALESCE(h.c, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 31 <> 0
+    """,
+)
+def contamination_ngrams(sf_dir: str):
+    """Benchmark-contamination screening: flag training docs whose text
+    shares any 8-token n-gram with a held-out benchmark set (the
+    decontamination step of every LLM data pipeline; 8-13-gram overlap
+    is the published GPT-3/PaLM recipe).  The "benchmark" is the
+    deterministic doc_id % 31 == 0 slice of the corpus.
+
+    Distributed shape: the benchmark side is SMALL by definition
+    (eval sets are thousands of docs, not billions), so its distinct
+    8-gram set is built once and broadcast via ray.put; the corpus
+    side streams through one map_batches that forms all token 8-grams
+    vectorized (8 shifted takes of the flattened word values joined by
+    pc.binary_join_element_wise — gram windows overlap, so shifted
+    takes, not list offsets) and probes membership with Arrow's C
+    hash-set pc.is_in.  No shuffle at all on the 100-TB side.  At
+    scale the broadcast would carry 64-bit gram fingerprints instead
+    of strings (same shape, smaller payload)."""
+    rd = _rd()
+    import pyarrow.parquet as pq
+    import ray
+
+    N = 8
+
+    def grams_of(t: pa.Table):
+        """(doc_ids int64[], n_grams-per-doc int64[], grams pa.Array)."""
+        text = t.column("text").combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(text, " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = off[1:] - off[:-1]
+        ng = np.maximum(L - (N - 1), 0)
+        tot = int(ng.sum())
+        if tot == 0:
+            return ids, ng, pa.array([], type=pa.string())
+        excl = np.concatenate([[0], np.cumsum(ng)[:-1]])
+        starts = np.repeat(off[:-1], ng) + (np.arange(tot) - np.repeat(excl, ng))
+        V = lists.values
+        parts = [V.take(pa.array(starts + k)) for k in range(N)]
+        return ids, ng, pc.binary_join_element_wise(*parts, pa.scalar(" "))
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bids = bench_tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    bench_tbl = bench_tbl.filter(pa.array(bids % 31 == 0))
+    _, _, bgrams = grams_of(bench_tbl)
+    bref = ray.put(pc.unique(bgrams))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bench = ray.get(bref)
+        ids, ng, grams = grams_of(t)
+        hit = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+        counts = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(counts, np.repeat(np.arange(len(ids)), ng), hit)
+        keep = ids % 31 != 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_contam": pa.array(counts[keep]),
+            "contaminated": pa.array(counts[keep] > 0),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(probe, batch_format="pyarrow")

@@ -1,0 +1,83 @@
+"""Corpus-hygiene battery entries: PII redaction, paragraph-level
+dedup, benchmark-contamination screening (planted fixtures — the
+oracle gate covers the SQL equivalence; these pin the semantics)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from osm_live_updates_ray.queries import QUERIES
+
+
+def _write_docs(tmp_path, texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts}),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+class TestPiiRedact:
+    def test_counts_and_redaction(self, ray_session, tmp_path):
+        sf = _write_docs(
+            tmp_path,
+            ["reach me at alice@corp.org or 192.168.0.1 today", "plain text"],
+        )
+        out = (
+            QUERIES["pii_redact"](sf).to_pandas().set_index("doc_id").sort_index()
+        )
+        # doc 0: 1 email + 1 IP in the body, plus the doc-seeded contact
+        # line's email/phone/IP appended by the entry itself
+        assert out.loc[0, "n_emails"] == 2
+        assert out.loc[0, "n_phones"] == 1
+        assert out.loc[0, "n_ips"] == 2
+        assert out.loc[1, "n_emails"] == 1
+        r0 = out.loc[0, "redacted"]
+        assert r0.count("<EMAIL>") == 2 and r0.count("<IP>") == 2
+        assert "alice@corp.org" not in r0 and "192.168.0.1" not in r0
+        assert "<PHONE>" in out.loc[1, "redacted"]
+
+
+class TestParagraphDedup:
+    def test_keep_first_semantics(self, ray_session, tmp_path):
+        w = [f"w{i}" for i in range(16)]  # one 16-word passage
+        u = [f"u{i}" for i in range(16)]  # a distinct passage
+        a = " ".join(w + u)               # doc 0: two passages
+        b = " ".join(w + [f"b{i}" for i in range(16)])  # dup of passage 1
+        c = a                             # full dup of doc 0
+        sf = _write_docs(tmp_path, [a, b, c])
+        out = (
+            QUERIES["paragraph_dedup"](sf)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[0, "text"] == a and out.loc[0, "n_dropped"] == 0
+        assert out.loc[1, "text"] == " ".join(f"b{i}" for i in range(16))
+        assert out.loc[1, "n_dropped"] == 1
+        assert out.loc[2, "text"] == "" and out.loc[2, "n_dropped"] == 2
+
+    def test_short_doc_single_chunk(self, ray_session, tmp_path):
+        sf = _write_docs(tmp_path, ["tiny doc", "tiny doc", "other"])
+        out = (
+            QUERIES["paragraph_dedup"](sf)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[0, "text"] == "tiny doc"
+        assert out.loc[1, "text"] == "" and out.loc[1, "n_dropped"] == 1
+        assert out.loc[2, "text"] == "other"
+
+
+class TestContamination:
+    def test_flags_benchmark_overlap(self, ray_session, tmp_path):
+        bench = " ".join(f"g{i}" for i in range(10))  # doc 0 (0 % 31 == 0)
+        leaked = "x y " + " ".join(f"g{i}" for i in range(8)) + " z"
+        clean = " ".join(f"c{i}" for i in range(12))
+        short = "too short"  # < 8 tokens: zero grams, must still emit
+        sf = _write_docs(tmp_path, [bench, leaked, clean, short])
+        out = (
+            QUERIES["contamination_ngrams"](sf)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert list(out.index) == [1, 2, 3]  # benchmark doc excluded
+        assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_contam"] == 1
+        assert not bool(out.loc[2, "contaminated"])
+        assert out.loc[3, "n_contam"] == 0
