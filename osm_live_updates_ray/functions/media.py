@@ -310,22 +310,199 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV -> (float32 mono samples in [-1, 1], sample rate)."""
-    import wave
+def _riff_chunks(payload: bytes):
+    """Yield (chunk_id, data) for a RIFF/WAVE payload (word-aligned)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        yield cid, payload[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)
 
-    with wave.open(io.BytesIO(payload), "rb") as fh:
-        nch, sw, rate = fh.getnchannels(), fh.getsampwidth(), fh.getframerate()
-        raw = fh.readframes(fh.getnframes())
-    if sw == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif sw == 1:
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+
+# G.711 decode tables built once from the spec formulas (Sun g711.c,
+# public domain): 256-entry byte -> linear int16 lookups, so batch
+# decode is one vectorized np.take.
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    u = np.arange(256, dtype=np.int64) ^ 0xFF  # ulaw: stored complemented
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DEC, _ALAW_DEC = _g711_tables()
+
+# IMA ADPCM (WAV fmt tag 0x11) tables, from the IMA/DVI spec.
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64)
+
+
+def _ima_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM data chunk -> int16 samples.  Blocks are
+    independent (4-byte header: predictor int16, step index u8, pad),
+    so the sequential inner loop runs once per sample-in-block while
+    numpy vectorizes ACROSS blocks — the decode is O(block_size) steps
+    regardless of how many blocks a batch carries."""
+    nb = len(data) // block_align
+    if nb == 0:
+        return np.zeros(0, dtype=np.int16)
+    blocks = np.frombuffer(data[: nb * block_align], dtype=np.uint8)
+    blocks = blocks.reshape(nb, block_align)
+    pred = (blocks[:, 0].astype(np.int64)
+            | (blocks[:, 1].astype(np.int64) << 8))
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    idx = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    payload = blocks[:, 4:]
+    nib = np.empty((nb, payload.shape[1] * 2), dtype=np.int64)
+    nib[:, 0::2] = payload & 0x0F  # low nibble first per spec
+    nib[:, 1::2] = payload >> 4
+    ns = nib.shape[1]
+    out = np.empty((nb, 1 + ns), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for s in range(ns):
+        n = nib[:, s]
+        step = _IMA_STEP[idx]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[n], 0, 88)
+        out[:, s + 1] = pred.astype(np.int16)
+    return out.ravel()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV -> (float32 mono samples in [-1, 1], sample rate).
+
+    Handles PCM (fmt tag 1: 8/16-bit), G.711 mu-law (7) and A-law (6)
+    via vectorized table lookups, and mono IMA ADPCM (0x11) via the
+    block-parallel decoder — the compressed-audio formats a crawl
+    corpus actually carries in RIFF containers.  Other tags raise
+    NotImplementedError (surfaced as decode-failure rows)."""
+    fmt = data = None
+    for cid, chunk in _riff_chunks(payload):
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, rate, _brate, balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+            x = x.astype(np.float32) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM WAV not supported")
+    elif tag in (6, 7):  # G.711 A-law / mu-law
+        table = _ALAW_DEC if tag == 6 else _ULAW_DEC
+        x = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float32)
+        x /= 32768.0
+    elif tag == 0x11:  # IMA ADPCM
+        if nch != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM not supported")
+        x = _ima_decode_blocks(data, balign).astype(np.float32) / 32768.0
     else:
-        raise NotImplementedError(f"{8 * sw}-bit WAV not supported")
-    if nch > 1:
-        x = x.reshape(-1, nch).mean(axis=1)
+        raise NotImplementedError(f"WAV format tag {tag} not supported")
+    if tag in (1, 6, 7) and nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
     return x, rate
+
+
+def _wav_container(tag: int, nch: int, rate: int, bits: int,
+                   block_align: int, data: bytes, extra: bytes = b"") -> bytes:
+    """Assemble a RIFF/WAVE payload around an encoded data chunk."""
+    fmt = struct.pack("<HHIIHH", tag, nch, rate,
+                      rate * block_align if tag != 0x11 else rate, block_align,
+                      bits) + extra
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + (b"\x00" if len(fmt) & 1 else b"")
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_g711_wav(samples: np.ndarray, rate: int = 8_000,
+                    law: str = "ulaw") -> bytes:
+    """int16 mono -> G.711 mu-law/A-law WAV.  Encoding is exact
+    nearest-codeword quantization against the decode table (the optimal
+    companding encoder by construction — no second spec to get wrong)."""
+    table = _ULAW_DEC if law == "ulaw" else _ALAW_DEC
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order].astype(np.int64)
+    x = np.ascontiguousarray(samples, np.int16).astype(np.int64)
+    pos = np.searchsorted(sorted_vals, x)
+    lo = np.clip(pos - 1, 0, 255)
+    hi = np.clip(pos, 0, 255)
+    pick = np.where(
+        np.abs(sorted_vals[hi] - x) < np.abs(x - sorted_vals[lo]), hi, lo
+    )
+    codes = order[pick].astype(np.uint8)
+    return _wav_container(6 if law == "alaw" else 7, 1, rate, 8, 1,
+                          codes.tobytes())
+
+
+def encode_ima_adpcm_wav(samples: np.ndarray, rate: int = 8_000,
+                         block_align: int = 256) -> bytes:
+    """int16 mono -> mono IMA ADPCM WAV (reference greedy encoder; the
+    decoder above is the spec side under test)."""
+    x = np.ascontiguousarray(samples, np.int16).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    nb = max(1, -(-len(x) // spb))
+    x = np.pad(x, (0, nb * spb - len(x)))
+    out = bytearray()
+    idx = 0
+    for b in range(nb):
+        seg = x[b * spb : (b + 1) * spb]
+        pred = int(seg[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in seg[1:]:
+            step = int(_IMA_STEP[idx])
+            delta = int(s) - pred
+            n = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = max(-32768, min(32767, pred + (-diff if n & 8 else diff)))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[n])))
+            nibbles.append(n)
+        pairs = np.array(nibbles, dtype=np.uint8).reshape(-1, 2)
+        out += (pairs[:, 0] | (pairs[:, 1] << 4)).tobytes()
+    extra = struct.pack("<HH", 2, spb)  # cbSize, wSamplesPerBlock
+    return _wav_container(0x11, 1, rate, 4, block_align, bytes(out), extra)
 
 
 # -- video (PPMV: length-prefixed P6 frame sequence) ------------------------
@@ -421,18 +598,21 @@ def audio_meta(payload: bytes) -> tuple[str, int, int, int]:
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return "unknown", -1, -1, -1
         i, n = 12, len(payload)
-        rate = nch = width = data_len = None
+        tag = rate = nch = width = balign = data_len = None
         while i + 8 <= n:
             cid = payload[i : i + 4]
             clen = struct.unpack("<I", payload[i + 4 : i + 8])[0]
             if cid == b"fmt " and i + 24 <= n:
-                nch, rate = struct.unpack("<HI", payload[i + 10 : i + 16])
-                width = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+                tag, nch, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+                balign, width = struct.unpack("<HH", payload[i + 20 : i + 24])
             elif cid == b"data":
                 data_len = clen
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
         if rate and nch and width and data_len is not None:
-            n_frames = data_len // (nch * (width // 8))
+            if tag == 0x11 and balign:  # IMA ADPCM: samples per block
+                n_frames = (data_len // balign) * ((balign - 4) * 2 + 1)
+            else:
+                n_frames = data_len // (nch * max(1, width // 8))
             return "wav", int(rate), int(nch), int(n_frames * 1000 // rate)
     except (struct.error, IndexError, ValueError, ZeroDivisionError):
         pass
