@@ -6365,3 +6365,171 @@ def contamination_ngrams(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(probe, batch_format="pyarrow")
+
+
+@register(
+    "duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             UNNEST(range(1, len(w) + 1)) AS ord, len(w) AS n
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, ord,
+             string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS gram
+      FROM words QUALIFY ord + 15 <= n
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.ord - 1 AS s FROM grams g JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, s,
+             CASE WHEN s > COALESCE(MAX(s + 15) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, s,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(s) + 15 AS BIGINT) AS span_end,
+           CAST(MAX(s) + 16 - MIN(s) AS BIGINT) AS n_tokens
+    FROM grp GROUP BY doc_id, gid
+    """,
+)
+def duplicate_spans(sf_dir: str):
+    """Exact substring-level dedup a la Lee et al.: find every MAXIMAL
+    token span of length >= 16 whose every 16-token window occurs at
+    least twice in the corpus (the spans ExactSubstr would cut before
+    training).  Published pipelines build a distributed suffix array;
+    the equivalent window formulation — duplicated fixed-size windows
+    merged into maximal spans — is shuffle-friendly and exact for
+    spans >= the window length.
+
+    Distributed shape: (1) the vectorized shifted-take n-gram kernel
+    (one row per 16-token window); (2) groupby(gram).count keeps only
+    windows seen >= 2x; (3) hash-join window positions back on the
+    gram key; (4) per-doc interval merge (gaps-and-islands) vectorized
+    inside doc-range buckets: np.maximum.accumulate for the running
+    span end, reduceat for island bounds.  At 100 TB both gram
+    exchanges would carry a 64-bit rolling fingerprint instead of the
+    window text (hash-carry, as stages/dedup_docs.exact_drop_ids), and
+    the join becomes int-keyed."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    N, SPAN = 16, 4096
+
+    def windows(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(text, " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = np.maximum(off[1:] - off[:-1] - (N - 1), 0)
+        tot = int(ng.sum())
+        if tot == 0:
+            return pa.table({
+                "gram": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+            })
+        excl = np.concatenate([[0], np.cumsum(ng)[:-1]])
+        within = np.arange(tot) - np.repeat(excl, ng)
+        starts = np.repeat(off[:-1], ng) + within
+        V = lists.values
+        parts = [V.take(pa.array(starts + k)) for k in range(N)]
+        return pa.table({
+            "gram": pc.binary_join_element_wise(*parts, pa.scalar(" ")),
+            "doc_id": pa.array(np.repeat(ids, ng)),
+            "s": pa.array(within),
+        })
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, did))
+        did, s = did[order], s[order]
+        prev_end = np.maximum.accumulate(s + N - 1)
+        brk = np.ones(len(s), dtype=bool)
+        if len(s) > 1:
+            same = did[1:] == did[:-1]
+            brk[1:] = ~same | (s[1:] > prev_end[:-1] + 1)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(s))
+        span_start = s[starts]
+        # s is sorted within a doc, so the island max is its last member
+        span_end = s[ends - 1] + N - 1
+        return pa.table({
+            "doc_id": pa.array(did[starts]),
+            "span_start": pa.array(span_start),
+            "span_end": pa.array(span_end),
+            "n_tokens": pa.array(span_end - span_start + 1),
+        })
+
+    grams = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(windows, batch_format="pyarrow")
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        # empty aggregate partitions emit schema-less blocks; normalize
+        if "c" not in t.column_names:
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        return t.filter(pc.greater_equal(t.column("c"), 2)).select(["gram"])
+
+    dup = (
+        grams.groupby("gram")
+        .aggregate(Count(alias_name="c"))
+        .map_batches(only_dups, batch_format="pyarrow")
+    )
+    # Broadcast-probe gate (house shape, see exact_drop_ids): the
+    # duplicated-window VOCABULARY is small relative to the corpus, so
+    # collect-and-broadcast it up to a cap; above the cap fall back to
+    # the hash semi-join (whose partitions are then dense).
+    DUP_BROADCAST_LIMIT = 2_000_000
+    import ray
+
+    dup_parts, n_dup = [], 0
+    for b in dup.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            dup_parts.append(b.column("gram").combine_chunks())
+            n_dup += b.num_rows
+        if n_dup > DUP_BROADCAST_LIMIT:
+            break
+    if n_dup > DUP_BROADCAST_LIMIT:
+        hits = grams.join(
+            dup, join_type="left_semi", num_partitions=64, on=("gram",)
+        ).map_batches(
+            lambda t: t.drop_columns(["gram"]), batch_format="pyarrow"
+        )
+    else:
+        vset = (pa.concat_arrays([p.combine_chunks() if isinstance(
+            p, pa.ChunkedArray) else p for p in dup_parts])
+            if dup_parts else pa.array([], type=pa.string()))
+        vref = ray.put(vset)
+
+        def semi(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column("gram"), value_set=ray.get(vref))
+            return t.filter(m).drop_columns(["gram"])
+
+        hits = grams.map_batches(semi, batch_format="pyarrow")
+    return (
+        hits.map_batches(
+            lambda t: t.append_column(
+                "part",
+                pc.cast(
+                    pc.divide(t.column("doc_id"), pa.scalar(SPAN, pa.int64())),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("part")
+        .map_groups(merge_spans, batch_format="pyarrow")
+    )

@@ -81,3 +81,32 @@ class TestContamination:
         assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_contam"] == 1
         assert not bool(out.loc[2, "contaminated"])
         assert out.loc[3, "n_contam"] == 0
+
+
+class TestDuplicateSpans:
+    def test_maximal_spans_and_min_length(self, ray_session, tmp_path):
+        shared = [f"s{i}" for i in range(20)]   # 20-token duplicated run
+        short = [f"t{i}" for i in range(15)]    # 15 tokens: below window
+        a = " ".join(["a0", "a1"] + shared + ["a2"])
+        b = " ".join(["b0"] + shared + ["b1", "b2", "b3"])
+        c = " ".join(["c0"] + short + ["c1"])
+        d = " ".join(["d0", "d1", "d2"] + short)
+        sf = _write_docs(tmp_path, [a, b, c, d])
+        out = (
+            QUERIES["duplicate_spans"](sf)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # only the 20-token run is >= the 16-token window; it must come
+        # back as ONE maximal span per doc at the right offsets
+        assert list(out["doc_id"]) == [0, 1]
+        assert list(out["span_start"]) == [2, 1]
+        assert list(out["span_end"]) == [21, 20]
+        assert list(out["n_tokens"]) == [20, 20]
+
+    def test_within_doc_repeat_found(self, ray_session, tmp_path):
+        run = [f"r{i}" for i in range(16)]
+        a = " ".join(run + ["x"] + run)          # repeats inside one doc
+        sf = _write_docs(tmp_path, [a, "unrelated words only here"])
+        out = QUERIES["duplicate_spans"](sf).to_pandas()
+        assert sorted(out["span_start"]) == [0, 17]
+        assert (out["doc_id"] == 0).all()
