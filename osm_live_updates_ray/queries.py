@@ -6367,6 +6367,98 @@ def contamination_ngrams(sf_dir: str):
     ).map_batches(probe, batch_format="pyarrow")
 
 
+_SPAN_N, _SPAN_PART = 16, 4096
+
+
+def _dup_window_hits(rd, sf_dir: str):
+    """(part, doc_id, s) rows for every 16-token window whose text
+    occurs >= 2x in the corpus — the shared core of duplicate_spans
+    and remove_duplicate_spans (scale notes on duplicate_spans)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    N, SPAN = _SPAN_N, _SPAN_PART
+
+    def windows(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(text, " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = np.maximum(off[1:] - off[:-1] - (N - 1), 0)
+        tot = int(ng.sum())
+        if tot == 0:
+            return pa.table({
+                "gram": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+            })
+        excl = np.concatenate([[0], np.cumsum(ng)[:-1]])
+        within = np.arange(tot) - np.repeat(excl, ng)
+        starts = np.repeat(off[:-1], ng) + within
+        V = lists.values
+        parts = [V.take(pa.array(starts + k)) for k in range(N)]
+        return pa.table({
+            "gram": pc.binary_join_element_wise(*parts, pa.scalar(" ")),
+            "doc_id": pa.array(np.repeat(ids, ng)),
+            "s": pa.array(within),
+        })
+
+    grams = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(windows, batch_format="pyarrow")
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        # empty aggregate partitions emit schema-less blocks; normalize
+        if "c" not in t.column_names:
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        return t.filter(pc.greater_equal(t.column("c"), 2)).select(["gram"])
+
+    dup = (
+        grams.groupby("gram")
+        .aggregate(Count(alias_name="c"))
+        .map_batches(only_dups, batch_format="pyarrow")
+    )
+    # Broadcast-probe gate (house shape, see exact_drop_ids): the
+    # duplicated-window VOCABULARY is small relative to the corpus, so
+    # collect-and-broadcast it up to a cap; above the cap fall back to
+    # the hash semi-join (whose partitions are then dense).
+    DUP_BROADCAST_LIMIT = 2_000_000
+    dup_parts, n_dup = [], 0
+    for b in dup.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            dup_parts.append(b.column("gram").combine_chunks())
+            n_dup += b.num_rows
+        if n_dup > DUP_BROADCAST_LIMIT:
+            break
+    if n_dup > DUP_BROADCAST_LIMIT:
+        hits = grams.join(
+            dup, join_type="left_semi", num_partitions=64, on=("gram",)
+        ).map_batches(
+            lambda t: t.drop_columns(["gram"]), batch_format="pyarrow"
+        )
+    else:
+        vset = (pa.concat_arrays([p.combine_chunks() if isinstance(
+            p, pa.ChunkedArray) else p for p in dup_parts])
+            if dup_parts else pa.array([], type=pa.string()))
+        vref = ray.put(vset)
+
+        def semi(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column("gram"), value_set=ray.get(vref))
+            return t.filter(m).drop_columns(["gram"])
+
+        hits = grams.map_batches(semi, batch_format="pyarrow")
+    return hits.map_batches(
+        lambda t: t.append_column(
+            "part",
+            pc.cast(
+                pc.divide(t.column("doc_id"), pa.scalar(SPAN, pa.int64())),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 @register(
     "duplicate_spans",
     """
@@ -6423,40 +6515,19 @@ def duplicate_spans(sf_dir: str):
     window text (hash-carry, as stages/dedup_docs.exact_drop_ids), and
     the join becomes int-keyed."""
     rd = _rd()
-    from ray.data.aggregate import Count
-
-    N, SPAN = 16, 4096
-
-    def windows(t: pa.Table) -> pa.Table:
-        text = t.column("text").combine_chunks()
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        lists = pc.split_pattern(text, " ")
-        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        ng = np.maximum(off[1:] - off[:-1] - (N - 1), 0)
-        tot = int(ng.sum())
-        if tot == 0:
-            return pa.table({
-                "gram": pa.array([], type=pa.string()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "s": pa.array([], type=pa.int64()),
-            })
-        excl = np.concatenate([[0], np.cumsum(ng)[:-1]])
-        within = np.arange(tot) - np.repeat(excl, ng)
-        starts = np.repeat(off[:-1], ng) + within
-        V = lists.values
-        parts = [V.take(pa.array(starts + k)) for k in range(N)]
-        return pa.table({
-            "gram": pc.binary_join_element_wise(*parts, pa.scalar(" ")),
-            "doc_id": pa.array(np.repeat(ids, ng)),
-            "s": pa.array(within),
-        })
+    N = _SPAN_N
 
     def merge_spans(g: pa.Table) -> pa.Table:
         did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         s = g.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((s, did))
         did, s = did[order], s[order]
-        prev_end = np.maximum.accumulate(s + N - 1)
+        # per-doc running max span end WITHOUT a Python segment loop:
+        # key = did * OFF + end is monotone in doc id, so the global
+        # cummax within a doc always comes from that same doc
+        OFF = np.int64(1) << 32  # pos < 2^32 tokens/doc, doc_id < 2^31
+        cm = np.maximum.accumulate(did * OFF + (s + N - 1))
+        prev_end = cm - did * OFF  # valid where the cummax is same-doc
         brk = np.ones(len(s), dtype=bool)
         if len(s) > 1:
             same = did[1:] == did[:-1]
@@ -6473,63 +6544,115 @@ def duplicate_spans(sf_dir: str):
             "n_tokens": pa.array(span_end - span_start + 1),
         })
 
-    grams = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(windows, batch_format="pyarrow")
-
-    def only_dups(t: pa.Table) -> pa.Table:
-        # empty aggregate partitions emit schema-less blocks; normalize
-        if "c" not in t.column_names:
-            return pa.table({"gram": pa.array([], type=pa.string())})
-        return t.filter(pc.greater_equal(t.column("c"), 2)).select(["gram"])
-
-    dup = (
-        grams.groupby("gram")
-        .aggregate(Count(alias_name="c"))
-        .map_batches(only_dups, batch_format="pyarrow")
-    )
-    # Broadcast-probe gate (house shape, see exact_drop_ids): the
-    # duplicated-window VOCABULARY is small relative to the corpus, so
-    # collect-and-broadcast it up to a cap; above the cap fall back to
-    # the hash semi-join (whose partitions are then dense).
-    DUP_BROADCAST_LIMIT = 2_000_000
-    import ray
-
-    dup_parts, n_dup = [], 0
-    for b in dup.iter_batches(batch_format="pyarrow"):
-        if b.num_rows:
-            dup_parts.append(b.column("gram").combine_chunks())
-            n_dup += b.num_rows
-        if n_dup > DUP_BROADCAST_LIMIT:
-            break
-    if n_dup > DUP_BROADCAST_LIMIT:
-        hits = grams.join(
-            dup, join_type="left_semi", num_partitions=64, on=("gram",)
-        ).map_batches(
-            lambda t: t.drop_columns(["gram"]), batch_format="pyarrow"
-        )
-    else:
-        vset = (pa.concat_arrays([p.combine_chunks() if isinstance(
-            p, pa.ChunkedArray) else p for p in dup_parts])
-            if dup_parts else pa.array([], type=pa.string()))
-        vref = ray.put(vset)
-
-        def semi(t: pa.Table) -> pa.Table:
-            m = pc.is_in(t.column("gram"), value_set=ray.get(vref))
-            return t.filter(m).drop_columns(["gram"])
-
-        hits = grams.map_batches(semi, batch_format="pyarrow")
     return (
-        hits.map_batches(
-            lambda t: t.append_column(
-                "part",
-                pc.cast(
-                    pc.divide(t.column("doc_id"), pa.scalar(SPAN, pa.int64())),
-                    pa.int64(),
-                ),
-            ),
-            batch_format="pyarrow",
-        )
+        _dup_window_hits(rd, sf_dir)
         .groupby("part")
         .map_groups(merge_spans, batch_format="pyarrow")
+    )
+
+
+@register(
+    "remove_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             UNNEST(range(1, len(w) + 1)) AS ord, len(w) AS n
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, ord,
+             string_agg(tok, ' ') OVER (PARTITION BY doc_id ORDER BY ord
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS gram
+      FROM words QUALIFY ord + 15 <= n
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.ord - 1 AS s FROM grams g JOIN dup USING (gram)
+    ), kept AS (
+      SELECT w.doc_id, w.tok, w.ord
+      FROM words w
+      WHERE NOT EXISTS (SELECT 1 FROM hits h
+                        WHERE h.doc_id = w.doc_id
+                          AND w.ord - 1 BETWEEN h.s AND h.s + 15)
+    )
+    SELECT d.doc_id,
+           COALESCE(k.text, '') AS text,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(k.nk, 0) AS BIGINT)
+             AS n_removed
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS text,
+             COUNT(*) AS nk
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def remove_duplicate_spans(sf_dir: str):
+    """The full ExactSubstr CUT: re-emit every doc with all tokens
+    covered by a duplicated >= 16-token window removed (what
+    duplicate_spans locates, this deletes — the output a training run
+    would consume).  Shares :func:`_dup_window_hits`; the cut itself
+    is one extra doc-range-bucketed exchange where coverage is a
+    difference array (+1 at window start, -1 past its end, cumsum > 0
+    = covered) over the bucket's concatenated token stream — fully
+    vectorized, overlap-safe, no per-token Python."""
+    rd = _rd()
+    N, SPAN = _SPAN_N, _SPAN_PART
+
+    hits = _dup_window_hits(rd, sf_dir).map_batches(
+        lambda t: t.append_column(
+            "text", pa.array([""] * t.num_rows, type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "s": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "part": pa.array(ids // SPAN),
+            "text": t.column("text"),
+        })
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(doc_rows, batch_format="pyarrow")
+
+    def cut(g: pa.Table) -> pa.Table:
+        sval = g.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_doc = sval < 0
+        dt = g.filter(pa.array(is_doc))
+        ht = g.filter(pa.array(~is_doc))
+        ids = dt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        text = dt.column("text").combine_chunks().take(pa.array(order))
+        lists = pc.split_pattern(text, " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = off[1:] - off[:-1]
+        hdoc = ht.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = ht.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        di = np.searchsorted(ids, hdoc)  # ids unique & sorted
+        total = int(off[-1])
+        cover = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(cover, off[di] + hs, 1)
+        np.add.at(cover, off[di] + hs + N, -1)
+        covered = np.cumsum(cover[:-1]) > 0
+        keep = ~covered
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), off[:-1])
+        kept_per_doc[L == 0] = 0  # reduceat artifact on empty segments
+        newV = lists.values.filter(pa.array(keep))
+        bounds = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        dl = pa.ListArray.from_arrays(pa.array(bounds), newV)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text": pc.binary_join(dl, " "),
+            "n_removed": pa.array(L - kept_per_doc),
+        })
+
+    return (
+        hits.union(docs)
+        .groupby("part")
+        .map_groups(cut, batch_format="pyarrow")
     )

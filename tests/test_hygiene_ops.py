@@ -110,3 +110,49 @@ class TestDuplicateSpans:
         out = QUERIES["duplicate_spans"](sf).to_pandas()
         assert sorted(out["span_start"]) == [0, 17]
         assert (out["doc_id"] == 0).all()
+
+    def test_islands_not_polluted_across_docs(self, ray_session, tmp_path):
+        """A long span late in doc 0 must not merge doc 1's two
+        separate islands (regression: the running span-end cummax must
+        reset per doc)."""
+        run1 = [f"p{i}" for i in range(16)]
+        run2 = [f"q{i}" for i in range(16)]
+        filler = [f"f{i}" for i in range(40)]
+        a = " ".join(filler + run1 + run2)            # spans live at 40..71
+        b = " ".join(run1 + ["gap"] + run2)           # islands 0..15, 17..32
+        c = " ".join(run1 + ["zz"] + run2)            # makes both runs dups
+        sf = _write_docs(tmp_path, [a, b, c])
+        out = (
+            QUERIES["duplicate_spans"](sf)
+            .to_pandas().sort_values(["doc_id", "span_start"])
+        )
+        b_rows = out[out["doc_id"] == 1]
+        assert list(b_rows["span_start"]) == [0, 17]
+        assert list(b_rows["span_end"]) == [15, 32]
+
+
+class TestRemoveDuplicateSpans:
+    def test_cut_matches_span_report(self, ray_session, tmp_path):
+        shared = [f"s{i}" for i in range(20)]
+        a = " ".join(["a0", "a1"] + shared + ["a2"])
+        b = " ".join(["b0"] + shared + ["b1"])
+        c = "some clean unrelated words"
+        sf = _write_docs(tmp_path, [a, b, c])
+        out = (
+            QUERIES["remove_duplicate_spans"](sf)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[0, "text"] == "a0 a1 a2"
+        assert out.loc[0, "n_removed"] == 20
+        assert out.loc[1, "text"] == "b0 b1"
+        assert out.loc[2, "text"] == c and out.loc[2, "n_removed"] == 0
+
+    def test_whole_doc_removed(self, ray_session, tmp_path):
+        run = [f"r{i}" for i in range(16)]
+        sf = _write_docs(tmp_path, [" ".join(run), " ".join(run)])
+        out = (
+            QUERIES["remove_duplicate_spans"](sf)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert list(out["text"]) == ["", ""]
+        assert list(out["n_removed"]) == [16, 16]
