@@ -317,7 +317,9 @@ def battery(sf_dir: str) -> dict:
                  "training_mix", "geo_training_mix", "tpch_q10",
                  # round-4 additions (append-only for comparability):
                  # the two heaviest new TPC-H join shapes
-                 "tpch_q9", "tpch_q21"):
+                 "tpch_q9", "tpch_q21",
+                 # round-4 corpus-hygiene additions
+                 "paragraph_dedup", "remove_duplicate_spans"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

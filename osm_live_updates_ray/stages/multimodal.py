@@ -4,13 +4,15 @@ actor-pool map_batches stages.
 
 Decode is format-sniffed (``functions/media.py``):
 
-- **REAL decode, no libraries needed**: P6 PPM + 24-bit BMP images
-  (numpy header parse + frombuffer, nearest-neighbor resize), PCM WAV
-  audio (stdlib ``wave``; per-window log-spectrum bands via np.fft),
-  and PPMV frame sequences (length-prefixed P6 frames; the sampler
-  seeks to the requested frame without touching the others).
-- **Compressed formats** (PNG/JPEG/...) are gated behind an import-try
-  of PIL and surface as decode-failure null rows in this container.
+- **REAL decode, no libraries needed**: P6 PPM + 24-bit BMP + PNG +
+  baseline JPEG images (numpy; nearest-neighbor resize), PCM WAV +
+  G.711 mu-law/A-law + mono IMA ADPCM audio (per-window log-spectrum
+  bands via np.fft), and PPMV frame sequences (length-prefixed P6
+  frames; the sampler seeks to the requested frame without touching
+  the others).
+- **Exotic compressed formats** (progressive JPEG, MP3/AAC, MP4...)
+  are gated behind an import-try of PIL and surface as decode-failure
+  null rows in this container.
 - **Unknown payloads** fall back to the deterministic byte-feature
   stub (clearly marked below) — this keeps the corpus-derived battery
   entries, whose payloads are utf-8 text standing in for media, on
@@ -143,15 +145,34 @@ def _doc_image(doc_id: int, w: int, h: int, text: bytes) -> bytes:
     return _media.encode_png(img, filter_type=int(doc_id) % 5)
 
 
+def _doc_audio(doc_id: int, text: bytes) -> bytes:
+    """Doc-seeded RIFF audio payload rotating through the three real
+    codecs the decoder supports: PCM, G.711 mu-law, mono IMA ADPCM."""
+    rate = 16000 if doc_id % 2 == 0 else 8000
+    n = 800 + (doc_id % 5) * 200
+    buf = np.frombuffer(text or b"\x00", dtype=np.uint8)
+    samples = ((np.resize(buf, n).astype(np.int16) - 128) * 200).astype(
+        np.int16
+    )
+    v = (doc_id // 3) % 3
+    if v == 1:
+        return _media.encode_g711_wav(samples, rate, "ulaw")
+    if v == 2:
+        return _media.encode_ima_adpcm_wav(samples, rate)
+    return _media.encode_wav(samples, rate)
+
+
 def media_from_documents(batch: pa.Table) -> pa.Table:
     """MEDIA rows derived deterministically from the documents corpus:
     the battery's multimodal entries exercise the real test tables
     through the actor-pool plumbing instead of a synthesized side
     table.  IMAGE rows carry real doc-seeded PNG/JPEG payloads
     (alternating — so featurization runs BOTH actual compressed
-    decodes); audio/video rows
-    keep utf-8 text payloads standing in for encoded media (their
-    oracled entries hash those bytes).  Runs inside map_batches."""
+    decodes); AUDIO rows carry real RIFF payloads rotating through
+    PCM / G.711 mu-law / IMA ADPCM (all three real decode paths);
+    video rows keep utf-8 text payloads standing in for encoded media
+    (their oracled entries hash those bytes).  Runs inside
+    map_batches."""
     import pyarrow.compute as pc
 
     did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -173,8 +194,10 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     payloads = [
         _doc_image(int(d), int(w_), int(h_), t or b"")
         if im
-        else (t or b"")
-        for d, w_, h_, im, t in zip(did, width, height, is_img, texts)
+        else (_doc_audio(int(d), t or b"") if ki == 1 else (t or b""))
+        for d, w_, h_, im, ki, t in zip(
+            did, width, height, is_img, kind_idx, texts
+        )
     ]
     return pa.Table.from_arrays(
         [
@@ -224,7 +247,7 @@ class AudioFeaturizer:
     ``__init__`` is the once-per-actor model load; batches stay small
     for large payloads."""
 
-    VERSION = 2  # 2 = real PCM WAV decode path
+    VERSION = 3  # 3 = real RIFF decode incl. G.711/IMA ADPCM
 
     def __init__(self, dim: int = 13, window_bytes: int = 256,
                  max_windows: int = 16, window_samples: int = 400):
