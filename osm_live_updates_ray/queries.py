@@ -6656,3 +6656,82 @@ def remove_duplicate_spans(sf_dir: str):
         .groupby("part")
         .map_groups(cut, batch_format="pyarrow")
     )
+
+
+@register(
+    "quality_filter_quantile",
+    """
+    WITH thr AS (
+      SELECT lang, quantile_disc(LENGTH(text), 0.25) AS t
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+    FROM documents d JOIN thr USING (lang)
+    WHERE LENGTH(d.text) > t
+    """,
+)
+def quality_filter_quantile(sf_dir: str):
+    """Per-language quantile quality cut: drop every doc at or below
+    its language's 25th-percentile length (the per-domain percentile
+    pruning step of quality filtering; length stands in for the model
+    score).  The threshold is the DISCRETE quantile — an integer from
+    the data — so the strict > comparison is exact by construction (no
+    interpolated-float ulp risk).
+
+    Distributed shape: pass 1 is the exact histogram quantile of
+    doc_length_quantiles (exchange = one row per distinct
+    (lang, length), never the corpus); the per-lang integer thresholds
+    broadcast via ray.put; pass 2 is a shuffle-free filter with an
+    Arrow index_in lookup.  DuckDB's quantile_disc picks the first
+    value whose cumulative fraction reaches q (index ceil(n*q)-1);
+    the histogram mirror reads the same element off the cumsum."""
+    import ray
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    Q = 0.25
+
+    def lengths(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "lang": t.column("lang"),
+            "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+        })
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+        .map_batches(lengths, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    langs, thrs = [], []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_chars")
+        x = g["n_chars"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1])
+        k = int(np.ceil(n * Q))  # first cum count reaching q
+        langs.append(lang)
+        thrs.append(int(x[np.searchsorted(cum, max(k, 1))]))
+    lset = pa.array(langs, type=pa.string())
+    tarr = np.asarray(thrs, dtype=np.int64)
+    ref = ray.put((lset, tarr))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ls, th = ray.get(ref)
+        n_chars = pc.utf8_length(t.column("text")).cast(pa.int64())
+        idx = pc.index_in(t.column("lang"), value_set=ls).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        thr_row = th[idx]
+        mask = n_chars.to_numpy(zero_copy_only=False) > thr_row
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_chars": n_chars,
+        })
+        return out.filter(pa.array(mask))
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(keep, batch_format="pyarrow")
