@@ -6319,7 +6319,6 @@ def contamination_ngrams(sf_dir: str):
     scale the broadcast would carry 64-bit gram fingerprints instead
     of strings (same shape, smaller payload)."""
     rd = _rd()
-    import pyarrow.parquet as pq
     import ray
 
     N = 8
@@ -6341,13 +6340,24 @@ def contamination_ngrams(sf_dir: str):
         parts = [V.take(pa.array(starts + k)) for k in range(N)]
         return ids, ng, pc.binary_join_element_wise(*parts, pa.scalar(" "))
 
-    bench_tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    bids = bench_tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    bench_tbl = bench_tbl.filter(pa.array(bids % 31 == 0))
-    _, _, bgrams = grams_of(bench_tbl)
-    bref = ray.put(pc.unique(bgrams))
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(ids % 31 == 0))
+        _, _, g = grams_of(t)
+        return pa.table({"gram": pc.unique(g)})
+
+    # the benchmark slice streams through workers (the driver never
+    # holds the corpus); only its per-batch-unique grams collect here
+    parts = [
+        b.column("gram").combine_chunks()
+        for b in rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    bref = ray.put(pc.unique(pa.concat_arrays(parts)) if parts
+                   else pa.array([], type=pa.string()))
 
     def probe(t: pa.Table) -> pa.Table:
         bench = ray.get(bref)
