@@ -6745,3 +6745,141 @@ def quality_filter_quantile(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
     ).map_batches(keep, batch_format="pyarrow")
+
+
+@register(
+    "doc_bigram_lm_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, UNNEST(w) AS tok,
+             UNNEST(range(1, len(w) + 1)) AS ord
+      FROM toks
+    ), big AS (
+      SELECT doc_id, tok,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+      FROM words
+    ), bc AS (
+      SELECT tok, nxt, COUNT(*) AS c FROM big
+      WHERE nxt IS NOT NULL GROUP BY tok, nxt
+    ), uc AS (
+      SELECT tok, COUNT(*) AS u FROM big
+      WHERE nxt IS NOT NULL GROUP BY tok
+    ), v AS (
+      SELECT COUNT(DISTINCT tok) AS vs FROM words
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(LN((bc.c + 1.0) / (uc.u + v.vs))) / COUNT(*), 4)
+             AS bigram_lp
+    FROM big b
+    JOIN bc ON b.tok = bc.tok AND b.nxt = bc.nxt
+    JOIN uc ON b.tok = uc.tok, v
+    WHERE b.nxt IS NOT NULL
+    GROUP BY b.doc_id
+    """,
+)
+def doc_bigram_lm_score(sf_dir: str):
+    """Second-order LM quality score: mean add-1-smoothed bigram log
+    probability per doc, the companion of the unigram `doc_lm_score`
+    (perplexity-style filtering with context).
+
+    Distributed shape: pass 1 is ONE map-side-combined exchange
+    carrying per-batch (key, count) partials for bigrams AND unigram
+    contexts together (pair keys contain a space, token keys cannot —
+    no collision); the model (bigram-vocabulary-sized, not corpus-
+    sized) broadcasts via ray.put.  Pass 2 streams the corpus through
+    a shuffle-free scorer: shifted-take pair keys, one Arrow index_in
+    hash probe per table, segment-summed per doc.  Docs with fewer
+    than 2 tokens have no bigrams and are excluded on both sides."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def pairs_of(t: pa.Table):
+        """(doc_ids, n_bigrams_per_doc, pair_keys, first_tokens)."""
+        text = t.column("text").combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(text, " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.maximum(off[1:] - off[:-1] - 1, 0)
+        tot = int(nb.sum())
+        if tot == 0:
+            e = pa.array([], type=pa.string())
+            return ids, nb, e, e
+        excl = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        starts = np.repeat(off[:-1], nb) + (np.arange(tot) - np.repeat(excl, nb))
+        V = lists.values
+        a = V.take(pa.array(starts))
+        b = V.take(pa.array(starts + 1))
+        return ids, nb, pc.binary_join_element_wise(a, b, pa.scalar(" ")), a
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, pairs, _ = pairs_of(t)
+        toks = pc.list_flatten(
+            pc.split_pattern(t.column("text").combine_chunks(), " ")
+        )
+        out_k, out_c = [], []
+        for arr in (pairs, toks):
+            vc = pc.value_counts(arr)
+            out_k.append(vc.field("values"))
+            out_c.append(vc.field("counts").cast(pa.int64()))
+        return pa.table({
+            "key": pa.concat_arrays([k.combine_chunks() if isinstance(
+                k, pa.ChunkedArray) else k for k in out_k]),
+            "cnt": pa.concat_arrays([c.combine_chunks() if isinstance(
+                c, pa.ChunkedArray) else c for c in out_c]),
+        })
+
+    model = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .to_pandas()
+    )
+    keys = model["key"].to_numpy(dtype=object)
+    cnts = model["n"].to_numpy(dtype=np.int64)
+    is_pair = np.array([" " in k for k in keys])
+    bk, bc_ = keys[is_pair], cnts[is_pair]
+    # context counts = sum of bigram counts per first token (matches
+    # the SQL's uc: occurrences as a bigram context, not raw unigrams)
+    firsts = np.array([k.split(" ", 1)[0] for k in bk], dtype=object)
+    uk, inv = np.unique(firsts, return_inverse=True)
+    uc_ = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(uc_, inv, bc_)
+    vs = int((~is_pair).sum())  # distinct tokens over ALL words
+    bref = ray.put((
+        pa.array(bk, type=pa.string()), bc_,
+        pa.array(uk, type=pa.string()), uc_, vs,
+    ))
+
+    def score(t: pa.Table) -> pa.Table:
+        bkA, bcA, ukA, ucA, V = ray.get(bref)
+        ids, nb, pairs, firsts_a = pairs_of(t)
+        keep = nb > 0
+        if not keep.any():
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_bigrams": pa.array([], type=pa.int64()),
+                "bigram_lp": pa.array([], type=pa.float64()),
+            })
+        bi = pc.index_in(pairs, value_set=bkA).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ui = pc.index_in(firsts_a, value_set=ukA).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lp = np.log((bcA[bi] + 1.0) / (ucA[ui] + V))
+        sums = np.zeros(len(ids), dtype=np.float64)
+        np.add.at(sums, np.repeat(np.arange(len(ids)), nb), lp)
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_bigrams": pa.array(nb[keep]),
+            "bigram_lp": pa.array(_round(sums[keep] / nb[keep], 4)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(score, batch_format="pyarrow")
