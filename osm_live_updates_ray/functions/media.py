@@ -41,6 +41,8 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"PPMV":
         return "ppmv"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -537,6 +539,116 @@ def ppmv_frame_bytes(payload: bytes, index: int) -> bytes:
 
 def decode_ppmv_frame(payload: bytes, index: int) -> np.ndarray:
     return decode_ppm(ppmv_frame_bytes(payload, index))
+
+
+# -- video (MJPEG-AVI: RIFF 'AVI ' container, '00dc' JPEG frames, idx1) ----
+#
+# The real-world cousin of PPMV: a standard AVI-1.0 RIFF layout
+# (hdrl(avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) ) +
+# movi + idx1) whose frames are baseline JPEGs from functions/jpeg.py.
+# Frame extraction seeks via the idx1 index — no frame before the
+# requested one is read, the access pattern a sampling stage needs.
+def encode_mjpeg_avi(frames: list[np.ndarray], fps: int = 2,
+                     quality: int = 90) -> bytes:
+    """Frames (HxWx3 uint8, equal sizes) -> MJPEG AVI bytes."""
+    from . import jpeg as _jpeg
+
+    if not frames:
+        raise ValueError("MJPEG-AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    blobs = [_jpeg.encode_jpeg(f, quality=quality) for f in frames]
+    usec = 1_000_000 // fps
+    maxb = max(len(b) for b in blobs)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    avih = struct.pack(
+        "<14I", usec, maxb * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(blobs), 0, 1, maxb, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(blobs),
+                      maxb, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    idx = b""
+    for b in blobs:
+        # idx1 offsets are movi-relative: measured from the 'movi'
+        # fourcc, so the first chunk header sits at offset 4
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body),
+                                     len(b))
+        movi_body += chunk(b"00dc", b)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_chunks(payload: bytes):
+    """Yield (fourcc, payload_offset, size) for the top-level chunks of
+    the RIFF body; LIST chunks yield their list-type as fourcc with the
+    offset pointing past the type tag."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    i, n = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while i + 8 <= n:
+        tag = payload[i:i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        if tag == b"LIST":
+            yield payload[i + 8:i + 12], i + 12, size - 4
+        else:
+            yield tag, i + 8, size
+        i += 8 + size + (size & 1)
+
+
+def avi_info(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, frame_ms, width, height) from the avih header only."""
+    for tag, off, _size in _avi_chunks(payload):
+        if tag == b"hdrl":
+            if payload[off:off + 4] != b"avih":
+                break
+            usec, _, _, _, nfr = struct.unpack_from("<5I", payload, off + 8)
+            w, h = struct.unpack_from("<II", payload, off + 8 + 32)
+            return nfr, usec // 1000, w, h
+    raise ValueError("no avih header")
+
+
+def avi_frame_bytes(payload: bytes, index: int) -> bytes:
+    """Raw JPEG bytes of ONE frame, located via the idx1 index — no
+    other frame's bytes are touched (handles both movi-relative and
+    absolute idx1 offsets, as real demuxers must)."""
+    movi_pos = idx_off = idx_size = None
+    for tag, off, size in _avi_chunks(payload):
+        if tag == b"movi":
+            movi_pos = off - 4  # position of the 'movi' fourcc
+        elif tag == b"idx1":
+            idx_off, idx_size = off, size
+    if idx_off is None or movi_pos is None:
+        raise ValueError("no idx1 index")
+    n = idx_size // 16
+    if not 0 <= index < n:
+        raise IndexError(f"frame {index} of {n}")
+    e = idx_off + 16 * index
+    off, size = struct.unpack_from("<II", payload, e + 8)
+    base = movi_pos if payload[movi_pos + off:movi_pos + off + 4] == b"00dc" \
+        else 0
+    return payload[base + off + 8:base + off + 8 + size]
+
+
+def decode_avi_frame(payload: bytes, index: int) -> np.ndarray:
+    from . import jpeg as _jpeg
+
+    return _jpeg.decode_jpeg(avi_frame_bytes(payload, index))
 
 
 def image_meta(payload: bytes) -> tuple[str, int, int]:

@@ -4235,15 +4235,22 @@ def tpch_q10(sf_dir: str):
     ORDER BY supp_nation, cust_nation, l_year
     """,
 )
-def tpch_q7(sf_dir: str):
+def tpch_q7(sf_dir: str, _force_join: bool = False):
     """Volume shipping (TPC-H Q7 shape): the nation-pair filter prunes
     the supplier side to ~2/25 of suppliers BEFORE the fact scan (a
     broadcast sorted-array probe drops non-qualifying lineitem rows at
-    the scan task), the surviving fact slice goes through Ray's HASH
-    JOIN against orders (the general two-big-sides path — orders
-    carries no selective filter here), and the customer→nation map
-    broadcasts into the tiny post-join map.  The final (supp, cust,
-    year) aggregate is 4 rows."""
+    the scan task).  Below the 2M-orders gate the o_custkey map rides
+    into the SAME scan as sorted arrays (q21's broadcast-probe gate
+    discipline — one lineitem pass, no exchange at all); above it the
+    surviving fact slice goes through Ray's HASH JOIN against orders
+    (the general two-big-sides path — orders carries no selective
+    filter here).  The gate also sidesteps a Ray Data 2.49.2 hash-join
+    defect: a join partition whose left side receives only EMPTY
+    blocks loses its schema and Acero raises ArrowInvalid — which a
+    heavily-filtered small-tier left (this one keeps ~2/25 of rows)
+    can hit.  The customer→nation map broadcasts into the tiny
+    post-join map.  The final (supp, cust, year) aggregate is 4
+    rows."""
     import pyarrow.parquet as _pq
 
     rd = _rd()
@@ -4316,16 +4323,8 @@ def tpch_q7(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_shipdate",
                  "l_extendedprice", "l_discount"],
     ).map_batches(li_side, batch_format="pyarrow")
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
 
-    def pair(t: pa.Table) -> pa.Table:
-        oc = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    def pair_core(t: pa.Table, oc: np.ndarray) -> pa.Table:
         pos = np.clip(np.searchsorted(ck, oc), 0, max(len(ck) - 1, 0))
         if len(ck):
             # verified probe: a custkey absent from customer must NOT
@@ -4347,12 +4346,58 @@ def tpch_q7(sf_dir: str):
             "volume": t.column("volume").combine_chunks(),
         })
 
+    n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    if n_orders <= 2_000_000 and not _force_join:
+        # broadcast-probe plan: the o_custkey map rides into the same
+        # pruned lineitem scan as sorted arrays — zero exchanges
+        ot = td.read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        ok_b = ot.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        oc_b = ot.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        oo = np.argsort(ok_b, kind="stable")
+        ok_b, oc_b = ok_b[oo], oc_b[oo]
+
+        def pair(t: pa.Table) -> pa.Table:
+            lo_k = t.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(ok_b):
+                op = np.clip(np.searchsorted(ok_b, lo_k), 0, len(ok_b) - 1)
+                oc = np.where(ok_b[op] == lo_k, oc_b[op], -1)
+            else:
+                oc = np.full(len(lo_k), -1, dtype=np.int64)
+            return pair_core(t, oc)
+
+        paired = li.map_batches(pair, batch_format="pyarrow")
+    else:
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        joined = li.join(
+            orders, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+
+        def pair(t: pa.Table) -> pa.Table:
+            oc = t.column("o_custkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pair_core(t, oc)
+
+        paired = joined.map_batches(pair, batch_format="pyarrow")
+
     agg = (
-        joined.map_batches(pair, batch_format="pyarrow")
+        paired
         .groupby(["supp_nation", "cust_nation", "l_year"])
         .aggregate(Sum("volume", alias_name="revenue"))
         .to_pandas()
     )
+    if len(agg) == 0:  # empty aggregate loses its schema
+        return pd.DataFrame({
+            "supp_nation": pd.Series(dtype=object),
+            "cust_nation": pd.Series(dtype=object),
+            "l_year": pd.Series(dtype=np.int64),
+            "revenue": pd.Series(dtype=np.float64),
+        })
     agg["revenue"] = _round(agg["revenue"].to_numpy(dtype=np.float64), 2)
     return agg.sort_values(
         ["supp_nation", "cust_nation", "l_year"], kind="stable"
@@ -6883,3 +6928,366 @@ def doc_bigram_lm_score(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(score, batch_format="pyarrow")
+
+
+@register(
+    "gopher_quality_filter",
+    """
+    WITH w AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT doc_id, word, COUNT(*) AS k FROM w GROUP BY doc_id, word),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN word IN ('the', 'a') THEN k ELSE 0 END)
+                  AS BIGINT) AS stopword_count,
+             MAX(k) AS top_k
+      FROM c GROUP BY doc_id
+    ),
+    f AS (
+      SELECT d.doc_id, agg.n_words,
+             LENGTH(REPLACE(d.text, ' ', ''))
+               / CAST(agg.n_words AS DOUBLE) AS mwl,
+             agg.stopword_count,
+             agg.top_k / CAST(agg.n_words AS DOUBLE) AS twf
+      FROM documents d JOIN agg USING (doc_id)
+    )
+    SELECT doc_id, n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           stopword_count,
+           ROUND(twf, 4) AS top_word_frac,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 90
+                      AND mwl >= 3.8 AND mwl <= 4.8
+                      AND stopword_count >= 2
+                      AND twf <= 0.15
+                THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM f
+    """,
+)
+def gopher_quality_filter(sf_dir: str):
+    """Composite Gopher-rule document filter (Rae et al. 2021, table A1
+    adapted to the single-space synthetic corpus): word-count bounds,
+    mean-word-length bounds, minimum stopword evidence, and a
+    top-word-concentration cap, emitted as per-doc features plus the
+    0/1 verdict.  Thresholds were swept across all three sf tiers so
+    every rule fires non-trivially at every tier (NOTES round-4
+    discipline).
+
+    Exactness: every feature is an exact-integer ratio (segment sums /
+    word counts), so the float comparisons against the rule constants
+    are bit-identical between numpy and DuckDB.  Distributed shape:
+    embarrassingly parallel — one pruned read, one pyarrow pass per
+    batch (split -> flattened word values; per-doc reductions via
+    np.add/maximum.reduceat and one np.unique over (doc, word-code)
+    pairs — no per-row Python, no shuffle)."""
+    rd = _rd()
+    STOP = pa.array(["the", "a"], type=pa.string())
+
+    def k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_words": pa.array([], type=pa.int64()),
+                "mean_word_len": pa.array([], type=pa.float64()),
+                "stopword_count": pa.array([], type=pa.int64()),
+                "top_word_frac": pa.array([], type=pa.float64()),
+                "passes": pa.array([], type=pa.int64()),
+            })
+        text = t.column("text").combine_chunks()
+        lists = pc.split_pattern(text, " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = off[1:] - off[:-1]  # words per doc (>= 1: split('') == [''])
+        vals = lists.values
+        wlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nonspace = np.add.reduceat(wlen, off[:-1])
+        sw = pc.is_in(vals, value_set=STOP).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sw_count = np.add.reduceat(sw, off[:-1])
+        codes = pc.dictionary_encode(vals).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vocab = int(codes.max()) + 1
+        didx = np.repeat(np.arange(len(L), dtype=np.int64), L)
+        uk, counts = np.unique(didx * vocab + codes, return_counts=True)
+        gdoc = uk // vocab
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(gdoc)) + 1])
+        top = np.maximum.reduceat(counts, starts)  # L >= 1 => all docs
+        nw = L.astype(np.float64)
+        mwl = nonspace / nw
+        twf = top / nw
+        ok = (
+            (L >= 30) & (L <= 90)
+            & (mwl >= 3.8) & (mwl <= 4.8)
+            & (sw_count >= 2)
+            & (twf <= 0.15)
+        )
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_words": pa.array(L),
+            "mean_word_len": pa.array(_round(mwl, 4)),
+            "stopword_count": pa.array(sw_count),
+            "top_word_frac": pa.array(_round(twf, 4)),
+            "passes": pa.array(ok.astype(np.int64)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow")
+
+
+@register(
+    "line_dedup_ccnet",
+    """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text
+               || chr(10) || 'copyright ' || source || ' all rights reserved'
+               || chr(10) || 'contact admin at ' || source
+                          || ' dot example dot com'
+               || chr(10) || 'promo code ' || CAST(doc_id % 5 AS VARCHAR)
+                          || ' of ' || source
+               || chr(10) || 'ref id ' || CAST(doc_id % 97 AS VARCHAR)
+                          || ' of ' || source AS t
+      FROM documents
+    ),
+    ls AS (
+      SELECT doc_id, source, string_split(t, chr(10)) AS l FROM aug
+    ),
+    lines AS (
+      SELECT doc_id, source, UNNEST(l) AS line,
+             UNNEST(range(1, len(l) + 1)) AS ord
+      FROM ls
+    ),
+    cnt AS (
+      SELECT source, line, COUNT(DISTINCT doc_id) AS ndocs
+      FROM lines GROUP BY source, line
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.ord, l.line, c.ndocs < 3 AS keep
+      FROM lines l JOIN cnt c ON l.source = c.source AND l.line = c.line
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY ord), '') AS text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def line_dedup_ccnet(sf_dir: str):
+    """CCNet-style boilerplate line removal (Wenzek et al. 2020): a
+    line occurring in >= 3 distinct documents of the SAME source is
+    boilerplate and is dropped from every doc carrying it; docs are
+    re-emitted with surviving lines plus removal counts.  The
+    single-space synthetic corpus has no newlines, so a deterministic
+    doc/source-seeded 4-line footer is appended on BOTH sides first
+    (the pii_redact payload discipline): two per-source lines (always
+    boilerplate), one doc_id%5 line (boilerplate at every tier) and
+    one doc_id%97 line (kept at sf<=0.01, mixed at sf0.1 — the
+    threshold bites in both directions).
+
+    Distributed shape: explode lines vectorized (split_pattern over
+    the augmented text), ONE exchange on fold(hash(source, line))
+    (coarse-fold rule — never groupby a per-row-cardinality key),
+    per-fold dictionary-encode + bincount marks boilerplate, then
+    re-bucket by doc range and reconstruct vectorized (lexsort +
+    list-offset binary_join).  At 100 TB the line exchange would carry
+    a 128-bit line hash with a pruned re-read for multi-doc groups,
+    mirroring stages/dedup_docs.exact_drop_ids."""
+    rd = _rd()
+    from .functions import hashing
+
+    SPAN = 4096
+    B = 3
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src = t.column("source").combine_chunks()
+
+        def istr(x: np.ndarray) -> pa.Array:
+            return pc.cast(pa.array(x), pa.string())
+
+        sep = pa.scalar("")
+        f1 = pc.binary_join_element_wise(
+            pa.scalar("copyright "), src, pa.scalar(" all rights reserved"),
+            sep,
+        )
+        f2 = pc.binary_join_element_wise(
+            pa.scalar("contact admin at "), src,
+            pa.scalar(" dot example dot com"), sep,
+        )
+        f3 = pc.binary_join_element_wise(
+            pa.scalar("promo code "), istr(ids % 5), pa.scalar(" of "), src,
+            sep,
+        )
+        f4 = pc.binary_join_element_wise(
+            pa.scalar("ref id "), istr(ids % 97), pa.scalar(" of "), src,
+            sep,
+        )
+        aug = pc.binary_join_element_wise(
+            t.column("text").combine_chunks(), f1, f2, f3, f4,
+            pa.scalar("\n"),
+        )
+        lists = pc.split_pattern(aug, "\n")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        L = off[1:] - off[:-1]
+        tot = int(off[-1])
+        ordv = np.arange(tot, dtype=np.int64) - np.repeat(off[:-1], L) + 1
+        src_rep = src.take(pa.array(np.repeat(np.arange(len(L)), L)))
+        combo = pc.binary_join_element_wise(
+            src_rep, lists.values, pa.scalar("\x1f")
+        )
+        fold = hashing.fold_int64(hashing.hash_strings(combo), 64)
+        return pa.table({
+            "fold": pa.array(fold),
+            "doc_id": pa.array(np.repeat(ids, L)),
+            "ord": pa.array(ordv),
+            "line": lists.values,
+            "combo": combo,
+        })
+
+    def mark(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(
+            g.column("combo").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = np.bincount(codes)  # one row per (doc, source, line)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table({
+            "part": pa.array(did // SPAN),
+            "doc_id": pa.array(did),
+            "ord": g.column("ord"),
+            "line": g.column("line"),
+            "keep": pa.array(ndocs[codes] < B),
+        })
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ordv = g.column("ord").to_numpy(zero_copy_only=False)
+        keep = g.column("keep").to_numpy(zero_copy_only=False).astype(bool)
+        o = np.lexsort((ordv, did))
+        did, keep = did[o], keep[o]
+        lines = g.column("line").combine_chunks().take(pa.array(o))
+        _, first = np.unique(did, return_index=True)
+        n_lines = np.diff(np.concatenate([first, [len(did)]]))
+        kept_n = np.add.reduceat(keep.astype(np.int64), first)
+        bounds = np.concatenate([[0], np.cumsum(kept_n)]).astype(np.int32)
+        dl = pa.ListArray.from_arrays(
+            pa.array(bounds), lines.filter(pa.array(keep))
+        )
+        return pa.table({
+            "doc_id": pa.array(did[first]),
+            "n_lines": pa.array(n_lines.astype(np.int64)),
+            "n_removed": pa.array(n_lines - kept_n),
+            "text": pc.binary_join(dl, "\n"),
+        })
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+
+
+def _embedding_kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """Bit-exact DuckDB mirror of `kmeans_lloyd_quantized(k, iters)`:
+    the iterative trajectory is unrolled into `iters` chained CTE
+    pairs (assignment by integer L2 over floor((x+1)·2^24) fixed-point
+    vectors, ties to the smaller cluster id; centroid update by
+    integer floor-division, emptied clusters keep their previous
+    centroid via the LEFT JOIN COALESCE).  All arithmetic is exact
+    int64/int128, so every iteration — not just the final answer — is
+    bit-identical between numpy and DuckDB."""
+    from .stages.sketchq import splitmix64_sql
+
+    its = []
+    for i in range(1, iters + 1):
+        p = f"cent{i - 1}"
+        its.append(f"""
+    dist{i} AS (
+      SELECT qe.vec_id, ct.c,
+             SUM((qe.q - ct.v) * (qe.q - ct.v)) AS d2
+      FROM qe JOIN {p} ct ON ct.d = qe.d
+      GROUP BY qe.vec_id, ct.c
+    ),
+    asg{i} AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM dist{i}
+      ) WHERE rn = 1
+    ),
+    cent{i} AS (
+      SELECT p.c, p.d, COALESCE(s.v, p.v) AS v
+      FROM {p} p LEFT JOIN (
+        SELECT a.c, qe.d, CAST(SUM(qe.q) // COUNT(*) AS BIGINT) AS v
+        FROM asg{i} a JOIN qe ON qe.vec_id = a.vec_id
+        GROUP BY a.c, qe.d
+      ) s ON s.c = p.c AND s.d = p.d
+    )""")
+    return f"""
+    WITH hv AS (
+      SELECT vec_id, {splitmix64_sql('vec_id')} AS h FROM embeddings
+    ),
+    init AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h) - 1 AS c
+      FROM (SELECT vec_id, h FROM hv ORDER BY h LIMIT {k})
+    ),
+    qe AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS d,
+             CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 1) * 16777216)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT i.c, qe.d, qe.q AS v FROM init i JOIN qe ON qe.vec_id = i.vec_id
+    ),{','.join(its)},
+    distF AS (
+      SELECT qe.vec_id, ct.c,
+             CAST(SUM((qe.q - ct.v) * (qe.q - ct.v)) AS BIGINT) AS d2
+      FROM qe JOIN cent{iters} ct ON ct.d = qe.d
+      GROUP BY qe.vec_id, ct.c
+    )
+    SELECT vec_id, c AS cluster, d2 AS dist2 FROM (
+      SELECT vec_id, c, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+      FROM distF
+    ) WHERE rn = 1
+    """
+
+
+@register("embedding_kmeans", _embedding_kmeans_sql())
+def embedding_kmeans(sf_dir: str):
+    """Distributed k-means clustering of the embedding column (k=8,
+    5 Lloyd iterations) — the iterative-algorithm class of a
+    training-data pipeline (semantic bucketing / dedup blocking /
+    IVF training), made fully ORACLE-CHECKABLE by the integer
+    fixed-point discipline (see stages/similarity.kmeans_lloyd_quantized
+    and NOTES round 4: partitioning stays integer-exact; float would
+    enter only after assignments are fixed).  Emits the final
+    assignment (vec_id, cluster, dist2)."""
+    from .stages.similarity import kmeans_lloyd_quantized
+
+    rd = _rd()
+    _, out = kmeans_lloyd_quantized(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        k=8, iters=5,
+    )
+    return out

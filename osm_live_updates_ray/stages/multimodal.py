@@ -7,9 +7,10 @@ Decode is format-sniffed (``functions/media.py``):
 - **REAL decode, no libraries needed**: P6 PPM + 24-bit BMP + PNG +
   baseline JPEG images (numpy; nearest-neighbor resize), PCM WAV +
   G.711 mu-law/A-law + mono IMA ADPCM audio (per-window log-spectrum
-  bands via np.fft), and PPMV frame sequences (length-prefixed P6
-  frames; the sampler seeks to the requested frame without touching
-  the others).
+  bands via np.fft), PPMV frame sequences (length-prefixed P6
+  frames) and MJPEG-AVI videos (standard RIFF layout, JPEG frames
+  via functions/jpeg.py; the sampler seeks to the requested frame —
+  by size prefix or idx1 index — without touching the others).
 - **Exotic compressed formats** (progressive JPEG, MP3/AAC, MP4...)
   are gated behind an import-try of PIL and surface as decode-failure
   null rows in this container.
@@ -323,10 +324,11 @@ def featurize_audio(media_ds, concurrency=(1, 8)):
 class FrameSampler:
     """Video frame-sampling stage: one row per sampled timestamp — the
     flat_map-shaped expansion a real pipeline uses for per-frame
-    inference.  PPMV payloads take the REAL path: the frame covering
-    each sampled timestamp is extracted by seeking the container's
-    size prefixes (its raw P6 bytes emitted; no other frame touched).
-    Unknown payloads emit the 16-byte prefix stub."""
+    inference.  PPMV and MJPEG-AVI payloads take the REAL path: the
+    frame covering each sampled timestamp is extracted by seeking the
+    container's size prefixes (PPMV) or its idx1 index (AVI) — its raw
+    P6/JPEG bytes emitted; no other frame touched.  Unknown payloads
+    emit the 16-byte prefix stub."""
 
     def __init__(self, every_ms: int = 1000):
         self.every_ms = every_ms
@@ -340,15 +342,21 @@ class FrameSampler:
         ):
             dur = dur or 0
             payload = payload or b""
-            is_ppmv = _media.sniff(payload) == "ppmv"
-            if is_ppmv:
+            fmt = _media.sniff(payload)
+            if fmt == "ppmv":
                 n_frames, frame_ms = _media.ppmv_info(payload)
+                grab = _media.ppmv_frame_bytes
+            elif fmt == "avi":
+                n_frames, frame_ms, _, _ = _media.avi_info(payload)
+                grab = _media.avi_frame_bytes
+            else:
+                grab = None
             for t in range(0, max(dur, 1), self.every_ms):
                 ids.append(mid)
                 offs.append(t)
-                if is_ppmv:
+                if grab is not None:
                     idx = min(t // frame_ms, n_frames - 1)
-                    frames.append(_media.ppmv_frame_bytes(payload, idx))
+                    frames.append(grab(payload, idx))
                 else:
                     # STUB fallback for unrecognized containers
                     frames.append(payload[:16])
@@ -389,9 +397,14 @@ def gen_media(n: int, seed: int = 42) -> pa.Table:
                 rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
                 for _ in range(6)
             ]
-            payloads.append(_media.encode_ppmv(frames, frame_ms=500))
+            if (i // 3) % 2:
+                # MJPEG-AVI: fps=2 => 500 ms/frame, same grid as PPMV
+                payloads.append(_media.encode_mjpeg_avi(frames, fps=2))
+                mimes.append("video/x-msvideo")
+            else:
+                payloads.append(_media.encode_ppmv(frames, frame_ms=500))
+                mimes.append("video/x-ppm-seq")
             width.append(None), height.append(None), dur.append(3000)
-            mimes.append("video/x-ppm-seq")
     rows = {
         "media_id": list(range(n)),
         "kind": [kinds[i % 3] for i in range(n)],

@@ -624,3 +624,141 @@ def cosine_near_dups_lsh(ds, threshold: float = 0.9, n_tables: int = 8,
         .groupby(["id_a", "id_b"])
         .map_groups(dedup, batch_format="pandas")
     )
+
+
+KMEANS_SCALE = 16777216  # 2^24 fixed point; +1 shift keeps values positive
+
+
+def kmeans_quantize(X: np.ndarray) -> np.ndarray:
+    """floor((x + 1)·2^24) int64 fixed point.  The +1 shift makes every
+    quantized coordinate positive so the centroid update's integer
+    floor-division has identical semantics in numpy (``//`` floors)
+    and DuckDB (``//`` truncates toward zero): they agree on
+    non-negative operands.  The shift cancels in every distance, so
+    assignments equal the unshifted ones."""
+    return np.floor(
+        (np.asarray(X, dtype=np.float64) + 1.0) * KMEANS_SCALE
+    ).astype(np.int64)
+
+
+def _kmeans_assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    # argmin of -2 q·c + |c|² == argmin |q-c|² (|q|² is constant per
+    # row); np.argmin takes the FIRST minimum => ties go to the
+    # smaller cluster id, the SQL mirror's (dist, c) order.
+    s = (-2) * (Q @ C.T) + np.einsum("ij,ij->i", C, C)[None, :]
+    return np.argmin(s, axis=1)
+
+
+def kmeans_lloyd_quantized(ds, k: int = 8, iters: int = 5):
+    """Distributed integer-exact Lloyd's k-means over the embedding
+    column.  Returns ``(centroids int64 (k, dim), assignment Dataset
+    of (vec_id, cluster, dist2))``.
+
+    Oracle-ability (the KMV/LSH discipline from NOTES round 4): init
+    is the splitmix64 bottom-k sample (cluster j = j-th smallest hash
+    in UNSIGNED order), every distance and centroid update is int64
+    arithmetic over kmeans_quantize vectors, distance ties go to the
+    smaller cluster id, and an emptied cluster keeps its previous
+    centroid — every rule is SQL-expressible, so the full
+    ``iters``-step trajectory is bit-identical to the DuckDB mirror
+    (queries._embedding_kmeans_sql).
+
+    Distributed shape, per iteration: one streamed pass emits k·(dim+1)
+    int64 partial rows per block (cluster sums in long form + member
+    counts), then ONE tiny groupby(key).sum() — the exchange is
+    O(k·dim·blocks), never O(corpus) — and the (k, dim) floor-div
+    rebuild happens on the driver and re-broadcasts via ray.put.  The
+    corpus is re-read column-pruned each iteration: the streaming
+    100-TB form (no corpus-sized working set pinned in the object
+    store)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_int64
+
+    def bottom(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "h": pa.array([], type=pa.int64()),
+                "vec": pa.array([], type=pa.list_(pa.int64())),
+            })
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        h = hash_int64(ids).view(np.uint64)
+        take = np.argsort(h, kind="stable")[: min(k, len(ids))]
+        Q = kmeans_quantize(_stack(t, "embedding"))[take]
+        return pa.table({
+            "h": pa.array(h[take].view(np.int64)),
+            "vec": pa.array(list(Q), type=pa.list_(pa.int64())),
+        })
+
+    part = ds.map_batches(bottom, batch_format="pyarrow").take_all()
+    hs = np.array([r["h"] for r in part], dtype=np.int64).view(np.uint64)
+    order = np.argsort(hs, kind="stable")[: min(k, len(hs))]
+    cent = np.array([part[i]["vec"] for i in order], dtype=np.int64)
+    k_eff, dim = cent.shape
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            empty = pa.table({
+                "key": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64()),
+            })
+            if t.num_rows == 0:
+                return empty
+            C = ray.get(_ref)
+            Q = kmeans_quantize(_stack(t, "embedding"))
+            a = _kmeans_assign(Q, C)
+            sums = np.zeros((k_eff, dim), dtype=np.int64)
+            np.add.at(sums, a, Q)
+            cnt = np.bincount(a, minlength=k_eff).astype(np.int64)
+            keys = np.concatenate([
+                np.arange(k_eff * dim, dtype=np.int64),
+                k_eff * dim + np.arange(k_eff, dtype=np.int64),
+            ])
+            vals = np.concatenate([sums.ravel(), cnt])
+            nz = vals != 0
+            return pa.table({"key": pa.array(keys[nz]),
+                             "s": pa.array(vals[nz])})
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("s", alias_name="v"))
+            .to_pandas()
+        )
+        keys = agg["key"].to_numpy(dtype=np.int64)
+        vals = agg["v"].to_numpy(dtype=np.int64)
+        sums = np.zeros((k_eff, dim), dtype=np.int64)
+        cnt = np.zeros(k_eff, dtype=np.int64)
+        is_cnt = keys >= k_eff * dim
+        cnt[keys[is_cnt] - k_eff * dim] = vals[is_cnt]
+        fk = keys[~is_cnt]
+        sums[fk // dim, fk % dim] = vals[~is_cnt]
+        live = cnt > 0
+        cent = cent.copy()
+        cent[live] = sums[live] // cnt[live][:, None]
+
+    fref = ray.put(cent)
+
+    def final(t: pa.Table, _ref=fref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+                "dist2": pa.array([], type=pa.int64()),
+            })
+        C = ray.get(_ref)
+        Q = kmeans_quantize(_stack(t, "embedding"))
+        a = _kmeans_assign(Q, C)
+        diff = Q - C[a]
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2": pa.array(np.einsum("ij,ij->i", diff, diff)),
+        })
+
+    return cent, ds.map_batches(final, batch_format="pyarrow")

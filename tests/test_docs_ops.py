@@ -975,3 +975,18 @@ class TestQ8Q9PathEquality:
             b = fn(sf, _force_join=True).reset_index(drop=True)
             pd.testing.assert_frame_equal(a, b)
             assert len(a) > 0
+
+    def test_q7_broadcast_equals_join(self, ray_session):
+        """q7's gate (added after the sf0.001 sweep hit Ray 2.49.2's
+        empty-left-partition hash-join defect).  Equality is checked at
+        sf0.01: q7 is empty at sf0.001, where the forced join path
+        would also re-trigger the upstream defect."""
+        import pandas as pd
+
+        from osm_live_updates_ray.queries import tpch_q7
+
+        sf = "/root/testdata/sf0.01"
+        a = tpch_q7(sf).reset_index(drop=True)
+        b = tpch_q7(sf, _force_join=True).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
