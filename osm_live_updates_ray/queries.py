@@ -1245,18 +1245,20 @@ def doc_pack_chunks(sf_dir: str):
 
     SPAN, B = 4096, 512
 
-    def proj(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "n_tokens": df["text"].str.split(" ").str.len().astype("int64"),
-                "part": (df["doc_id"] // SPAN).astype("int64"),
-            }
-        )
+    def proj(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pc.cast(
+                pc.list_value_length(pc.split_pattern(t.column("text"), " ")),
+                pa.int64(),
+            ),
+            "part": pc.divide(ids, pa.scalar(SPAN, type=pa.int64())),
+        })
 
     proj_ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(proj, batch_format="pandas").materialize()
+    ).map_batches(proj, batch_format="pyarrow").materialize()
     sums = (
         proj_ds.groupby("part").aggregate(Sum("n_tokens", alias_name="tok")).to_pandas()
     ).sort_values("part")
@@ -1264,23 +1266,27 @@ def doc_pack_chunks(sf_dir: str):
         zip(sums["part"], np.concatenate([[0], np.cumsum(sums["tok"].to_numpy())[:-1]]))
     )
 
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id")
-        tok = df["n_tokens"].to_numpy()
-        cum_before = int(offsets[df["part"].iloc[0]]) + np.concatenate(
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        tok = g.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        o = np.argsort(ids, kind="stable")
+        ids, tok = ids[o], tok[o]
+        cum_before = int(offsets[int(ids[0]) // SPAN]) + np.concatenate(
             [[0], np.cumsum(tok)[:-1]]
         )
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_tokens": tok,
-                "chunk_start": cum_before // B,
-                "chunk_end": (cum_before + tok - 1) // B,
-                "offset_in_chunk": cum_before % B,
-            }
-        )
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(tok),
+            "chunk_start": pa.array(cum_before // B),
+            "chunk_end": pa.array((cum_before + tok - 1) // B),
+            "offset_in_chunk": pa.array(cum_before % B),
+        })
 
-    return proj_ds.groupby("part").map_groups(pack, batch_format="pandas")
+    return proj_ds.groupby("part").map_groups(pack, batch_format="pyarrow")
 
 
 @register(
@@ -1397,21 +1403,23 @@ def doc_repetition(sf_dir: str):
     pass — no per-doc Python loop."""
     rd = _rd()
 
-    def rep(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "n_words": pd.Series([], dtype="int64"),
-                 "n_distinct_words": pd.Series([], dtype="int64"),
-                 "dup_word_frac": pd.Series([], dtype="float64"),
-                 "top_word_frac": pd.Series([], dtype="float64")}
-            )
-        doc_ids = df["doc_id"].to_numpy()
-        splits = df["text"].str.split(" ")
-        lens = splits.str.len().to_numpy().astype(np.int64)
-        codes, _ = pd.factorize(splits.explode().to_numpy(dtype=object))
+    def rep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_words": pa.array([], type=pa.int64()),
+                "n_distinct_words": pa.array([], type=pa.int64()),
+                "dup_word_frac": pa.array([], type=pa.float64()),
+                "top_word_frac": pa.array([], type=pa.float64()),
+            })
+        lists = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = off[1:] - off[:-1]
+        codes = pc.dictionary_encode(lists.values).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
         vocab = int(codes.max()) + 1
-        didx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
         uk, counts = np.unique(didx * vocab + codes, return_counts=True)
         gdoc = uk // vocab
         starts = np.concatenate([[0], np.flatnonzero(np.diff(gdoc)) + 1])
@@ -1419,19 +1427,18 @@ def doc_repetition(sf_dir: str):
         n_distinct = np.diff(np.concatenate([starts, [len(uk)]]))
         top = np.maximum.reduceat(counts, starts)
         nw = n_words.astype(np.float64)
-        return pd.DataFrame(
-            {
-                "doc_id": doc_ids[gdoc[starts]],
-                "n_words": n_words.astype("int64"),
-                "n_distinct_words": n_distinct.astype("int64"),
-                "dup_word_frac": _round(1.0 - n_distinct / nw, 4),
-                "top_word_frac": _round(top / nw, 4),
-            }
-        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[gdoc[starts]]),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_distinct_words": pa.array(n_distinct.astype(np.int64)),
+            "dup_word_frac": pa.array(_round(1.0 - n_distinct / nw, 4)),
+            "top_word_frac": pa.array(_round(top / nw, 4)),
+        })
 
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(rep, batch_format="pandas")
+    ).map_batches(rep, batch_format="pyarrow")
 
 
 @register(
@@ -1493,30 +1500,49 @@ def tfidf_top_term(sf_dir: str):
         .aggregate(Sum("df_part", alias_name="df"))
         .to_pandas()
     )
-    dfreq = dict(zip(df_tbl["word"], df_tbl["df"].astype(float)))
+    dfk = pa.array(df_tbl["word"].to_numpy(dtype=object), type=pa.string())
+    dfv = df_tbl["df"].to_numpy(dtype=np.float64)
     n_docs = float(_pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        tf = (
-            df[["doc_id"]]
-            .assign(word=df["text"].str.split(" "))
-            .explode("word")
-            .groupby(["doc_id", "word"], as_index=False)
-            .size()
-        )
-        idf = np.log(n_docs / tf["word"].map(dfreq).to_numpy())
-        tf["score"] = _round(tf["size"].to_numpy() * idf, 4)
-        top = tf.sort_values(
-            ["doc_id", "score", "word"], ascending=[True, False, True],
-            kind="stable",
-        ).drop_duplicates("doc_id")
-        return pd.DataFrame(
-            {"doc_id": top["doc_id"].to_numpy(),
-             "top_term": top["word"].to_numpy(),
-             "score": top["score"].to_numpy()}
-        )
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "top_term": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.float64()),
+            })
+        lists = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = off[1:] - off[:-1]
+        denc = pc.dictionary_encode(lists.values)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = denc.dictionary
+        vocab = len(dic)
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        uk, counts = np.unique(didx * vocab + codes, return_counts=True)
+        gdoc, gcode = uk // vocab, uk % vocab
+        # per-dictionary-word idf (every batch word is in the global df)
+        dpos = pc.index_in(dic, value_set=dfk).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        idf = np.log(n_docs / dfv[dpos])
+        sc = _round(counts * idf[gcode], 4)
+        # lexicographic rank of the batch dictionary for the tie-break
+        dic_np = dic.to_numpy(zero_copy_only=False).astype(object)
+        wr = np.empty(vocab, dtype=np.int64)
+        wr[np.argsort(dic_np, kind="stable")] = np.arange(vocab)
+        order = np.lexsort((wr[gcode], -sc, gdoc))
+        first = order[
+            np.concatenate([[0], np.flatnonzero(np.diff(gdoc[order])) + 1])
+        ]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[gdoc[first]]),
+            "top_term": dic.take(pa.array(gcode[first])),
+            "score": pa.array(sc[first]),
+        })
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 @register(
@@ -1585,16 +1611,25 @@ def dedup_exact_q(sf_dir: str):
             "text", t.column("text").combine_chunks()
         )
 
-    def per_text(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("text", sort=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size")
+    def per_text(g: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(g.column("text").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        return out.reset_index(drop=True)
+        k = len(enc.dictionary)
+        mins = np.full(k, np.iinfo(np.int64).max)
+        np.minimum.at(mins, codes, ids)
+        return pa.table({
+            "doc_id": pa.array(mins),
+            "n_copies": pa.array(np.bincount(codes, minlength=k).astype(
+                np.int64)),
+        })
 
     verified = (
         ds.map_batches(fetch, batch_format="pyarrow")
         .groupby("fold")
-        .map_groups(per_text, batch_format="pandas")
+        .map_groups(per_text, batch_format="pyarrow")
         .map_batches(
             lambda t: t.select(["doc_id", "n_copies"]), batch_format="pyarrow"
         )
@@ -1658,37 +1693,55 @@ def training_mix(sf_dir: str):
     SPAN, B = 4096, 512
     rates = {"en": 50, "de": 30, "fr": 20}
 
-    def stage_a(df: pd.DataFrame) -> pd.DataFrame:
+    def stage_a(t: pa.Table) -> pa.Table:
         # quality window + fingerprint bucket + 128-bit content hash,
         # all INSIDE the scan task: text is dropped here and never
         # crosses an exchange (the dedup decision travels as (h1, h2))
-        n_tok = df["text"].str.split(" ").str.len().astype("int64")
-        df = df.assign(n_tokens=n_tok)
-        df = df[(df["n_tokens"] >= 20) & (df["n_tokens"] <= 90)]
-        h1, h2 = hashfn.hash_strings128(df["text"].to_numpy(dtype=object))
-        df = df.assign(
-            bucket=(
-                textfn.fingerprint64_batch(
-                    df["text"].to_numpy(dtype=object)
-                ).view(np.uint64)
-                % np.uint64(100)
-            ).astype(np.int64),
-            h1=h1,
-            h2=h2,
-            fold=hashfn.fold_pair_int64(h1, h2, 64),
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(t.column("text"), " ")),
+            pa.int64(),
         )
-        return df[["doc_id", "lang", "n_tokens", "bucket", "h1", "h2", "fold"]]
+        keep = pc.and_(pc.greater_equal(n_tok, pa.scalar(20)),
+                       pc.less_equal(n_tok, pa.scalar(90)))
+        t = t.append_column("n_tokens", n_tok).filter(keep)
+        texts = t.column("text").combine_chunks()
+        h1, h2 = hashfn.hash_strings128(
+            texts.to_numpy(zero_copy_only=False)
+        )
+        bucket = (
+            textfn.fingerprint64_batch(texts).view(np.uint64)
+            % np.uint64(100)
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_tokens": t.column("n_tokens"),
+            "bucket": pa.array(bucket),
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+            "fold": pa.array(hashfn.fold_pair_int64(h1, h2, 64)),
+        })
 
-    def sample(df: pd.DataFrame) -> pd.DataFrame:
-        thr = df["lang"].map(lambda l: rates.get(l, 10)).astype("int64")
-        df = df[df["bucket"] < thr]
-        return df.assign(part=(df["doc_id"] // SPAN).astype("int64"))
+    rate_keys = pa.array(sorted(rates), type=pa.string())
+    rate_vals = np.array([rates[k] for k in sorted(rates)], dtype=np.int64)
+
+    def sample(t: pa.Table) -> pa.Table:
+        pos = pc.fill_null(
+            pc.index_in(t.column("lang"), value_set=rate_keys), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        thr = np.where(pos < 0, 10, rate_vals[np.clip(pos, 0, None)])
+        keep = t.column("bucket").to_numpy(zero_copy_only=False) < thr
+        t = t.filter(pa.array(keep))
+        return t.append_column(
+            "part",
+            pc.divide(t.column("doc_id"), pa.scalar(SPAN, type=pa.int64())),
+        )
 
     filtered = (
         rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
         )
-        .map_batches(stage_a, batch_format="pandas")
+        .map_batches(stage_a, batch_format="pyarrow")
         .materialize()  # text-free; consumed by dedup marks + survivors
     )
     marks = (
@@ -1724,9 +1777,17 @@ def training_mix(sf_dir: str):
                 "fold": pa.array(hashfn.fold_pair_int64(h1, h2, 64)),
             })
 
-        def losers(g: pd.DataFrame) -> pd.DataFrame:
-            keep = g.groupby("text", sort=False)["doc_id"].transform("min")
-            return g.loc[g["doc_id"] != keep, ["doc_id"]]
+        def losers(g: pa.Table) -> pa.Table:
+            enc = pc.dictionary_encode(g.column("text").combine_chunks())
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            mins = np.full(len(enc.dictionary), np.iinfo(np.int64).max)
+            np.minimum.at(mins, codes, ids)
+            return pa.table({"doc_id": pa.array(ids[ids != mins[codes]])})
 
         lost = (
             rd.read_parquet(
@@ -1734,7 +1795,7 @@ def training_mix(sf_dir: str):
             )
             .map_batches(fetch, batch_format="pyarrow")
             .groupby("fold")
-            .map_groups(losers, batch_format="pandas")
+            .map_groups(losers, batch_format="pyarrow")
         )
         lost_parts = [
             b for b in lost.iter_batches(batch_format="pyarrow") if b.num_rows
@@ -1747,14 +1808,18 @@ def training_mix(sf_dir: str):
             ).astype(np.int64)
     dref = ray.put(drop_ids)
 
-    def survive(df: pd.DataFrame) -> pd.DataFrame:
+    def survive(t: pa.Table) -> pa.Table:
         d = ray.get(dref)
         if len(d):
-            df = df[~df["doc_id"].isin(d)]
-        return sample(df.drop(columns=["h1", "h2", "fold"]))
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+            t = t.filter(pa.array(d[pos] != ids))
+        return sample(t.drop_columns(["h1", "h2", "fold"]))
 
     survivors = (
-        filtered.map_batches(survive, batch_format="pandas")
+        filtered.map_batches(survive, batch_format="pyarrow")
         .materialize()  # consumed twice: offsets pass + pack pass
     )
     sums = (
@@ -1767,24 +1832,29 @@ def training_mix(sf_dir: str):
         zip(sums["part"], np.concatenate([[0], np.cumsum(sums["tok"].to_numpy())[:-1]]))
     )
 
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id")
-        tok = df["n_tokens"].to_numpy()
-        cum_before = int(offsets[df["part"].iloc[0]]) + np.concatenate(
+    def pack(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        o = np.argsort(ids, kind="stable")
+        take = pa.array(o)
+        tok = g.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[o]
+        part = int(g.column("part")[0].as_py())
+        cum_before = int(offsets[part]) + np.concatenate(
             [[0], np.cumsum(tok)[:-1]]
         )
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "lang": df["lang"].to_numpy(),
-                "n_tokens": tok,
-                "bucket": df["bucket"].to_numpy(),
-                "chunk_start": cum_before // B,
-                "offset_in_chunk": cum_before % B,
-            }
-        )
+        return pa.table({
+            "doc_id": pa.array(ids[o]),
+            "lang": g.column("lang").combine_chunks().take(take),
+            "n_tokens": pa.array(tok),
+            "bucket": g.column("bucket").combine_chunks().take(take),
+            "chunk_start": pa.array(cum_before // B),
+            "offset_in_chunk": pa.array(cum_before % B),
+        })
 
-    return survivors.groupby("part").map_groups(pack, batch_format="pandas")
+    return survivors.groupby("part").map_groups(pack, batch_format="pyarrow")
 
 
 @register(
@@ -1876,19 +1946,26 @@ def doc_shuffle_shards(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Count
 
-    def hashed(df: pd.DataFrame) -> pd.DataFrame:
-        h = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "h": h,
-                "bucket": [int(x[:2], 16) for x in h],
-            }
-        )
+    def hashed(t: pa.Table) -> pa.Table:
+        # md5 has no Arrow kernel; the per-row hash call is the kernel
+        # (C speed), everything around it stays Arrow
+        h = [hashlib.md5(s.encode()).hexdigest()
+             for s in t.column("text").to_pylist()]
+        harr = pa.array(h, type=pa.string())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "h": harr,
+            "bucket": pa.array(
+                np.frombuffer(
+                    bytes.fromhex("".join(x[:2] for x in h)), dtype=np.uint8
+                ).astype(np.int64)
+                if h else np.array([], dtype=np.int64)
+            ),
+        })
 
     hs = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(hashed, batch_format="pandas")
+        .map_batches(hashed, batch_format="pyarrow")
         .materialize()
     )
     counts = (
@@ -1901,17 +1978,22 @@ def doc_shuffle_shards(sf_dir: str):
         )
     )
 
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["h", "doc_id"], kind="stable")
-        pos = int(offsets[df["bucket"].iloc[0]]) + np.arange(
-            len(df), dtype=np.int64
+    def rank(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(), "pos": pos,
-             "shard": pos // 100}
+        h = g.column("h").to_numpy(zero_copy_only=False).astype(object)
+        o = np.lexsort((ids, h))
+        pos = int(offsets[int(g.column("bucket")[0].as_py())]) + np.arange(
+            len(ids), dtype=np.int64
         )
+        return pa.table({
+            "doc_id": pa.array(ids[o]),
+            "pos": pa.array(pos),
+            "shard": pa.array(pos // 100),
+        })
 
-    return hs.groupby("bucket").map_groups(rank, batch_format="pandas")
+    return hs.groupby("bucket").map_groups(rank, batch_format="pyarrow")
 
 
 def _minhash_prefix_sql() -> str:
@@ -2913,11 +2995,18 @@ def lang_top_docs(sf_dir: str):
             }
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
-                          kind="stable").head(5)
-        g = g.assign(rnk=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g
+    def topk(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nc = g.column("n_chars").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        o = np.lexsort((ids, -nc))[:5]
+        out = g.take(pa.array(o))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(o) + 1, dtype=np.int64))
+        )
 
     return (
         rd.read_parquet(
@@ -2925,7 +3014,7 @@ def lang_top_docs(sf_dir: str):
         )
         .map_batches(proj, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
 
 
@@ -3607,21 +3696,26 @@ def lang_distinct_words_hll(sf_dir: str):
 
     from .functions import sketch
 
-    def hll_partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = (
-            df[["lang"]].assign(word=df["text"].str.split(" ")).explode("word")
-        )
-        reg, rank = sketch.register_ranks(words["word"].to_numpy(dtype=object))
-        lang, reg2, mx = sketch.partial_max(
-            reg, rank, words["lang"].to_numpy(dtype=object)
-        )
-        return pd.DataFrame(
-            {"lang": lang, "reg": reg2, "mx": mx.astype("int64")}
-        )
+    def hll_partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        parent = pc.list_parent_indices(lists)
+        words = pc.list_flatten(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        langs = t.column("lang").combine_chunks().take(parent).to_numpy(
+            zero_copy_only=False
+        ).astype(object)
+        reg, rank = sketch.register_ranks(words)
+        lang, reg2, mx = sketch.partial_max(reg, rank, langs)
+        return pa.table({
+            "lang": pa.array(lang, type=pa.string()),
+            "reg": pa.array(np.asarray(reg2, dtype=np.int64)),
+            "mx": pa.array(mx.astype(np.int64)),
+        })
 
     merged = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
-        .map_batches(hll_partial, batch_format="pandas")
+        .map_batches(hll_partial, batch_format="pyarrow")
         .groupby(["lang", "reg"])
         .aggregate(Max("mx", alias_name="mx"))
         .to_pandas()  # langs x 1024 rows — driver-safe by construction
@@ -3659,35 +3753,52 @@ def source_rollup(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Sum
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        n_tok = df["text"].str.split(" ").str.len().astype("int64")
-        g = pd.DataFrame(
-            {"source": df["source"], "chars": df["text"].str.len().astype("int64"),
-             "toks": n_tok}
-        ).groupby("source", sort=False)
-        agg = g.agg(chars_part=("chars", "sum"), toks_part=("toks", "sum"),
-                    n_part=("chars", "size"))
-        return agg.reset_index()
+    def partial(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t.column("source").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        chars = pc.utf8_length(t.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        toks = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.zeros(k, dtype=np.int64)
+        np.add.at(cs, codes, chars)
+        ts = np.zeros(k, dtype=np.int64)
+        np.add.at(ts, codes, toks)
+        return pa.table({
+            "source": enc.dictionary,
+            "chars_part": pa.array(cs),
+            "toks_part": pa.array(ts),
+            "n_part": pa.array(np.bincount(codes, minlength=k).astype(
+                np.int64)),
+        })
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"source": df["source"],
-             "n_docs": df["n_docs"].astype("int64"),
-             "total_chars": df["total_chars"].astype("int64"),
-             "mean_tokens": _round(
-                 (df["toks"] / df["n_docs"]).to_numpy(dtype="float64"), 4)}
+    def finish(t: pa.Table) -> pa.Table:
+        toks = t.column("toks").to_numpy(zero_copy_only=False).astype(
+            np.float64
         )
+        n = t.column("n_docs").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+            "total_chars": pc.cast(t.column("total_chars"), pa.int64()),
+            "mean_tokens": pa.array(_round(toks / n, 4)),
+        })
 
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .aggregate(
             Sum("chars_part", alias_name="total_chars"),
             Sum("toks_part", alias_name="toks"),
             Sum("n_part", alias_name="n_docs"),
         )
-        .map_batches(finish, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -4088,15 +4199,32 @@ def geo_training_mix(sf_dir: str):
         )
         return t.append_column("fold", pa.array(fold))
 
-    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.loc[g.groupby("text", sort=False)["url"].idxmin()]
-        return keep[["polygon_id", "n_tokens"]]
+    def dedup_group(g: pa.Table) -> pa.Table:
+        codes = pc.dictionary_encode(
+            g.column("text").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = g.column("url").to_numpy(zero_copy_only=False).astype(object)
+        o = np.lexsort((urls, codes))
+        first = o[
+            np.concatenate([[0], np.flatnonzero(np.diff(codes[o])) + 1])
+        ]
+        return g.take(pa.array(first)).select(["polygon_id", "n_tokens"])
 
-    def rollup_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("polygon_id", sort=False).agg(
-            n_part=("n_tokens", "size"), tok_part=("n_tokens", "sum")
+    def rollup_partial(t: pa.Table) -> pa.Table:
+        pid = t.column("polygon_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
         )
-        return g.reset_index()
+        tok = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        u, inv, cnt = np.unique(pid, return_inverse=True, return_counts=True)
+        ts = np.zeros(len(u), dtype=np.int64)
+        np.add.at(ts, inv, tok)
+        return pa.table({
+            "polygon_id": pa.array(u),
+            "n_part": pa.array(cnt.astype(np.int64)),
+            "tok_part": pa.array(ts),
+        })
 
     from ray.data.aggregate import Sum
 
@@ -4104,8 +4232,8 @@ def geo_training_mix(sf_dir: str):
         _pages_geo_ds(sf_dir)
         .map_batches(pip_quality, batch_format="pyarrow")
         .groupby("fold")
-        .map_groups(dedup_group, batch_format="pandas")
-        .map_batches(rollup_partial, batch_format="pandas")
+        .map_groups(dedup_group, batch_format="pyarrow")
+        .map_batches(rollup_partial, batch_format="pyarrow")
         .groupby("polygon_id")
         .aggregate(
             Sum("n_part", alias_name="n_docs"),
@@ -4743,19 +4871,22 @@ def word_heavy_hitters(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Sum
 
-    def local_heavy(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].str.split(" ").explode().to_numpy(dtype=object)
-        u, c = np.unique(words, return_counts=True)
-        n_b = int(c.sum())
-        keep = c * 64 > n_b
-        return pd.DataFrame({"word": u[keep]})
+    def local_heavy(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            pc.list_flatten(
+                pc.split_pattern(t.column("text").combine_chunks(), " ")
+            )
+        )
+        c = vc.field("counts").to_numpy(zero_copy_only=False)
+        keep = c * 64 > int(c.sum())
+        return pa.table({"word": vc.field("values").filter(pa.array(keep))})
 
     cand_parts = [
         b
         for b in rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["text"]
         )
-        .map_batches(local_heavy, batch_format="pandas")
+        .map_batches(local_heavy, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
         if b.num_rows
     ]
@@ -4769,22 +4900,32 @@ def word_heavy_hitters(sf_dir: str):
     )
     cref = ray.put(cands)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def verify(t: pa.Table) -> pa.Table:
         want = ray.get(cref)
-        words = df["text"].str.split(" ").explode().to_numpy(dtype=object)
-        total = len(words)
-        u, c = np.unique(words, return_counts=True)
-        pos = np.searchsorted(want, u)
-        pos = np.clip(pos, 0, max(len(want) - 1, 0))
+        vc = pc.value_counts(
+            pc.list_flatten(
+                pc.split_pattern(t.column("text").combine_chunks(), " ")
+            )
+        )
+        u = vc.field("values").to_numpy(zero_copy_only=False).astype(object)
+        c = vc.field("counts").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        total = int(c.sum())
+        pos = np.clip(np.searchsorted(want, u), 0, max(len(want) - 1, 0))
         hit = (want[pos] == u) if len(want) else np.zeros(len(u), bool)
-        out = pd.DataFrame({"word": u[hit], "n_part": c[hit].astype("int64"),
-                            "is_total": False})
-        out.loc[len(out)] = ["", total, True]
-        return out
+        return pa.table({
+            "word": pa.array(
+                np.concatenate([u[hit], np.array([""], dtype=object)]),
+                type=pa.string(),
+            ),
+            "n_part": pa.array(np.concatenate([c[hit], [total]])),
+            "is_total": pa.array([False] * int(hit.sum()) + [True]),
+        })
 
     agg = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(verify, batch_format="pandas")
+        .map_batches(verify, batch_format="pyarrow")
         .groupby(["word", "is_total"])
         .aggregate(Sum("n_part", alias_name="n_occurrences"))
         .to_pandas()
@@ -4855,11 +4996,15 @@ def events_ntile(sf_dir: str):
         offsets[et] = dict(zip(grp["bucket"].to_numpy(), cum[:-1]))
         totals[et] = int(cum[-1])
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        et = g["event_type"].iloc[0]
-        b = int(g["bucket"].iloc[0])
-        g = g.sort_values(["value", "event_id"], kind="stable")
-        r = int(offsets[et][b]) + np.arange(len(g), dtype=np.int64)
+    def rank_group(g: pa.Table) -> pa.Table:
+        et = g.column("event_type")[0].as_py()
+        b = int(g.column("bucket")[0].as_py())
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, v))
+        r = int(offsets[et][b]) + np.arange(len(eid), dtype=np.int64)
         n = totals[et]
         base = n // K
         m = n % K
@@ -4869,10 +5014,12 @@ def events_ntile(sf_dir: str):
             r // max(base + 1, 1),
             m + np.where(base > 0, (r - first) // max(base, 1), 0),
         ) + 1
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "event_type": g["event_type"].to_numpy(),
-            "quartile": tile.astype(np.int64),
+        return pa.table({
+            "event_id": pa.array(eid[o]),
+            "event_type": g.column("event_type").combine_chunks().take(
+                pa.array(o)
+            ),
+            "quartile": pa.array(tile.astype(np.int64)),
         })
 
     def tag(t: pa.Table) -> pa.Table:
@@ -4883,7 +5030,7 @@ def events_ntile(sf_dir: str):
         src(["event_id", "event_type", "value"])
         .map_batches(tag, batch_format="pyarrow")
         .groupby(["event_type", "bucket"])
-        .map_groups(rank_group, batch_format="pandas")
+        .map_groups(rank_group, batch_format="pyarrow")
     )
 
 
@@ -5909,19 +6056,27 @@ def events_zscore(sf_dir: str):
     rd = _rd()
     from ray.data.aggregate import Sum
 
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(dtype=np.float64)
-        g = pd.DataFrame({"event_type": df["event_type"], "v": v, "v2": v * v})
-        out = g.groupby("event_type", sort=False).agg(
-            n_part=("v", "size"), s1_part=("v", "sum"), s2_part=("v2", "sum")
+    def moments(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
         )
-        return out.reset_index()
+        enc = pc.dictionary_encode(t.column("event_type").combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n_part": pa.array(np.bincount(codes, minlength=k)),
+            "s1_part": pa.array(np.bincount(codes, weights=v, minlength=k)),
+            "s2_part": pa.array(
+                np.bincount(codes, weights=v * v, minlength=k)
+            ),
+        })
 
     mom = (
         rd.read_parquet(
             f"{sf_dir}/events.parquet", columns=["event_type", "value"]
         )
-        .map_batches(moments, batch_format="pandas")
+        .map_batches(moments, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Sum("n_part", alias_name="n"),
@@ -5930,25 +6085,29 @@ def events_zscore(sf_dir: str):
         )
         .to_pandas()
     )
-    mean = mom["s1"] / mom["n"]
-    var = mom["s2"] / mom["n"] - mean * mean
-    std = np.sqrt(np.maximum(var.to_numpy(dtype=np.float64), 0.0))
-    lut = {
-        t: (float(m), float(s))
-        for t, m, s in zip(mom["event_type"], mean, std)
-    }
+    mean = (mom["s1"] / mom["n"]).to_numpy(dtype=np.float64)
+    var = (mom["s2"] / mom["n"]).to_numpy(dtype=np.float64) - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    types = pa.array(mom["event_type"].to_numpy(dtype=object),
+                     type=pa.string())
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        ms = df["event_type"].map(lut)
-        m = np.array([x[0] for x in ms], dtype=np.float64)
-        s = np.array([x[1] for x in ms], dtype=np.float64)
-        v = df["value"].to_numpy(dtype=np.float64)
+    def score(t: pa.Table) -> pa.Table:
+        pos = pc.index_in(t.column("event_type"), value_set=types).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        m, s = mean[pos], std[pos]
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
         z = np.where(s == 0, np.nan, (v - m) / np.where(s == 0, 1.0, s))
-        return pd.DataFrame({"event_id": df["event_id"], "z": _round(z, 4)})
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "z": pa.array(_round(z, 4)),
+        })
 
     return rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
-    ).map_batches(score, batch_format="pandas")
+    ).map_batches(score, batch_format="pyarrow")
 
 
 @register(
@@ -7291,3 +7450,97 @@ def embedding_kmeans(sf_dir: str):
         k=8, iters=5,
     )
     return out
+
+
+@register(
+    "near_dup_components",
+    r"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(nt, i, 5) AS sh
+      FROM norm,
+        LATERAL (SELECT unnest(generate_series(1, greatest(length(nt)-4, 1))) AS i) g
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE i / (ca.n + cb.n - i) >= 0.8e0
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(lab)) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def near_dup_components(sf_dir: str):
+    """Near-duplicate CLUSTER assignment for every document — the
+    apply step after pair finding: exact n-gram-Jaccard pairs (the
+    `ngram_jaccard_dups` PPJoin path, so the edge set is deterministic
+    and SQL-expressible) fed through DISTRIBUTED min-label propagation
+    (stages/dedup_docs.connected_components_distributed: each round a
+    hash join + groupby-min shuffle, dup graph never on the driver);
+    docs with no near-dup are their own singleton component.  The
+    oracle mirrors the propagation with a recursive CTE (reachability
+    closure + per-node min — fixpoint == O(diameter) rounds).
+
+    Scale note: the label map broadcast into the final attach pass is
+    DUP-CLUSTER-sized (nodes that have at least one near-dup pair),
+    not corpus-sized; at a crawl corpus' 30-50% dup rates swap the
+    broadcast for a hash left-join on doc_id, as exact_drop_ids'
+    anti-join gate does."""
+    import ray
+
+    from .stages import dedup_docs
+
+    rd = _rd()
+    docs_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup_docs.ngram_jaccard_pairs(docs_ds, threshold=0.8, k=5)
+    comp = dedup_docs.connected_components_distributed(pairs).to_pandas()
+    nodes = comp["doc_id"].to_numpy(dtype=np.int64)
+    labs = comp["component"].to_numpy(dtype=np.int64)
+    o = np.argsort(nodes, kind="stable")
+    nodes, labs = nodes[o], labs[o]
+    ref = ray.put((nodes, labs))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nd, lb = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(nd):
+            pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            compv = np.where(nd[pos] == ids, lb[pos], ids)
+        else:
+            compv = ids
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "component": pa.array(compv),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(attach, batch_format="pyarrow")
