@@ -319,7 +319,11 @@ def battery(sf_dir: str) -> dict:
                  # the two heaviest new TPC-H join shapes
                  "tpch_q9", "tpch_q21",
                  # round-4 corpus-hygiene additions
-                 "paragraph_dedup", "remove_duplicate_spans"):
+                 "paragraph_dedup", "remove_duplicate_spans",
+                 # round-4 continued: quality rules, boilerplate line
+                 # dedup, iterative k-means, near-dup components
+                 "gopher_quality_filter", "line_dedup_ccnet",
+                 "embedding_kmeans", "near_dup_components"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

@@ -7544,3 +7544,229 @@ def near_dup_components(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(attach, batch_format="pyarrow")
+
+
+@register(
+    "ann_range_search",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 8
+    ), n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), qn AS (
+      SELECT query_id, qe, SQRT(list_dot_product(qe, qe)) AS qnrm FROM q
+    )
+    SELECT qn.query_id, n.vec_id AS neighbor_id,
+           ROUND(list_dot_product(qn.qe, n.v) / (qn.qnrm * n.nrm), 4)
+             AS cosine
+    FROM qn CROSS JOIN n
+    WHERE n.vec_id != qn.query_id
+      AND list_dot_product(qn.qe, n.v) / (qn.qnrm * n.nrm) >= 0.3
+    """,
+)
+def ann_range_search(sf_dir: str):
+    """Radius (range) similarity search — the third query shape after
+    top-k (`ann_topk`) and all-pairs (`embedding_near_dups`): ALL
+    corpus vectors within cosine >= threshold of each query, query
+    matrix broadcast once via ray.put and probed per batch with one
+    numpy matmul (stateless task pool — no actor spin-up, the
+    brute_force_topk lesson).  Unlike top-k there is no global merge
+    step at all: the per-batch threshold filter IS the final answer,
+    so the operator is one embarrassingly-parallel pass.  Cosine trees
+    (dot / (|q||v|)) and 4-decimal rounding mirror the SQL exactly."""
+    import ray
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(8)))
+    from .stages.similarity import _stack
+
+    Q = _stack(q, "embedding")
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    qids = q.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((qids, Q, qn))
+    THR = 0.3
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids, Qm, qnrm = ray.get(ref)
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64()),
+        })
+        if t.num_rows == 0 or len(ids) == 0:
+            return empty
+        V = _stack(t, "embedding")
+        vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cos = (Qm @ V.T) / (qnrm[:, None] * vn[None, :])
+        hit = (cos >= THR) & (ids[:, None] != vid[None, :])
+        qi, vi = np.nonzero(hit)
+        return pa.table({
+            "query_id": pa.array(ids[qi]),
+            "neighbor_id": pa.array(vid[vi]),
+            "cosine": pa.array(_round(cos[qi, vi], 4)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(probe, batch_format="pyarrow")
+
+
+@register(
+    "events_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+             AS n_view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+             AS n_signup,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_error,
+           ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 4)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(sf_dir: str):
+    """PIVOT / cross-tab: one wide row per user with per-type event
+    counts and purchase value — long→wide reshaping, the feature-table
+    export shape.  Distributed: each batch pre-aggregates the FULL
+    wide row per user (bincount over user×type codes — the pivot
+    happens map-side, so the exchange carries users×blocks wide rows,
+    never per-event rows), then one groupby-sum over every wide
+    column.  The fixed column set comes from the schema's closed
+    event-type domain; an open domain would use the two-pass
+    vocabulary-discovery pattern of tfidf_top_term."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    TYPES = ["click", "view", "purchase", "signup", "error"]
+    tset = pa.array(TYPES, type=pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ti = pc.index_in(t.column("event_type"), value_set=tset).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        val = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        uu, inv = np.unique(uid, return_inverse=True)
+        k = len(uu)
+        cnt = np.zeros((k, len(TYPES)), dtype=np.int64)
+        np.add.at(cnt, (inv, ti), 1)
+        pv = np.zeros(k, dtype=np.float64)
+        np.add.at(pv, inv[ti == 2], val[ti == 2])
+        cols = {"user_id": pa.array(uu)}
+        for j, ty in enumerate(TYPES):
+            cols[f"n_{ty}_p"] = pa.array(cnt[:, j])
+        cols["pv_p"] = pa.array(pv)
+        return pa.table(cols)
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            *[Sum(f"n_{ty}_p", alias_name=f"n_{ty}") for ty in TYPES],
+            Sum("pv_p", alias_name="pv"),
+        )
+        .to_pandas()
+    )
+    agg["purchase_value"] = _round(agg["pv"].to_numpy(dtype=np.float64), 4)
+    # users with zero purchases: SQL's SUM FILTER yields NULL
+    agg.loc[agg["n_purchase"] == 0, "purchase_value"] = np.nan
+    return agg[
+        ["user_id"] + [f"n_{ty}" for ty in TYPES] + ["purchase_value"]
+    ]
+
+
+@register(
+    "events_running_total",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ), 4) AS running_value,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def events_running_total(sf_dir: str):
+    """Cumulative window function: per-user running SUM(value) and
+    event sequence number in time order — the running-total /
+    prefix-scan class.  Distributed on the coarse user fold (the
+    events_lag shuffle rule: never group on raw user_id), then ONE
+    lexsort + segmented cumsum per group: the cumsum restarts at each
+    user boundary by subtracting the per-user offset (vectorized — no
+    per-user loop)."""
+    rd = _rd()
+    from .functions import hashing
+
+    def tag(t: pa.Table) -> pa.Table:
+        fold = hashing.fold_int64(
+            t.column("user_id").to_numpy(zero_copy_only=False), 64
+        )
+        return t.append_column("fold", pa.array(fold))
+
+    def scan(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = g.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        o = np.lexsort((eid, ts, u))
+        u, eid, v = u[o], eid[o], v[o]
+        cum = np.cumsum(v)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(u)) + 1])
+        counts = np.diff(np.concatenate([starts, [len(u)]]))
+        # per-user offset = global cumsum just before the user's first
+        # row (sign-safe, unlike a maximum.accumulate trick)
+        off = np.repeat(
+            np.concatenate([[0.0], cum[starts[1:] - 1]]), counts
+        )
+        run = cum - off
+        seq = np.arange(len(u), dtype=np.int64) - np.repeat(
+            starts, counts
+        ) + 1
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(u),
+            "running_value": pa.array(_round(run, 4)),
+            "seq": pa.array(seq),
+        })
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(scan, batch_format="pyarrow")
+    )
