@@ -91,5 +91,15 @@ class EngineConfig:
     with_length: bool = True
     with_area: bool = True
 
+    # --- cascade -------------------------------------------------------
+    #: follow the relation→relation reverse hop in the dirty cascade
+    #: (J7).  Default False = reference parity: the reference's own
+    #: rel-of-rel query exists but is never invoked from run()
+    #: (OsmChangeHandler.cpp:289-304 has no caller); enabling this
+    #: dirties relations whose members are dirty/changed RELATIONS too
+    #: (one hop, no transitive closure — matching the dead code's
+    #: shape).
+    rel_of_rel_hop: bool = False
+
 
 DEFAULT_CONFIG = EngineConfig()

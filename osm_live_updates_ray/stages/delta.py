@@ -244,6 +244,21 @@ def classify(changes: pa.Table, store: StateStore) -> DeltaPlan:
         rels_in_cf,
     )
 
+    # --- J7 (option-gated, default OFF = reference parity): relations
+    # referencing dirty/changed RELATIONS — the reference's own
+    # rel-of-rel query is dead code (OsmChangeHandler.cpp:289-304 has
+    # no caller in run()); when enabled this follows ONE hop, matching
+    # the dead code's shape (no transitive closure).
+    if store.config.rel_of_rel_hop:
+        seed = np.unique(np.concatenate([rels_in_cf, rels_to_update]))
+        if len(seed):
+            extra = _setdiff(
+                store.relations_referencing_relations(seed), seed
+            )
+            rels_to_update = np.unique(
+                np.concatenate([rels_to_update, extra])
+            )
+
     # --- closure pass over change-file ways/relations
     # (ReferencesHandler::way/relation, ReferencesHandler.cpp:26-60)
     referenced_nodes_l: list[np.ndarray] = []

@@ -705,6 +705,25 @@ class StateStore:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(out))
 
+    def relations_referencing_relations(
+        self, rel_ids: np.ndarray
+    ) -> np.ndarray:
+        """J7 (reference OsmChangeHandler.cpp:289-304 — dead code there,
+        option-gated here via EngineConfig.rel_of_rel_hop): distinct
+        relation ids having a RELATION member in rel_ids.  Same
+        partition-pruned reverse-member lookup as
+        :meth:`relations_referencing`, filtered to member_type
+        'relation'; one hop, no transitive closure (the dead code's
+        shape)."""
+        if len(rel_ids) == 0:
+            return np.empty(0, dtype=np.int64)
+        t = self.lookup(
+            "rel_members_by_member", rel_ids,
+            columns=["rel_id", "member_type"],
+        )
+        t = t.filter(pc.equal(t.column("member_type"), "relation"))
+        return np.unique(t.column("rel_id").to_numpy(zero_copy_only=False))
+
     def way_member_nodes(self, way_ids: np.ndarray) -> np.ndarray:
         """J4 (writeQueryForReferencedNodes, QueryWriter.cpp:316-326):
         distinct member node ids of the given ways."""

@@ -136,6 +136,42 @@ class TestClassification:
         plan = delta.classify(t, store)
         assert child["id"] not in plan.relations_to_update_geometry
 
+    def test_relation_of_relation_hop_option(self, store, t1_world):
+        # J7 behind EngineConfig.rel_of_rel_hop (the reference's own
+        # rel-of-rel query is dead code — OsmChangeHandler.cpp:289-304
+        # has no caller): ONE reverse hop, no transitive closure
+        from osm_live_updates_ray.config import EngineConfig
+        from osm_live_updates_ray.state.store import StateStore
+
+        rels = t1_world["osm_relations"].to_pylist()
+        child = next(
+            r for r in rels
+            if any(m["type"] == "relation" for m in r["members"])
+        )
+        child_of = next(
+            m["ref"] for m in child["members"] if m["type"] == "relation"
+        )
+        t = mk_changes(
+            [{"id": child_of, "type": "relation", "action": "modify",
+              "version": 9, "members": rels[child_of]["members"],
+              "tags": [("type", "multipolygon")]}]
+        )
+        hop_store = StateStore(
+            store.root, config=EngineConfig(rel_of_rel_hop=True)
+        )
+        plan = delta.classify(t, hop_store)
+        assert child["id"] in plan.relations_to_update_geometry
+        # one hop only: a relation referencing `child` stays clean
+        grandparent = next(
+            (r for r in rels if any(
+                m["type"] == "relation" and m["ref"] == child["id"]
+                for m in r["members"]
+            )),
+            None,
+        )
+        if grandparent is not None:
+            assert grandparent["id"] not in plan.relations_to_update_geometry
+
     def test_create_way_external_refs(self, store):
         # FIXTURES scenario 6: created way whose member nodes are not in
         # the delta => referenced closure; missing members tolerated
