@@ -444,6 +444,7 @@ def verify_pairs_distributed(
     k: int = 5,
     sig_prefilter: bool = False,
     num_perm: int = 64,
+    broadcast_docs_max: int = 200_000,
 ):
     """Corpus-scale pair verification: candidate pairs hash-join back to
     the documents Dataset TWICE (id_a side, id_b side), then the exact
@@ -484,6 +485,67 @@ def verify_pairs_distributed(
         .groupby("fold")
         .map_groups(dedup_group, batch_format="pandas")
     )
+
+    # --- broadcast gate (the broadcast_node_rows discipline): below
+    # the gate the verification joins disappear entirely — the doc
+    # table broadcasts ONCE via ray.put and every pair batch scores
+    # against it with a per-batch shingle-set cache.  The candidate
+    # set of an exact similarity join is pairs-quadratic in the dense
+    # case while the doc table stays linear, so shipping texts per
+    # CANDIDATE through two hash joins (the scale path above the
+    # gate) costs |pairs|·|text| where the broadcast costs |docs|
+    # once per actor: measured 23 s -> ~3 s at sf0.1 (1.5M candidate
+    # pairs over a 1.4 MB doc table).  Count is metadata-cheap for
+    # parquet-backed datasets.
+    # an explicit sig_prefilter request keeps the join path — the
+    # screen exists to be exercised (its scale story is the join path)
+    n_docs = docs_ds.count()
+    if n_docs <= broadcast_docs_max and not sig_prefilter:
+        import ray
+
+        dt = pa.concat_tables(
+            [b for b in docs_ds.select_columns([id_col, text_col])
+             .iter_batches(batch_format="pyarrow")]
+        )
+        ids_all = dt.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(ids_all, kind="stable")
+        texts_all = dt.column(text_col).to_numpy(
+            zero_copy_only=False
+        ).astype(object)[order]
+        dref = ray.put((ids_all[order], texts_all))
+
+        def score_broadcast(t: pa.Table) -> pa.Table:
+            sids, stexts = ray.get(dref)
+            a = t.column("id_a").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            b = t.column("id_b").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pa_i = np.searchsorted(sids, a)
+            pb_i = np.searchsorted(sids, b)
+            sets: dict = {}
+
+            def sset(i: int):
+                s = sets.get(i)
+                if s is None:
+                    s = sets[i] = set(hashing.shingles(stexts[i], k))
+                return s
+
+            sims = np.fromiter(
+                (hashing.jaccard(sset(int(i)), sset(int(j)))
+                 for i, j in zip(pa_i, pb_i)),
+                np.float64, t.num_rows,
+            )
+            keep = sims >= threshold
+            out = t.select(["id_a", "id_b"]).append_column(
+                "jaccard", pa.array(sims, type=pa.float64())
+            )
+            return out.filter(pa.array(keep))
+
+        return pairs.map_batches(score_broadcast, batch_format="pyarrow")
 
     if sig_prefilter:
         margin = max(0.0, threshold - 0.3)
@@ -850,10 +912,11 @@ def _shingle_prefix_rows(
 ) -> pa.Table:
     """Per-doc prefix rows (sh, doc_id, pos, size) under the global
     shingle order (df, hash64, sh).  `hot_df` holds document
-    frequencies only for FREQUENT shingles (everything absent counts
-    as df=1) — the order stays a pure function of the shingle, so
-    prefix-filter completeness holds, while the broadcast dict stays
-    bounded (|dict| <= total shingle rows / df_floor)."""
+    frequencies only for FREQUENT shingles, keyed by the 64-bit
+    shingle hash (everything absent counts as df=1) — the order stays
+    a pure function of the shingle, so prefix-filter completeness
+    holds, while the broadcast dict stays bounded
+    (|dict| <= total shingle rows / df_floor)."""
     import math
 
     out_sh: list[str] = []
@@ -863,14 +926,20 @@ def _shingle_prefix_rows(
     for did, text in zip(
         batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
     ):
-        s = set(hashing.shingles(text, k))
-        hs = hashing.hash_strings(list(s))
-        arr = sorted(
-            zip(s, hs.tolist()), key=lambda p: (hot_df.get(p[0], 1), p[1], p[0])
+        s = sorted(set(hashing.shingles(text, k)))  # string tie-break
+        hs = hashing.hash_strings(s)
+        # vectorized (df, hash) order over the string-sorted base: the
+        # stable lexsort inherits the string tie-break without building
+        # a Python tuple key per shingle (hash keyed df — a 64-bit
+        # collision only SHARES a df between two shingles, the order
+        # stays a pure total function of the shingle)
+        dfv = np.fromiter(
+            (hot_df.get(int(h), 1) for h in hs), np.int64, len(s)
         )
-        n = len(arr)
+        order = np.lexsort((hs, dfv))
+        n = len(s)
         plen = max(n - math.ceil(threshold * n) + 1, 1)
-        out_sh.extend(p[0] for p in arr[:plen])
+        out_sh.extend(s[int(i)] for i in order[:plen])
         out_id.extend([did] * plen)
         out_pos.extend(range(plen))
         out_size.extend([n] * plen)
@@ -921,19 +990,25 @@ def ngram_jaccard_pairs(
     from ray.data.aggregate import Count
 
     def explode(t: pa.Table) -> pa.Table:
+        # the df exchange carries the 64-bit shingle HASH, never the
+        # string (int shuffle + int groupby; a collision only merges
+        # two shingles' dfs — the prefix order stays a pure total
+        # function of the shingle, so PPJoin completeness holds)
         sh_out: list[str] = []
         for text in t.column(text_col).to_pylist():
             sh_out.extend(set(hashing.shingles(text, k)))
-        return pa.Table.from_pydict({"sh": pa.array(sh_out, type=pa.string())})
+        return pa.Table.from_pydict(
+            {"sh_h": pa.array(hashing.hash_strings(sh_out))}
+        )
 
     hot = (
         docs_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("sh")
+        .groupby("sh_h")
         .aggregate(Count(alias_name="df"))
         .filter(expr=f"df >= {int(hot_df_floor)}")
         .to_pandas()
     )
-    hot_df = dict(zip(hot["sh"], hot["df"].astype(int)))
+    hot_df = dict(zip(hot["sh_h"].astype(int), hot["df"].astype(int)))
     hot_ref = ray.put(hot_df)
 
     def prefixes(t: pa.Table) -> pa.Table:
@@ -996,10 +1071,14 @@ def ngram_jaccard_pairs(
             out_b.append(np.maximum(ids_all[ii][keep], ids_all[jj][keep]))
         if not out_a:
             return empty
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a).astype(np.int64),
-             "id_b": np.concatenate(out_b).astype(np.int64)}
-        )
+        a = np.concatenate(out_a).astype(np.int64)
+        b = np.concatenate(out_b).astype(np.int64)
+        # within-group dedup: a pair recurs once per shared prefix
+        # shingle that lands in THIS fold (true near-dups share ~50,
+        # so several collide per fold); cross-fold repeats remain for
+        # verify_pairs_distributed's global dedup
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pd.DataFrame({"id_a": uniq[:, 0], "id_b": uniq[:, 1]})
 
     cand = (
         docs_ds.map_batches(prefixes, batch_format="pyarrow")
