@@ -672,7 +672,6 @@ def kmeans_lloyd_quantized(ds, k: int = 8, iters: int = 5):
     100-TB form (no corpus-sized working set pinned in the object
     store)."""
     import ray
-    from ray.data.aggregate import Sum
 
     from ..functions.hashing import hash_int64
 
@@ -724,20 +723,26 @@ def kmeans_lloyd_quantized(ds, k: int = 8, iters: int = 5):
             return pa.table({"key": pa.array(keys[nz]),
                              "s": pa.array(vals[nz])})
 
-        agg = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("key")
-            .aggregate(Sum("s", alias_name="v"))
-            .to_pandas()
-        )
-        keys = agg["key"].to_numpy(dtype=np.int64)
-        vals = agg["v"].to_numpy(dtype=np.int64)
+        # the per-block partials are k·(dim+1) rows — blocks-tiny at any
+        # corpus size — so the reduce is a driver-side integer np.add
+        # over streamed batches, not a groupby shuffle (saves one
+        # AllToAll per iteration; int sums are order-free so the
+        # result is identical)
         sums = np.zeros((k_eff, dim), dtype=np.int64)
         cnt = np.zeros(k_eff, dtype=np.int64)
-        is_cnt = keys >= k_eff * dim
-        cnt[keys[is_cnt] - k_eff * dim] = vals[is_cnt]
-        fk = keys[~is_cnt]
-        sums[fk // dim, fk % dim] = vals[~is_cnt]
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            keys = b.column("key").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vals = b.column("s").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            is_cnt = keys >= k_eff * dim
+            np.add.at(cnt, keys[is_cnt] - k_eff * dim, vals[is_cnt])
+            fk = keys[~is_cnt]
+            np.add.at(sums, (fk // dim, fk % dim), vals[~is_cnt])
         live = cnt > 0
         cent = cent.copy()
         cent[live] = sums[live] // cnt[live][:, None]
