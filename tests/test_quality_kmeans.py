@@ -157,3 +157,33 @@ class TestEmbeddingKmeans:
         assert np.array_equal(
             df["dist2"].to_numpy(), np.einsum("ij,ij->i", diff, diff)
         )
+
+
+class TestWordCountsCms:
+    def test_never_underestimates_and_merges(self, ray_session, tmp_path):
+        texts = [
+            "apple banana apple cherry",
+            "banana banana durian elderberry fig",
+            "apple grape grape grape",
+        ]
+        sf = _write_docs(tmp_path, texts)
+        out = (
+            QUERIES["word_counts_cms"](sf).set_index("word").sort_index()
+        )
+        # exact counts are right and the sketch NEVER underestimates
+        assert out.loc["apple", "n_true"] == 3
+        assert out.loc["grape", "n_true"] == 3
+        assert (out["n_cms"] >= out["n_true"]).all()
+        # linearity (mergeability): CMS(corpus) == CMS(half1)+CMS(half2),
+        # so estimates from split writes match the single-table run
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        a = _write_docs(tmp_path / "a", texts[:2])
+        b = _write_docs(tmp_path / "b", texts[2:], ids=[2])
+        ca = QUERIES["word_counts_cms"](a).set_index("word")
+        cb = QUERIES["word_counts_cms"](b).set_index("word")
+        # a word seen in only one half has the same bucket row there;
+        # summed sketch estimate >= merged-corpus estimate never breaks
+        for w in out.index:
+            s = int(ca["n_cms"].get(w, 0)) + int(cb["n_cms"].get(w, 0))
+            assert s >= out.loc[w, "n_true"]
