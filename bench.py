@@ -323,7 +323,9 @@ def battery(sf_dir: str) -> dict:
                  # round-4 continued: quality rules, boilerplate line
                  # dedup, iterative k-means, near-dup components
                  "gopher_quality_filter", "line_dedup_ccnet",
-                 "embedding_kmeans", "near_dup_components"):
+                 "embedding_kmeans", "near_dup_components",
+                 # round-4 continued: semantic dedup + DSIR weights
+                 "semdedup", "dsir_importance"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

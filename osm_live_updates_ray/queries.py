@@ -6951,6 +6951,28 @@ def quality_filter_quantile(sf_dir: str):
     ).map_batches(keep, batch_format="pyarrow")
 
 
+def _bigram_pairs_of(t: pa.Table):
+    """(doc_ids, n_bigrams_per_doc, pair_keys, first_tokens) for a
+    (doc_id, text) batch — the shared vectorized bigram extractor
+    (shifted-take over the split-list values buffer, one
+    binary_join_element_wise; no per-row Python)."""
+    text = t.column("text").combine_chunks()
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    lists = pc.split_pattern(text, " ")
+    off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = np.maximum(off[1:] - off[:-1] - 1, 0)
+    tot = int(nb.sum())
+    if tot == 0:
+        e = pa.array([], type=pa.string())
+        return ids, nb, e, e
+    excl = np.concatenate([[0], np.cumsum(nb)[:-1]])
+    starts = np.repeat(off[:-1], nb) + (np.arange(tot) - np.repeat(excl, nb))
+    V = lists.values
+    a = V.take(pa.array(starts))
+    b = V.take(pa.array(starts + 1))
+    return ids, nb, pc.binary_join_element_wise(a, b, pa.scalar(" ")), a
+
+
 @register(
     "doc_bigram_lm_score",
     """
@@ -7001,24 +7023,7 @@ def doc_bigram_lm_score(sf_dir: str):
     from ray.data.aggregate import Sum
 
     rd = _rd()
-
-    def pairs_of(t: pa.Table):
-        """(doc_ids, n_bigrams_per_doc, pair_keys, first_tokens)."""
-        text = t.column("text").combine_chunks()
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        lists = pc.split_pattern(text, " ")
-        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        nb = np.maximum(off[1:] - off[:-1] - 1, 0)
-        tot = int(nb.sum())
-        if tot == 0:
-            e = pa.array([], type=pa.string())
-            return ids, nb, e, e
-        excl = np.concatenate([[0], np.cumsum(nb)[:-1]])
-        starts = np.repeat(off[:-1], nb) + (np.arange(tot) - np.repeat(excl, nb))
-        V = lists.values
-        a = V.take(pa.array(starts))
-        b = V.take(pa.array(starts + 1))
-        return ids, nb, pc.binary_join_element_wise(a, b, pa.scalar(" ")), a
+    pairs_of = _bigram_pairs_of
 
     def partial(t: pa.Table) -> pa.Table:
         _, _, pairs, _ = pairs_of(t)
@@ -7923,3 +7928,261 @@ def word_counts_cms(sf_dir: str):
         "n_true": truec["n_true"].to_numpy(dtype=np.int64),
         "n_cms": est,
     })
+
+
+def _semdedup_sql(k: int = 8, iters: int = 5,
+                  T: int = 360_000_000_000_000) -> str:
+    """SemDeDup oracle: the full k-means trajectory mirror
+    (`_embedding_kmeans_sql`, bit-exact integer Lloyd) nested as a CTE,
+    then a within-cluster pairwise integer-L2 self-join — a vector is a
+    semantic duplicate iff SOME smaller vec_id in its cluster sits
+    within quantized dist2 <= T.  Every comparison is int64/int128, so
+    the dup set is bit-identical between numpy and DuckDB."""
+    return f"""
+    WITH asg AS (
+      {_embedding_kmeans_sql(k, iters)}
+    ),
+    qe2 AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS d,
+             CAST(FLOOR((CAST(UNNEST(embedding) AS DOUBLE) + 1) * 16777216)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    dup AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT b.vec_id
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN qe2 qa ON qa.vec_id = a.vec_id
+        JOIN qe2 qb ON qb.vec_id = b.vec_id AND qb.d = qa.d
+        GROUP BY a.vec_id, b.vec_id
+        HAVING SUM((qa.q - qb.q) * (qa.q - qb.q)) <= {T}
+      )
+    )
+    SELECT a.vec_id, a.cluster,
+           a.vec_id IN (SELECT vec_id FROM dup) AS is_dup
+    FROM asg a
+    """
+
+
+@register("semdedup", _semdedup_sql())
+def semdedup(sf_dir: str):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then mark
+    within-cluster near-duplicates — clustering turns the quadratic
+    all-pairs problem into k independent group-local ones.  Dup rule
+    here: a vector is dropped iff a SMALLER vec_id in its cluster is
+    within quantized L2 dist2 <= T (deterministic keep-first greedy;
+    the paper keeps the member farthest from the centroid — same
+    candidate structure, different tie policy).  Integer fixed-point
+    vectors end-to-end (the kmeans/LSH oracle discipline), so both the
+    clustering AND the dup set are SQL-exact.
+
+    Distributed shape: k-means via `kmeans_lloyd_quantized` (per-
+    iteration exchange = k·(dim+1) int64 rows per block, driver
+    reduce), then ONE assignment pass re-tags vectors with their
+    cluster and ONE groupby(cluster) shuffle co-locates each cluster;
+    the group kernel sorts by vec_id and scans row-blocks against the
+    id-prefix with chunked int64 matmuls (peak memory = block x
+    cluster, never cluster^2).  At 100 TB pick k ~ sqrt(N) (the
+    paper's regime): groups stay ~sqrt-corpus-sized and the shuffle
+    carries dim+2 int64s per vector, no text."""
+    import ray
+
+    from .stages.similarity import (
+        _kmeans_assign,
+        _stack,
+        kmeans_lloyd_quantized,
+        kmeans_quantize,
+    )
+
+    rd = _rd()
+    T = 360_000_000_000_000
+    path = f"{sf_dir}/embeddings.parquet"
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    cent, _ = kmeans_lloyd_quantized(emb, k=8, iters=5)
+    cref = ray.put(cent)
+
+    def tag(t: pa.Table, _ref=cref) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+                "q": pa.array([], type=pa.list_(pa.int64())),
+            })
+        C = ray.get(_ref)
+        Q = kmeans_quantize(_stack(t, "embedding"))
+        a = _kmeans_assign(Q, C)
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "cluster": pa.array(a.astype(np.int64)),
+            "q": pa.array(list(Q), type=pa.list_(pa.int64())),
+        })
+
+    def mark(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        flat = (
+            g.column("q").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        Q = flat.reshape(len(ids), -1)
+        o = np.argsort(ids, kind="stable")
+        ids, Q = ids[o], Q[o]
+        n2 = np.einsum("ij,ij->i", Q, Q)
+        dup = np.zeros(len(ids), dtype=bool)
+        BX = 1024
+        for s in range(1, len(ids), BX):
+            e = min(s + BX, len(ids))
+            G = Q[s:e] @ Q[:e].T
+            D = n2[s:e, None] + n2[None, :e] - 2 * G
+            hit = (D <= T) & (
+                np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            )
+            dup[s:e] = hit.any(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": g.column("cluster").take(pa.array(o)),
+            "is_dup": pa.array(dup),
+        })
+
+    return (
+        emb.map_batches(tag, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+
+
+def _dsir_sql(B: int = 512, target_lang: str = "en") -> str:
+    """Bit-exact DuckDB mirror of the DSIR hashed-bigram importance
+    weight: bucket = splitmix64(FNV-poly(pair)) % B (the
+    word_counts_cms hash chain over 'w1 w2' pair strings), smoothed
+    bucket distributions from integer counts, per-doc weight =
+    SUM(LN(p_target/p_raw)) rounded to 4 decimals (the
+    doc_bigram_lm_score float discipline — the LN argument is the
+    same IEEE double on both sides)."""
+    from .stages.sketchq import splitmix64_sql
+
+    poly = """CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(pair)+1),
+                           j -> CAST(unicode(substr(pair, j, 1)) AS UHUGEINT))),
+            (a, c) -> (a * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT)"""
+    fin = splitmix64_sql("CAST(p AS HUGEINT)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, lang, UNNEST(w) AS tok,
+             UNNEST(range(1, len(w) + 1)) AS ord
+      FROM toks
+    ), big AS (
+      SELECT doc_id, lang,
+             tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+               AS pair
+      FROM words
+    ), bp AS (SELECT doc_id, lang, pair FROM big WHERE pair IS NOT NULL),
+    p0 AS (SELECT doc_id, lang, {poly} AS p FROM bp),
+    hb AS (SELECT doc_id, lang, {fin} % {B} AS b FROM p0),
+    cr AS (SELECT b, COUNT(*) AS c FROM hb GROUP BY b),
+    ctg AS (SELECT b, COUNT(*) AS c FROM hb
+            WHERE lang = '{target_lang}' GROUP BY b),
+    tot AS (SELECT COUNT(*) AS nr,
+                   COUNT(*) FILTER (WHERE lang = '{target_lang}') AS nt
+            FROM hb)
+    SELECT hb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(LN(((COALESCE(ctg.c, 0) + 1.0) / (tot.nt + {B})) /
+                        ((cr.c + 1.0) / (tot.nr + {B})))), 4) AS dsir_logw
+    FROM hb JOIN cr ON cr.b = hb.b LEFT JOIN ctg ON ctg.b = hb.b, tot
+    GROUP BY hb.doc_id
+    """
+
+
+@register("dsir_importance", _dsir_sql())
+def dsir_importance(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling"):
+    per-doc log importance weight under hashed-bigram bag-of-ngrams
+    models of a TARGET distribution (here the 'en' slice — the
+    quality-proxy subset) vs the RAW corpus: logw(doc) =
+    sum over the doc's hashed bigrams of ln(p_target(b)/p_raw(b)),
+    add-1-smoothed over B=512 buckets.  Docs are then resampled
+    proportional to exp(logw) — the weight column is the operator.
+
+    Distributed shape (the CMS/k-means partial-reduce pattern): pass 1
+    streams the corpus once, emitting per-batch bucket-count partials
+    for raw (keys 0..B-1) and target (keys B..2B-1) — at most 2B int64
+    rows per block, corpus-size independent — reduced on the driver
+    into the 2xB model; the B-float score vector broadcasts via
+    ray.put.  Pass 2 is a shuffle-free scorer: hashed bigrams ->
+    score-vector gather -> per-doc segment sum.  No exchange ever
+    carries text or a vocabulary; the model is O(B) by construction —
+    exactly the property that makes DSIR run at web scale."""
+    import ray
+
+    from .functions import hashing
+
+    rd = _rd()
+    B, LANG = 512, "en"
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def buckets_of(t: pa.Table):
+        ids, nb, pairs, _ = _bigram_pairs_of(t)
+        if int(nb.sum()) == 0:
+            return ids, nb, np.empty(0, dtype=np.int64)
+        pv = pairs.to_numpy(zero_copy_only=False).astype(object)
+        h = hashing.hash_strings_poly(pv).view(np.uint64) % np.uint64(B)
+        return ids, nb, h.astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, nb, b = buckets_of(t)
+        if len(b) == 0:
+            return pa.table({
+                "key": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            })
+        lang = t.column("lang").to_numpy(zero_copy_only=False).astype(object)
+        is_t = np.repeat(lang == LANG, nb)
+        cnt = np.concatenate([
+            np.bincount(b, minlength=B),
+            np.bincount(b[is_t], minlength=B),
+        ])
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "key": pa.array(nz.astype(np.int64)),
+            "cnt": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    model = np.zeros(2 * B, dtype=np.int64)
+    for bt in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            model,
+            bt.column("key").to_numpy(zero_copy_only=False),
+            bt.column("cnt").to_numpy(zero_copy_only=False),
+        )
+    nr, nt = int(model[:B].sum()), int(model[B:].sum())
+    score = np.log(
+        ((model[B:] + 1.0) / (nt + B)) / ((model[:B] + 1.0) / (nr + B))
+    )
+    sref = ray.put(score)
+
+    def scorer(t: pa.Table, _ref=sref) -> pa.Table:
+        s = ray.get(_ref)
+        ids, nb, b = buckets_of(t)
+        keep = nb > 0
+        sums = np.zeros(len(ids), dtype=np.float64)
+        if len(b):
+            np.add.at(sums, np.repeat(np.arange(len(ids)), nb), s[b])
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_bigrams": pa.array(nb[keep]),
+            "dsir_logw": pa.array(_round(sums[keep], 4)),
+        })
+
+    return docs.map_batches(scorer, batch_format="pyarrow")

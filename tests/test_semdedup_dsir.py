@@ -1,0 +1,129 @@
+"""Round-4 continued: SemDeDup (cluster-local semantic dedup, Abbas
+et al. 2023) and DSIR hashed-bigram importance weights (Xie et al.
+2023).  The per-round oracle gate covers the SQL equivalence at three
+sf tiers; these pin the operator SEMANTICS on planted inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from osm_live_updates_ray.queries import QUERIES
+
+T_SEMDEDUP = 360_000_000_000_000
+
+
+def _write_emb(tmp_path, X, ids=None):
+    ids = list(range(len(X))) if ids is None else ids
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in X],
+                type=pa.list_(pa.float32()),
+            ),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    return str(tmp_path)
+
+
+def _write_docs(tmp_path, texts, langs, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": texts,
+            "lang": langs,
+        }),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+class TestSemdedup:
+    def test_planted_copies_are_dropped_keep_first(self, ray_session,
+                                                   tmp_path):
+        rng = np.random.default_rng(7)
+        base = rng.uniform(-0.5, 0.5, size=(40, 64))
+        # every unique pair must sit OUTSIDE the threshold or the
+        # "only planted copies are dups" assertion below is unsound
+        Q = np.floor((base + 1) * (1 << 24)).astype(np.int64)
+        G = Q @ Q.T
+        n = np.diag(G)
+        D = n[:, None] + n[None, :] - 2 * G
+        iu = np.triu_indices(len(Q), 1)
+        assert D[iu].min() > T_SEMDEDUP
+        # plant exact copies of vectors 0..4 at ids 100..104
+        X = np.vstack([base, base[:5]])
+        ids = list(range(40)) + list(range(100, 105))
+        sf = _write_emb(tmp_path, X, ids)
+        out = QUERIES["semdedup"](sf).to_pandas().set_index("vec_id")
+        assert len(out) == 45
+        # the copy (larger id) is the dup; the original is kept
+        for orig, copy in zip(range(5), range(100, 105)):
+            assert bool(out.loc[copy, "is_dup"])
+            assert not bool(out.loc[orig, "is_dup"])
+            assert out.loc[copy, "cluster"] == out.loc[orig, "cluster"]
+        assert int(out["is_dup"].sum()) == 5
+
+    def test_dup_rule_is_cluster_local(self, ray_session, tmp_path):
+        # two tight blobs far apart: within-blob pairs are near-dups,
+        # across-blob pairs are not, regardless of cluster layout
+        rng = np.random.default_rng(11)
+        a = rng.uniform(-0.01, 0.01, size=(6, 16)) + 0.5
+        b = rng.uniform(-0.01, 0.01, size=(6, 16)) - 0.5
+        sf = _write_emb(tmp_path, np.vstack([a, b]))
+        out = QUERIES["semdedup"](sf).to_pandas().set_index("vec_id")
+        # each blob keeps exactly its min-id member (clusters can only
+        # split a blob, never merge the two — they are far apart)
+        kept = out.index[~out["is_dup"]].to_numpy()
+        assert 0 in kept and 6 in kept
+        for blob in (range(0, 6), range(6, 12)):
+            blob_out = out.loc[list(blob)]
+            per_cluster_min = blob_out.groupby("cluster").apply(
+                lambda g: g.index.min()
+            )
+            for vid, row in blob_out.iterrows():
+                assert bool(row["is_dup"]) == (
+                    vid != per_cluster_min[row["cluster"]]
+                )
+
+
+class TestDsirImportance:
+    def test_sign_and_additivity(self, ray_session, tmp_path):
+        # 'alpha beta' appears only in the en (target) slice,
+        # 'gamma delta' only in the raw-only slice
+        texts = [
+            "alpha beta",
+            "alpha beta alpha beta",
+            "gamma delta",
+            "shared pair",
+            "shared pair",
+            "single",  # < 2 tokens: excluded
+        ]
+        langs = ["en", "en", "de", "en", "de", "en"]
+        sf = _write_docs(tmp_path, texts, langs)
+        out = QUERIES["dsir_importance"](sf).to_pandas().set_index("doc_id")
+        assert 5 not in out.index
+        assert out.loc[0, "dsir_logw"] > 0       # target-only feature
+        assert out.loc[2, "dsir_logw"] < 0       # raw-only feature
+        # weights are additive over features: doc 1 = 3 bigrams
+        # ('alpha beta' x2 + the crossing 'beta alpha')
+        assert out.loc[1, "n_bigrams"] == 3
+        assert out.loc[0, "n_bigrams"] == 1
+        # the en-vs-de doc with the SAME text differ only via totals
+        # (same buckets), so their weights are equal
+        assert out.loc[3, "dsir_logw"] == out.loc[4, "dsir_logw"]
+
+    def test_weight_orders_target_likeness(self, ray_session, tmp_path):
+        # a doc made of target-slice bigrams outranks a doc made of
+        # raw-only bigrams under the same length
+        texts = (
+            ["good stuff here now"] * 4
+            + ["bad junk there then"] * 4
+            + ["good stuff here now", "bad junk there then"]
+        )
+        langs = ["en"] * 4 + ["de"] * 4 + ["fr", "fr"]
+        sf = _write_docs(tmp_path, texts, langs)
+        out = QUERIES["dsir_importance"](sf).to_pandas().set_index("doc_id")
+        assert out.loc[8, "dsir_logw"] > out.loc[9, "dsir_logw"]
