@@ -324,8 +324,10 @@ def battery(sf_dir: str) -> dict:
                  # dedup, iterative k-means, near-dup components
                  "gopher_quality_filter", "line_dedup_ccnet",
                  "embedding_kmeans", "near_dup_components",
-                 # round-4 continued: semantic dedup + DSIR weights
-                 "semdedup", "dsir_importance"):
+                 # round-4 continued: semantic dedup + DSIR weights,
+                 # PQ-compressed ANN, BM25 keyword search
+                 "semdedup", "dsir_importance",
+                 "ann_topk_pq", "bm25_topk"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

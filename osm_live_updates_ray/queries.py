@@ -8186,3 +8186,219 @@ def dsir_importance(sf_dir: str):
         })
 
     return docs.map_batches(scorer, batch_format="pyarrow")
+
+
+def _ann_topk_pq_sql(m: int = 8, ks: int = 16, k: int = 10,
+                     nq: int = 5) -> str:
+    """Bit-exact mirror of `pq_topk_sampled`: codebook = bottom-ks
+    vec_ids by splitmix64, codeword index = vec_id rank (matching
+    sampled_centroids' ordering), per-subspace encoding by integer L2
+    with ties to the smaller codeword, ADC distance = integer sum of
+    per-subspace table entries — the final ranking, not just the
+    candidate set, is integer-exact in both engines."""
+    from .stages.sketchq import splitmix64_sql
+
+    return f"""
+    WITH cb AS (
+      SELECT cwid, ROW_NUMBER() OVER (ORDER BY cwid) - 1 AS code FROM (
+        SELECT vec_id AS cwid, {splitmix64_sql('vec_id')} AS hv
+        FROM embeddings ORDER BY hv LIMIT {ks})
+    ),
+    qe AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS d,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 16777216)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, d // (len_d // {m}) AS s, d % (len_d // {m}) AS sd, q
+      FROM qe, (SELECT COUNT(*) // COUNT(DISTINCT vec_id) AS len_d FROM qe)
+    ),
+    cw AS (
+      SELECT cb.code, sub.s, sub.sd, sub.q AS cq
+      FROM cb JOIN sub ON sub.vec_id = cb.cwid
+    ),
+    sd2 AS (
+      SELECT v.vec_id, v.s, c.code,
+             SUM((v.q - c.cq) * (v.q - c.cq)) AS d2
+      FROM sub v JOIN cw c ON c.s = v.s AND c.sd = v.sd
+      GROUP BY v.vec_id, v.s, c.code
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        FROM sd2) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(qd.d2) AS BIGINT) AS adc_dist2
+      FROM enc e JOIN sd2 qd ON qd.s = e.s AND qd.code = e.code
+      WHERE qd.vec_id < {nq}
+      GROUP BY qd.vec_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+      SELECT query_id, neighbor_id, adc_dist2, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank
+      FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ann_topk_pq", _ann_topk_pq_sql())
+def ann_topk_pq(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011) — the fourth index
+    family after brute/LSH/IVF, and the one that makes 100-TB ANN fit
+    in memory: vectors compress to m=8 codes (one per 8-dim subspace,
+    16 codewords each) and search is ADC table lookups, so the scan
+    working set is m bytes/vector.  The splitmix64-sampled codebook +
+    integer fixed-point encode/ADC make the ENTIRE ranking
+    oracle-checkable (the sampled-IVF discipline; rank ties by
+    neighbor_id).  One streamed pass, per-batch top-k partials, no
+    shuffle; self-matches rank by their (small) quantization error
+    like any other vector — deterministic on both sides."""
+    from .stages.similarity import _stack, pq_topk_sampled
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
+    return pq_topk_sampled(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        q.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(q, "embedding"),
+        emb.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(emb, "embedding"),
+        k=10, m=8, ks=16,
+    )
+
+
+_BM25_TERMS = ("column", "window", "scan")
+
+
+def _bm25_topk_sql(k: int = 10) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM w GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS tot FROM dl),
+    qt AS (SELECT UNNEST([{terms}]) AS term),
+    df AS (
+      SELECT tok AS term, COUNT(DISTINCT doc_id) AS df
+      FROM w JOIN qt ON qt.term = w.tok GROUP BY tok
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM w JOIN qt ON qt.term = w.tok GROUP BY doc_id, tok
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+             SUM(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len /
+                    (CAST(stats.tot AS DOUBLE) / stats.n_docs)))) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, rank FROM (
+      SELECT doc_id, ROUND(score, 4) AS bm25, ROW_NUMBER() OVER (
+        ORDER BY ROUND(score, 4) DESC, doc_id) AS rank
+      FROM sc
+    ) WHERE rank <= {k}
+    """
+
+
+@register("bm25_topk", _bm25_topk_sql())
+def bm25_topk(sf_dir: str):
+    """Full-text keyword search: BM25 top-k (Robertson/Walker Okapi
+    BM25, k1=1.2, b=0.75) for a fixed 3-term query — the retrieval
+    primitive of a decontamination / eval-leakage hunt over a training
+    corpus.  Ranking on ROUND(score, 4) with doc_id ties makes the
+    order deterministic on both sides (the LN float discipline); docs
+    containing no query term are excluded, as in the SQL.
+
+    Distributed shape: pass 1 streams one map-side-combined partial of
+    (per-term df, doc count, token count) — 5 int64 cells per block —
+    reduced on the driver into the O(|query|) model; pass 2 is a
+    shuffle-free scorer emitting per-batch top-k partials (k rows per
+    block), merged on the driver.  Neither pass exchanges anything
+    corpus-sized; a multi-query engine would broadcast a term
+    dictionary instead of the tuple."""
+    import ray
+
+    rd = _rd()
+    K = 10
+    nt = len(_BM25_TERMS)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def toks_of(t: pa.Table):
+        lists = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        off = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = off[1:] - off[:-1]
+        return lists.values, lens
+
+    def tf_of(t: pa.Table):
+        """per-doc term-frequency matrix (n_docs x n_terms) + doc lens."""
+        V, lens = toks_of(t)
+        didx = np.repeat(np.arange(len(lens)), lens)
+        tf = np.zeros((len(lens), nt), dtype=np.int64)
+        for j, term in enumerate(_BM25_TERMS):
+            m = pc.equal(V, pa.scalar(term)).to_numpy(zero_copy_only=False)
+            if m.any():
+                np.add.at(tf[:, j], didx[m], 1)
+        return tf, lens
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf, lens = tf_of(t)
+        vals = np.concatenate([
+            (tf > 0).sum(axis=0),                      # df per term
+            [tf.shape[0], int(lens.sum())],            # n_docs, tot tokens
+        ]).astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.arange(nt + 2, dtype=np.int64)),
+            "cnt": pa.array(vals),
+        })
+
+    model = np.zeros(nt + 2, dtype=np.int64)
+    for bt in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            model,
+            bt.column("key").to_numpy(zero_copy_only=False),
+            bt.column("cnt").to_numpy(zero_copy_only=False),
+        )
+    df, n_docs, tot = model[:nt], int(model[nt]), int(model[nt + 1])
+    avgdl = float(tot) / n_docs
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    mref = ray.put(idf)
+
+    def score(t: pa.Table, _ref=mref) -> pa.Table:
+        idf_ = ray.get(_ref)
+        tf, lens = tf_of(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        denom = tf + 1.2 * (0.25 + 0.75 * lens[:, None] / avgdl)
+        s = np.where(tf > 0, idf_[None, :] * (tf * 2.2) / denom, 0.0).sum(
+            axis=1
+        )
+        keep = tf.sum(axis=1) > 0
+        ids, s = ids[keep], _round(s[keep], 4)
+        take = min(K, len(ids))
+        if take < len(ids):
+            part = np.argpartition(-s, take - 1)[:take]
+            ids, s = ids[part], s[part]
+        return pa.table({"doc_id": pa.array(ids), "bm25": pa.array(s)})
+
+    parts = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["bm25", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(K).reset_index(drop=True)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts[["doc_id", "bm25", "rank"]]

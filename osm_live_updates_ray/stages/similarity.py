@@ -767,3 +767,100 @@ def kmeans_lloyd_quantized(ds, k: int = 8, iters: int = 5):
         })
 
     return cent, ds.map_batches(final, batch_format="pyarrow")
+
+
+def pq_topk_sampled(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
+                    corpus_ids: np.ndarray, corpus_vecs: np.ndarray,
+                    k: int = 10, m: int = 8, ks: int = 16) -> pd.DataFrame:
+    """Product-quantization ANN (Jegou/Douze/Schmid 2011, "Product
+    quantization for nearest neighbor search") over a splitmix64-
+    SAMPLED codebook — the memory-compression scale path: each vector
+    is stored as ``m`` one-byte codes (here m=8 over dim/m-dim
+    subspaces, ks=16 codewords each), and query-to-vector distance is
+    the ADC sum of per-subspace table lookups, so a 100-TB corpus'
+    search working set is m bytes/vector instead of 4·dim.
+
+    Oracle-ability (the sampled-IVF discipline): the codebook is the
+    bottom-``ks`` vec_ids by splitmix64 (mergeable bottom-k, ordered
+    by vec_id so codeword index matches SQL's ROW_NUMBER), encoding
+    and ADC distances are int64 arithmetic over floor(x·2^24)
+    fixed-point subvectors with ties to the smaller codeword — the
+    whole answer, not just the candidate set, is bit-reproducible in
+    DuckDB.
+
+    Distributed shape: the codebook + per-query ADC tables
+    (queries × m × ks int64 — O(1)) broadcast via ray.put; ONE
+    streamed pass encodes each batch (m int64 matmuls) and emits a
+    per-batch per-query top-k partial; the driver merges
+    queries·k·blocks rows.  No shuffle, nothing corpus-sized leaves
+    the tasks."""
+    import ray
+
+    cw_ids, C = sampled_centroids(corpus_ids, corpus_vecs, ks)
+    dim = C.shape[1]
+    ds_sub = dim // m
+    Cq = np.floor(C * KMEANS_SCALE).astype(np.int64).reshape(ks, m, ds_sub)
+    Qq = np.floor(
+        np.asarray(query_vecs, dtype=np.float64) * KMEANS_SCALE
+    ).astype(np.int64).reshape(len(query_ids), m, ds_sub)
+    # ADC tables: A[q, s, c] = ||query_q subvector s - codeword c||^2
+    dots = np.einsum("qsd,csd->qsc", Qq, Cq)
+    q2 = np.einsum("qsd,qsd->qs", Qq, Qq)
+    c2 = np.einsum("csd,csd->cs", Cq, Cq)
+    A = q2[:, :, None] + c2.T[None, :, :] - 2 * dots
+    ref = ray.put({
+        "qids": np.asarray(query_ids, dtype=np.int64),
+        "A": A, "Cq": Cq, "k": k,
+    })
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "adc_dist2": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        import ray as _ray
+
+        cfg = _ray.get(_ref)
+        qids, At, Ct, kk = cfg["qids"], cfg["A"], cfg["Cq"], cfg["k"]
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        X = np.floor(_stack(t, "embedding") * KMEANS_SCALE).astype(
+            np.int64
+        ).reshape(len(ids), Ct.shape[1], Ct.shape[2])
+        # encode: nearest codeword per subspace (argmin = first minimal
+        # index = ties to the smaller codeword, matching the SQL)
+        d = np.einsum("nsd,csd->nsc", X, Ct)
+        x2 = np.einsum("nsd,nsd->ns", X, X)
+        cc2 = np.einsum("csd,csd->cs", Ct, Ct)
+        code = np.argmin(
+            x2[:, :, None] + cc2.T[None, :, :] - 2 * d, axis=2
+        )
+        rows_q, rows_n, rows_d = [], [], []
+        sidx = np.arange(Ct.shape[1])
+        for qi, qid in enumerate(qids):
+            adc = At[qi][sidx[None, :], code].sum(axis=1)
+            take = min(kk, len(ids))
+            part = np.argpartition(adc, take - 1)[:take]
+            rows_q.append(np.full(take, qid, dtype=np.int64))
+            rows_n.append(ids[part])
+            rows_d.append(adc[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "neighbor_id": pa.array(np.concatenate(rows_n)),
+            "adc_dist2": pa.array(np.concatenate(rows_d)),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                             "rank": [], "adc_dist2": []})
+    parts = parts.sort_values(
+        ["query_id", "adc_dist2", "neighbor_id"], kind="stable",
+    )
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank", "adc_dist2"]]

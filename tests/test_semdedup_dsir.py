@@ -127,3 +127,50 @@ class TestDsirImportance:
         sf = _write_docs(tmp_path, texts, langs)
         out = QUERIES["dsir_importance"](sf).to_pandas().set_index("doc_id")
         assert out.loc[8, "dsir_logw"] > out.loc[9, "dsir_logw"]
+
+
+class TestAnnTopkPq:
+    def test_self_is_exact_under_full_codebook(self, ray_session, tmp_path):
+        # exactly 16 vectors => the sampled codebook IS the corpus, so
+        # every vector encodes losslessly and its self-ADC is 0
+        rng = np.random.default_rng(3)
+        X = rng.uniform(-0.5, 0.5, size=(16, 64))
+        sf = _write_emb(tmp_path, X)
+        out = QUERIES["ann_topk_pq"](sf)
+        first = out[out["rank"] == 1].set_index("query_id")
+        for q in range(5):
+            assert first.loc[q, "neighbor_id"] == q
+            assert first.loc[q, "adc_dist2"] == 0
+
+    def test_planted_copy_shares_the_code(self, ray_session, tmp_path):
+        # a copy of query 0 at id 100 gets identical codes, hence an
+        # identical ADC distance — both must occupy the top-2 ranks
+        rng = np.random.default_rng(5)
+        X = rng.uniform(-0.5, 0.5, size=(40, 64))
+        X = np.vstack([X, X[:1]])
+        ids = list(range(40)) + [100]
+        sf = _write_emb(tmp_path, X, ids)
+        out = QUERIES["ann_topk_pq"](sf)
+        top2 = out[(out["query_id"] == 0) & (out["rank"] <= 2)]
+        assert set(top2["neighbor_id"]) == {0, 100}
+        assert top2["adc_dist2"].nunique() == 1
+
+
+class TestBm25Topk:
+    def test_tf_and_length_normalization(self, ray_session, tmp_path):
+        texts = [
+            "column filler filler",                            # tf 1, short
+            "column filler filler filler filler filler",       # tf 1, long
+            "column column filler",                            # tf 2, short
+            "filler filler",                                   # no query term
+            "window scan filler",                              # two terms
+        ]
+        langs = ["en"] * 5
+        sf = _write_docs(tmp_path, texts, langs)
+        out = QUERIES["bm25_topk"](sf).set_index("doc_id")
+        assert 3 not in out.index                    # excluded, no term
+        # more occurrences beat fewer; shorter beats longer at equal tf
+        assert out.loc[2, "bm25"] > out.loc[0, "bm25"]
+        assert out.loc[0, "bm25"] > out.loc[1, "bm25"]
+        # ranks are dense from 1 and ordered by score
+        assert sorted(out["rank"]) == list(range(1, len(out) + 1))
