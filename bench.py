@@ -327,7 +327,9 @@ def battery(sf_dir: str) -> dict:
                  # round-4 continued: semantic dedup + DSIR weights,
                  # PQ-compressed ANN, BM25 keyword search
                  "semdedup", "dsir_importance",
-                 "ann_topk_pq", "bm25_topk"):
+                 "ann_topk_pq", "bm25_topk",
+                 # round-4 continued: tokenizer + source-overlap matrix
+                 "doc_tokens_bpe", "source_overlap"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

@@ -8402,3 +8402,207 @@ def bm25_topk(sf_dir: str):
     ).head(K).reset_index(drop=True)
     parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
     return parts[["doc_id", "bm25", "rank"]]
+
+
+#: BPE-ish pre-tokenizer (GPT-2 style minus lookahead, so it is plain
+#: RE2 — the SAME engine under pyarrow's count_substring_regex and
+#: DuckDB's regexp_extract_all, which is what makes the count
+#: bit-mirrorable): contractions, optional-space letter runs, digit
+#: runs, punctuation runs, whitespace runs.
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def _doc_tokens_bpe_sql() -> str:
+    pat = _BPE_PAT.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '{pat}')) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND(LENGTH(text) /
+                 CAST(LEN(regexp_extract_all(text, '{pat}')) AS DOUBLE), 4)
+             AS chars_per_token
+    FROM documents
+    WHERE LEN(regexp_extract_all(text, '{pat}')) > 0
+    """
+
+
+@register("doc_tokens_bpe", _doc_tokens_bpe_sql())
+def doc_tokens_bpe(sf_dir: str):
+    """Token counting beyond whitespace: a BPE-ish pre-tokenizer count
+    per document (the train-cost / packing estimator a real pipeline
+    runs before tokenizing 100 TB) next to the whitespace count and
+    the chars-per-token ratio.  One shuffle-free map_batches pass;
+    the regex runs as a single RE2 C kernel per batch
+    (pc.count_substring_regex) — never a Python loop — and both
+    engines execute the SAME RE2 pattern, so counts are bit-equal."""
+    rd = _rd()
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        nb = pc.count_substring_regex(text, _BPE_PAT)
+        nw = pc.list_value_length(pc.split_pattern(text, " "))
+        nchars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nbv = nb.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nbv > 0
+        ratio = _round(
+            nchars[keep] / nbv[keep].astype(np.float64), 4
+        )
+        return pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "n_ws_tokens": pc.cast(nw, pa.int64()).filter(pa.array(keep)),
+            "n_bpe_tokens": pa.array(nbv[keep]),
+            "chars_per_token": pa.array(ratio),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(stats, batch_format="pyarrow")
+
+
+def _source_overlap_sql() -> str:
+    """Cross-source containment oracle: distinct bigram-shingle HASHES
+    per source (the engine's exchange carries hashes, so the SQL
+    mirrors the poly+splitmix64 chain rather than comparing raw
+    strings — bit-equal even in the astronomically-unlikely collision
+    case), pairwise intersection via self-join, Jaccard from the
+    inclusion-exclusion counts."""
+    from .stages.sketchq import splitmix64_sql
+
+    poly = """CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(pair)+1),
+                           j -> CAST(unicode(substr(pair, j, 1)) AS UHUGEINT))),
+            (a, c) -> (a * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT)"""
+    fin = splitmix64_sql("CAST(p AS HUGEINT)")
+    return f"""
+    WITH toks AS (
+      SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT source, doc_id, UNNEST(w) AS tok,
+             UNNEST(range(1, len(w) + 1)) AS ord
+      FROM toks
+    ), big AS (
+      SELECT source,
+             tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+               AS pair
+      FROM words
+    ), bp AS (SELECT DISTINCT source, pair FROM big WHERE pair IS NOT NULL),
+    p0 AS (SELECT source, {poly} AS p FROM bp),
+    hb AS (SELECT DISTINCT source, {fin} AS h FROM p0),
+    cnt AS (SELECT source, COUNT(*) AS n FROM hb GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_shared
+      FROM hb a JOIN hb b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+           ROUND(i.n_shared / CAST(ca.n + cb.n - i.n_shared AS DOUBLE), 4)
+             AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.source = i.source_a
+    JOIN cnt cb ON cb.source = i.source_b
+    """
+
+
+@register("source_overlap", _source_overlap_sql())
+def source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct bigram shingles they share and the shingle-set
+    Jaccard — the corpus-analysis step that decides which crawl
+    sources are near-copies of each other before mixing weights are
+    assigned.
+
+    Distributed shape: the exchange carries DEDUPED (source, hash64)
+    pairs — 8+dict bytes per distinct shingle, never text (the
+    exact-dedup hash-only lesson) — shuffled once on the coarse hash
+    fold; each fold bucket finishes its hashes completely (global
+    dedup + per-hash source-pair enumeration, vectorized per run-
+    length class since |sources| is small) and emits pair partials
+    plus per-source distinct-count partials, summed in a tiny driver
+    reduce.  Nothing anywhere is corpus-sized; skewed shingles cost
+    at most |sources|^2 rows per hash."""
+    from .functions import hashing
+
+    rd = _rd()
+
+    def shingles(t: pa.Table) -> pa.Table:
+        ids, nb, pairs, _ = _bigram_pairs_of(t)
+        if int(nb.sum()) == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "h": pa.array([], type=pa.int64()),
+                "fold": pa.array([], type=pa.int64()),
+            })
+        pv = pairs.to_numpy(zero_copy_only=False).astype(object)
+        h = hashing.hash_strings_poly(pv)
+        src = np.repeat(
+            t.column("source").to_numpy(zero_copy_only=False).astype(object),
+            nb,
+        )
+        # batch-local dedup: shrink the exchange before it happens
+        key = pd.MultiIndex.from_arrays([src, h])
+        keep = ~key.duplicated()
+        return pa.table({
+            "source": pa.array(src[keep], type=pa.string()),
+            "h": pa.array(h[keep]),
+            "fold": pa.array(hashing.fold_int64(h[keep])),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        src = g.column("source").to_numpy(zero_copy_only=False).astype(object)
+        h = g.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"s": src, "h": h}).drop_duplicates()
+        df = df.sort_values(["h", "s"], kind="stable")
+        hv = df["h"].to_numpy()
+        sv = df["s"].to_numpy(dtype=object)
+        # per-source distinct-count partials (hash-partitioned by fold,
+        # so per-bucket counts sum globally without double counting)
+        csrc, cn = np.unique(sv, return_counts=True)
+        out_a = list(csrc)
+        out_b = [""] * len(csrc)
+        out_n = list(cn.astype(np.int64))
+        # per-hash source lists -> pair partials, one vectorized slab
+        # per run-length class (|sources| bounds the run length)
+        starts = np.flatnonzero(np.concatenate([[True], hv[1:] != hv[:-1]]))
+        runs = np.diff(np.concatenate([starts, [len(hv)]]))
+        for r in np.unique(runs[runs >= 2]):
+            sel = starts[runs == r]
+            mat = sv[sel[:, None] + np.arange(r)[None, :]]
+            iu, ju = np.triu_indices(int(r), 1)
+            a = mat[:, iu].ravel()
+            b = mat[:, ju].ravel()
+            pa_, pb_ = np.minimum(a, b), np.maximum(a, b)
+            key = pd.MultiIndex.from_arrays([pa_, pb_])
+            u, c = np.unique(key.to_numpy(), return_counts=True)
+            out_a.extend(x[0] for x in u)
+            out_b.extend(x[1] for x in u)
+            out_n.extend(c.astype(np.int64))
+        return pa.table({
+            "a": pa.array(out_a, type=pa.string()),
+            "b": pa.array(out_b, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+        })
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source", "text"])
+        .map_batches(shingles, batch_format="pyarrow")
+        .groupby("fold")
+        .map_groups(bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    red = parts.groupby(["a", "b"], sort=False)["n"].sum()
+    cnts = {a: int(n) for (a, b), n in red.items() if b == ""}
+    rows = [
+        (a, b, int(n),
+         float(_round(np.array([n / (cnts[a] + cnts[b] - n)]), 4)[0]))
+        for (a, b), n in red.items() if b != ""
+    ]
+    rows.sort()
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_shared", "jaccard"]
+    )

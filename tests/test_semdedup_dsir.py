@@ -174,3 +174,50 @@ class TestBm25Topk:
         assert out.loc[0, "bm25"] > out.loc[1, "bm25"]
         # ranks are dense from 1 and ordered by score
         assert sorted(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def _write_docs_src(tmp_path, texts, sources, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": texts,
+            "source": sources,
+        }),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+class TestDocTokensBpe:
+    def test_counts_match_re2_semantics(self, ray_session, tmp_path):
+        import re
+
+        from osm_live_updates_ray.queries import _BPE_PAT
+
+        texts = ["Hello world, it's 2026!  x9y", "foo_bar baz-qux 123", "a"]
+        sf = _write_docs_src(tmp_path, texts, ["s"] * 3)
+        out = (
+            QUERIES["doc_tokens_bpe"](sf).to_pandas().set_index("doc_id")
+        )
+        for i, s in enumerate(texts):
+            exp = len(re.findall(_BPE_PAT, s))
+            assert out.loc[i, "n_bpe_tokens"] == exp
+            assert out.loc[i, "n_ws_tokens"] == len(s.split(" "))
+            assert abs(
+                out.loc[i, "chars_per_token"] - round(len(s) / exp, 4)
+            ) < 1e-9
+
+
+class TestSourceOverlap:
+    def test_planted_shared_shingles(self, ray_session, tmp_path):
+        texts = ["x y z", "x y q", "p q", "x y z"]
+        srcs = ["A", "B", "C", "A"]
+        sf = _write_docs_src(tmp_path, texts, srcs)
+        out = QUERIES["source_overlap"](sf).set_index(
+            ["source_a", "source_b"]
+        )
+        # A = {xy, yz}, B = {xy, yq}, C = {pq}: only A-B intersect
+        assert list(out.index) == [("A", "B")]
+        assert out.loc[("A", "B"), "n_shared"] == 1
+        assert abs(out.loc[("A", "B"), "jaccard"] - round(1 / 3, 4)) < 1e-9
