@@ -328,8 +328,10 @@ def battery(sf_dir: str) -> dict:
                  # PQ-compressed ANN, BM25 keyword search
                  "semdedup", "dsir_importance",
                  "ann_topk_pq", "bm25_topk",
-                 # round-4 continued: tokenizer + source-overlap matrix
-                 "doc_tokens_bpe", "source_overlap"):
+                 # round-4 continued: tokenizer + source-overlap matrix,
+                 # persisted-inverted-index BM25
+                 "doc_tokens_bpe", "source_overlap",
+                 "bm25_topk_indexed"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

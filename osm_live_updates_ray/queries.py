@@ -8392,7 +8392,10 @@ def bm25_topk(sf_dir: str):
         ids, s = ids[keep], _round(s[keep], 4)
         take = min(K, len(ids))
         if take < len(ids):
-            part = np.argpartition(-s, take - 1)[:take]
+            # tie-aware partial: ties at the k-th rounded score must
+            # keep the SMALLER doc_id or the merge can diverge from
+            # the oracle's (score DESC, doc_id) order
+            part = np.lexsort((ids, -s))[:take]
             ids, s = ids[part], s[part]
         return pa.table({"doc_id": pa.array(ids), "bm25": pa.array(s)})
 
@@ -8606,3 +8609,38 @@ def source_overlap(sf_dir: str):
     return pd.DataFrame(
         rows, columns=["source_a", "source_b", "n_shared", "jaccard"]
     )
+
+
+@register("bm25_topk_indexed", _bm25_topk_sql())
+def bm25_topk_indexed(sf_dir: str):
+    """BM25 over a PERSISTED inverted index (stages/textindex): the
+    corpus is laid out as term-hash-partitioned postings with the doc
+    length denormalized into each row, so the query reads ONLY its
+    terms' partitions — the literal 100-TB form of text search, where
+    scanning documents is not an option.  Same scoring/rounding/tie
+    rules as the scan-based `bm25_topk`, so BOTH exchange plans share
+    one SQL oracle (the pip_nation_salted scale-path-twin
+    discipline).  Index cached per sf tier with an atomic rename
+    publish (the IVF-persisted pattern)."""
+    import hashlib
+    import shutil
+
+    from .stages.textindex import bm25_query_indexed, build_inverted_index
+
+    rd = _rd()
+    path = f"{sf_dir}/documents.parquet"
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}:v1".encode()
+    ).hexdigest()[:10]
+    index_dir = f"/tmp/olu_ray_text_idx_{key}"
+    if not os.path.isdir(index_dir):
+        tmp = index_dir + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_inverted_index(
+            rd.read_parquet(path, columns=["doc_id", "text"]), tmp
+        )
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return bm25_query_indexed(index_dir, _BM25_TERMS, k=10)
