@@ -399,8 +399,14 @@ class TestNgramJaccardJoin:
         for s in t.column("text").to_pylist():
             for sh in set(hashing.shingles(s, 5)):
                 hot[sh] = hot.get(sh, 0) + 1
+        # _shingle_prefix_rows keys its broadcast df dict by the
+        # 64-bit shingle HASH (the hash-only exchange), not the string
+        hot_by_hash = dict(zip(
+            (int(h) for h in hashing.hash_strings(list(hot))),
+            hot.values(),
+        ))
         rows = dedup_docs._shingle_prefix_rows(
-            t, hot, "doc_id", "text", threshold=0.8, k=5
+            t, hot_by_hash, "doc_id", "text", threshold=0.8, k=5
         ).to_pandas()
         df_of = rows["sh"].map(hot)
         # every doc's prefix consists of its RAREST shingles
