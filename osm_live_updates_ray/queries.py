@@ -8644,3 +8644,130 @@ def bm25_topk_indexed(sf_dir: str):
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return bm25_query_indexed(index_dir, _BM25_TERMS, k=10)
+
+
+def _near_dup_pagerank_sql(iters: int = 5) -> str:
+    """Integer-exact PageRank mirror: rank in 1e12 fixed-point units,
+    r_{t+1}(v) = 0.15e12 + (85 · Σ_{u→v} (r_t(u) // deg(u))) // 100 —
+    every operand non-negative, so numpy's floor-div and DuckDB's
+    truncating // agree (the kmeans +1-shift lesson applies for free)
+    and the whole 5-iteration trajectory is bit-identical.  No
+    dangling redistribution by definition: isolated docs sit at the
+    0.15e12 base."""
+    base = 150_000_000_000
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT e.dst AS node,
+             {base} + CAST((85 * SUM(r{i - 1}.r // d.deg)) // 100
+                           AS BIGINT) AS r
+      FROM edges e
+      JOIN r{i - 1} ON r{i - 1}.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    )""")
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(nt, i, 5) AS sh
+      FROM norm,
+        LATERAL (SELECT unnest(generate_series(1, greatest(length(nt)-4, 1))) AS i) g
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE i / (ca.n + cb.n - i) >= 0.8e0
+    ),
+    edges AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: edges/deg are referenced once
+      -- per unrolled iteration, and an inlining planner would
+      -- recompute the quadratic shingle join for every reference
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ),
+    r0 AS (
+      SELECT DISTINCT src AS node, CAST(1000000000000 AS BIGINT) AS r
+      FROM edges
+    ),{','.join(its)}
+    SELECT d.doc_id, COALESCE(rk.r, {base}) AS pagerank
+    FROM documents d LEFT JOIN r{iters} rk ON rk.node = d.doc_id
+    """
+
+
+@register("near_dup_pagerank", _near_dup_pagerank_sql())
+def near_dup_pagerank(sf_dir: str):
+    """Graph centrality over the near-duplicate graph — the
+    PageRank-style quality/weighting signal a crawl pipeline computes
+    once it has a graph (here the deterministic n-gram-Jaccard edge
+    set, the same one `near_dup_components` labels): hub documents
+    that many near-copies point at accumulate rank; isolated docs sit
+    at the 0.15e12 base.  Integer fixed-point trajectory (see the SQL
+    mirror) — the third fully-oracled ITERATIVE algorithm after
+    k-means and label propagation.
+
+    Distributed shape: edge finding is the distributed PPJoin path
+    (shuffles carry hashes, never text); the 5-round power iteration
+    runs on the DUP-GRAPH (edge list is dup-cluster-sized, the same
+    size class as near_dup_components' label map — at crawl-rate dup
+    graphs swap the collect for per-round fold(dst) groupby-sum
+    rounds, the label-propagation shape); the final attach streams the
+    corpus against the broadcast rank map."""
+    import ray
+
+    from .stages import dedup_docs
+
+    rd = _rd()
+    BASE = 150_000_000_000
+    docs_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup_docs.ngram_jaccard_pairs(
+        docs_ds, threshold=0.8, k=5
+    ).to_pandas()
+    a = pairs["id_a"].to_numpy(dtype=np.int64)
+    b = pairs["id_b"].to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes, si = np.unique(src, return_inverse=True)
+    di = np.searchsorted(nodes, dst)  # symmetric graph: same node set
+    deg = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    r = np.full(len(nodes), 1_000_000_000_000, dtype=np.int64)
+    for _ in range(5):
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(acc, di, r[si] // deg[si])
+        r = BASE + (85 * acc) // 100
+    ref = ray.put((nodes, r))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nd, rv = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(nd):
+            pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            out = np.where(nd[pos] == ids, rv[pos], BASE)
+        else:
+            out = np.full(len(ids), BASE, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pagerank": pa.array(out.astype(np.int64)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(attach, batch_format="pyarrow")

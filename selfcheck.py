@@ -26,6 +26,9 @@ if len(sys.argv) > 2:
         sys.exit(f"unknown queries: {sorted(unknown)}")
     qs = {k: v for k, v in qs.items() if k in only}
 con = duckdb.connect()
+# DuckDB's default temp dir is cwd-relative ".tmp" — route any oracle
+# spill to /tmp so a heavy oracle can never dirty the repo tree
+con.execute("SET temp_directory='/tmp/olu_duckdb_spill'")
 for tb in ["region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings"]:
     con.execute(

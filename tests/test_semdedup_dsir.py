@@ -221,3 +221,61 @@ class TestSourceOverlap:
         assert list(out.index) == [("A", "B")]
         assert out.loc[("A", "B"), "n_shared"] == 1
         assert abs(out.loc[("A", "B"), "jaccard"] - round(1 / 3, 4)) < 1e-9
+
+
+class TestNearDupPagerank:
+    def test_regular_fixpoint_and_isolated_base(self, ray_session, tmp_path):
+        # three identical docs form a 3-clique (deg 2 each): the
+        # integer iteration's fixpoint is exactly the 1e12 start
+        # (r//2 summed over 2 in-edges restores r); isolated docs sit
+        # at the 0.15e12 base untouched
+        texts = ["the quick brown fox jumps over the lazy dog"] * 3 + [
+            "completely different content one",
+            "another unrelated document two",
+        ]
+        sf = _write_docs(tmp_path, texts, ["en"] * 5)
+        out = (
+            QUERIES["near_dup_pagerank"](sf).to_pandas().set_index("doc_id")
+        )
+        for i in range(3):
+            assert out.loc[i, "pagerank"] == 1_000_000_000_000
+        for i in (3, 4):
+            assert out.loc[i, "pagerank"] == 150_000_000_000
+
+    def test_matches_reference_iteration(self, ray_session, tmp_path):
+        # engine ranks must equal an independent 5-step reference
+        # iteration over the engine's own (tested) edge set
+        rng = np.random.default_rng(17)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(20)]
+        texts += [texts[0], texts[0][:-3] + " w0", texts[5]]
+        sf = _write_docs(tmp_path, texts, ["en"] * len(texts))
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages import dedup_docs
+
+        pairs = dedup_docs.ngram_jaccard_pairs(
+            rd.read_parquet(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"]),
+            threshold=0.8, k=5,
+        ).to_pandas()
+        assert len(pairs) >= 2
+        a = pairs["id_a"].to_numpy(dtype=np.int64)
+        b = pairs["id_b"].to_numpy(dtype=np.int64)
+        src = np.concatenate([a, b]); dst = np.concatenate([b, a])
+        nodes = np.unique(src)
+        r = {int(n): 1_000_000_000_000 for n in nodes}
+        deg = {int(n): int((src == n).sum()) for n in nodes}
+        for _ in range(5):
+            acc = dict.fromkeys(r, 0)
+            for s, d in zip(src, dst):
+                acc[int(d)] += r[int(s)] // deg[int(s)]
+            r = {n: 150_000_000_000 + (85 * v) // 100
+                 for n, v in acc.items()}
+        out = (
+            QUERIES["near_dup_pagerank"](sf).to_pandas().set_index("doc_id")
+        )
+        for n, v in r.items():
+            assert out.loc[n, "pagerank"] == v
+        others = set(out.index) - set(r)
+        assert all(out.loc[i, "pagerank"] == 150_000_000_000 for i in others)
