@@ -7481,7 +7481,10 @@ def embedding_kmeans(sf_dir: str):
       JOIN cnt cb ON cb.doc_id = id_b
       WHERE i / (ca.n + cb.n - i) >= 0.8e0
     ),
-    edges AS (
+    edges AS MATERIALIZED (
+      -- referenced from both arms of the recursive CTE: MATERIALIZED
+      -- keeps the quadratic shingle join from being re-planned per
+      -- reference (the near_dup_pagerank lesson)
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL
       SELECT id_b, id_a FROM pairs
