@@ -8774,3 +8774,143 @@ def near_dup_pagerank(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(attach, batch_format="pyarrow")
+
+
+def _doc_winnowing_sql(k: int = 5, w: int = 4) -> str:
+    """Winnowing oracle: the minhash mirror's shingle-hash chain
+    (poly + splitmix64, positions carried through), then per-window
+    rightmost-minimum selection via ROW_NUMBER (v ASC, i DESC), DISTINCT
+    selected (i, v) per doc, and an integer bit_xor rollup converted to
+    the engine's int64 view."""
+    poly = """CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(g)+1),
+                           j -> CAST(unicode(substr(g, j, 1)) AS UHUGEINT))),
+            (acc, c) -> (acc * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT)"""
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    gs AS (
+      SELECT doc_id, i, substr(norm, i, {k}) AS g,
+             greatest(length(norm) - {k - 1}, 1) AS n
+      FROM docs, LATERAL (SELECT UNNEST(range(1,
+             greatest(length(norm) - {k - 1}, 1) + 1)) AS i) t
+    ),
+    h0 AS (SELECT doc_id, i, n, {poly} AS v FROM gs),
+    m1 AS (SELECT doc_id, i, n, CAST((v::UHUGEINT + 11400714819323198485)
+            % 18446744073709551616 AS UBIGINT) AS v FROM h0),
+    m2 AS (SELECT doc_id, i, n, xor(v, v >> 30) AS v FROM m1),
+    m3 AS (SELECT doc_id, i, n, CAST((v::UHUGEINT * 13787848793156543929)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m2),
+    m4 AS (SELECT doc_id, i, n, xor(v, v >> 27) AS v FROM m3),
+    m5 AS (SELECT doc_id, i, n, CAST((v::UHUGEINT * 10723151780598845931)
+            % 18446744073709551616 AS UBIGINT) AS v FROM m4),
+    hh AS MATERIALIZED (
+      SELECT doc_id, i, n, xor(v, v >> 31) AS v FROM m5
+    ),
+    ws AS (
+      SELECT doc_id, n, UNNEST(range(1, greatest(n - {w - 1}, 1) + 1)) AS s
+      FROM (SELECT DISTINCT doc_id, n FROM hh) d
+    ),
+    sel AS (
+      SELECT doc_id, s, i, v FROM (
+        SELECT w.doc_id, w.s, h.i, h.v, ROW_NUMBER() OVER (
+          PARTITION BY w.doc_id, w.s ORDER BY h.v ASC, h.i DESC) AS rn
+        FROM ws w JOIN hh h ON h.doc_id = w.doc_id
+         AND h.i >= w.s AND h.i <= least(w.s + {w - 1}, w.n)
+      ) WHERE rn = 1
+    ),
+    fp AS (SELECT DISTINCT doc_id, i, v FROM sel),
+    agg AS (
+      SELECT f.doc_id, MAX(h.n) AS n_sh, COUNT(*) AS n_fp, bit_xor(f.v) AS x
+      FROM fp f JOIN (SELECT DISTINCT doc_id, n FROM hh) h
+        ON h.doc_id = f.doc_id
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_fp AS BIGINT) AS n_fp,
+           CAST(CAST(x AS HUGEINT) - CASE WHEN x >= 9223372036854775808
+                THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp_xor
+    FROM agg
+    """
+
+
+@register("doc_winnowing", _doc_winnowing_sql())
+def doc_winnowing(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS algorithm): in every window of w=4 consecutive
+    k-gram hashes keep the RIGHTMOST minimum — a (2/(w+1))-density
+    fingerprint set with the guarantee that any match of length
+    >= w+k-1 shares a fingerprint, the classic local-similarity /
+    plagiarism primitive between exact hashing and MinHash.  Output
+    per doc: shingle count, fingerprint count, and the XOR of the
+    selected hashes (an integer value-check over the exact selected
+    SET, order-free).
+
+    Distributed shape: one shuffle-free map_batches pass; the batch
+    kernel reuses the vectorized CSR shingle hasher, computes every
+    window's rightmost argmin with w shifted slices over the WHOLE
+    concatenated hash buffer (validity-masked per doc, the
+    shingle_hashes_batch trick — no per-doc loop for long docs), and
+    dedups selected GLOBAL positions with one np.unique + two
+    reduceat rollups."""
+    from .functions.hashing import shingle_hashes_batch
+
+    rd = _rd()
+    K, W = 5, 4
+
+    def winnow(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if not texts:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_shingles": pa.array([], type=pa.int64()),
+                "n_fp": pa.array([], type=pa.int64()),
+                "fp_xor": pa.array([], type=pa.int64()),
+            })
+        h, off = shingle_hashes_batch(texts, K)
+        cnt = np.diff(off)
+        sel_chunks = []
+        # long docs: every global window of W hashes, rightmost argmin
+        # via W reversed shifted slices; keep windows fully inside one
+        # long doc (same delta-mask trick as the hasher)
+        nwin = len(h) - W + 1
+        long_mask = cnt >= W
+        if nwin > 0 and long_mask.any():
+            stack = np.stack([h[W - 1 - j: W - 1 - j + nwin]
+                              for j in range(W)])
+            arg = np.argmin(stack, axis=0)  # first in reversed = rightmost
+            sel = np.arange(nwin) + (W - 1 - arg)
+            li = np.flatnonzero(long_mask)
+            delta = np.zeros(nwin + 1, dtype=np.int32)
+            np.add.at(delta, off[li], 1)
+            np.add.at(delta, np.minimum(off[li + 1] - W + 1, nwin), -1)
+            sel_chunks.append(sel[np.cumsum(delta[:-1]) > 0])
+        # short docs: one window over the whole doc
+        for i in np.flatnonzero(~long_mask).tolist():
+            seg = h[off[i]:off[i + 1]]
+            m = seg.min()
+            sel_chunks.append(
+                np.array([off[i] + np.flatnonzero(seg == m)[-1]],
+                         dtype=np.int64)
+            )
+        sel = np.unique(np.concatenate(sel_chunks))
+        bounds = np.searchsorted(sel, off)
+        n_fp = np.diff(bounds)
+        x = np.bitwise_xor.reduceat(h[sel], bounds[:-1])
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_shingles": pa.array(cnt.astype(np.int64)),
+            "n_fp": pa.array(n_fp.astype(np.int64)),
+            "fp_xor": pa.array(x.view(np.int64)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(winnow, batch_format="pyarrow")

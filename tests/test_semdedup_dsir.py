@@ -279,3 +279,50 @@ class TestNearDupPagerank:
             assert out.loc[n, "pagerank"] == v
         others = set(out.index) - set(r)
         assert all(out.loc[i, "pagerank"] == 150_000_000_000 for i in others)
+
+
+class TestDocWinnowing:
+    @staticmethod
+    def _brute(text, k=5, w=4):
+        from osm_live_updates_ray.functions.hashing import (
+            shingle_hashes_batch,
+        )
+
+        h, off = shingle_hashes_batch([text], k)
+        h = h[off[0]:off[1]]
+        sel = set()
+        n = len(h)
+        for s in range(max(n - w + 1, 1)):
+            win = h[s:min(s + w, n)]
+            m = win.min()
+            sel.add(s + int(np.flatnonzero(win == m)[-1]))  # rightmost
+        return h, sel
+
+    def test_matches_bruteforce_reference(self, ray_session, tmp_path):
+        rng = np.random.default_rng(23)
+        texts = [
+            "".join(rng.choice(list("abcdef "), size=int(n)))
+            for n in rng.integers(1, 200, size=30)
+        ] + ["ab", ""]  # short-doc and empty-doc paths
+        sf = _write_docs(tmp_path, texts, ["en"] * len(texts))
+        out = (
+            QUERIES["doc_winnowing"](sf).to_pandas().set_index("doc_id")
+        )
+        for i, txt in enumerate(texts):
+            h, sel = self._brute(txt)
+            assert out.loc[i, "n_shingles"] == len(h)
+            assert out.loc[i, "n_fp"] == len(sel)
+            x = np.uint64(0)
+            for p in sel:
+                x ^= h[p]
+            assert out.loc[i, "fp_xor"] == np.int64(x.view(np.int64))
+
+    def test_shared_run_guarantee(self, ray_session, tmp_path):
+        # winnowing guarantees any shared substring of length
+        # >= w + k - 1 = 8 contributes a shared fingerprint
+        shared = "zqxwvyutrsponml"
+        a = "aaaa bbbb " + shared + " cccc dddd"
+        b = "eeee ffff " + shared + " gggg hhhh"
+        ha, sa = self._brute(a)
+        hb, sb = self._brute(b)
+        assert {int(ha[p]) for p in sa} & {int(hb[p]) for p in sb}
