@@ -7527,7 +7527,16 @@ def near_dup_components(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     pairs = dedup_docs.ngram_jaccard_pairs(docs_ds, threshold=0.8, k=5)
-    comp = dedup_docs.connected_components_distributed(pairs).to_pandas()
+    # decide the propagation shape from the EXACT edge count (the
+    # rejoin_driver_rows rule: collect delta-sized sets, stream
+    # corpus-sized ones): below the gate the driver variant skips
+    # ~2 s of Ray join+groupby ramp PER ROUND; the two variants are
+    # equality-pinned by pytest
+    pairs = pairs.materialize()
+    if pairs.count() <= 2_000_000:
+        comp = dedup_docs.connected_components(pairs.to_pandas())
+    else:
+        comp = dedup_docs.connected_components_distributed(pairs).to_pandas()
     nodes = comp["doc_id"].to_numpy(dtype=np.int64)
     labs = comp["component"].to_numpy(dtype=np.int64)
     o = np.argsort(nodes, kind="stable")
