@@ -331,7 +331,8 @@ def battery(sf_dir: str) -> dict:
                  # round-4 continued: tokenizer + source-overlap matrix,
                  # persisted-inverted-index BM25
                  "doc_tokens_bpe", "source_overlap",
-                 "bm25_topk_indexed", "doc_winnowing"):
+                 "bm25_topk_indexed", "doc_winnowing",
+                 "ann_topk_ivfpq"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

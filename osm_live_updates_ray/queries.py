@@ -8923,3 +8923,111 @@ def doc_winnowing(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(winnow, batch_format="pyarrow")
+
+
+def _ann_topk_ivfpq_sql(nlist: int = 16, nprobe: int = 4, m: int = 8,
+                        ks: int = 16, k: int = 10, nq: int = 5) -> str:
+    """Bit-exact mirror of `ivfpq_topk_sampled`: one shared splitmix64
+    bottom-k sample serves as coarse centroids (cid = vec_id, the IVF
+    mirror's convention) AND PQ codebook (code = vec_id rank); coarse
+    assignment/probing by the integer score 2(x·c)−c·c, PQ encoding and
+    ADC by integer L2 — the full ranking is integer arithmetic."""
+    from .stages.sketchq import splitmix64_sql
+
+    return f"""
+    WITH samp AS (
+      SELECT cwid, ROW_NUMBER() OVER (ORDER BY cwid) - 1 AS code FROM (
+        SELECT vec_id AS cwid, {splitmix64_sql('vec_id')} AS hv
+        FROM embeddings ORDER BY hv LIMIT {max(nlist, ks)})
+    ),
+    qe AS (
+      SELECT vec_id,
+             UNNEST(range(0, len(embedding))) AS d,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 16777216)
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    cq AS (SELECT s.cwid AS cid, qe.d, qe.q
+           FROM samp s JOIN qe ON qe.vec_id = s.cwid),
+    cnorm AS (SELECT cid, SUM(q * q) AS cc FROM cq GROUP BY cid),
+    scores AS (
+      SELECT v.vec_id, c.cid, 2 * SUM(v.q * c.q) - MAX(n.cc) AS s
+      FROM qe v JOIN cq c ON c.d = v.d JOIN cnorm n ON n.cid = c.cid
+      GROUP BY v.vec_id, c.cid
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scores) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scores WHERE vec_id < {nq}) WHERE rn <= {nprobe}
+    ),
+    sub AS (
+      SELECT vec_id, d // (len_d // {m}) AS s, d % (len_d // {m}) AS sd, q
+      FROM qe, (SELECT COUNT(*) // COUNT(DISTINCT vec_id) AS len_d FROM qe)
+    ),
+    cw AS (
+      SELECT s.code, sub.s, sub.sd, sub.q AS cq
+      FROM samp s JOIN sub ON sub.vec_id = s.cwid
+    ),
+    sd2 AS MATERIALIZED (
+      SELECT v.vec_id, v.s, c.code,
+             SUM((v.q - c.cq) * (v.q - c.cq)) AS d2
+      FROM sub v JOIN cw c ON c.s = v.s AND c.sd = v.sd
+      GROUP BY v.vec_id, v.s, c.code
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        FROM sd2) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign a ON a.cid = p.cid
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(qd.d2) AS BIGINT) AS adc_dist2
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.neighbor_id
+      JOIN sd2 qd ON qd.vec_id = c.query_id
+                 AND qd.s = e.s AND qd.code = e.code
+      GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+      SELECT query_id, neighbor_id, adc_dist2, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank
+      FROM adc
+    ) WHERE rank <= {k}
+    """
+
+
+@register("ann_topk_ivfpq", _ann_topk_ivfpq_sql())
+def ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ: the composed FAISS-style ANN layout — coarse partition
+    pruning (nprobe=4 of 16 lists) over PQ-compressed codes (m=8
+    bytes/vector, ADC scoring) — closing the index-family set
+    (brute / LSH / IVF / IVF-persisted / PQ / IVF-PQ).  Every stage
+    follows the sampled-integer oracle discipline, so coarse
+    assignment, probe lists, codes AND the final ADC ranking are all
+    bit-pinned by the SQL mirror at 3 sf tiers."""
+    from .stages.similarity import _stack, ivfpq_topk_sampled
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
+    return ivfpq_topk_sampled(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        q.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(q, "embedding"),
+        emb.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(emb, "embedding"),
+        k=10, nlist=16, nprobe=4, m=8, ks=16,
+    )

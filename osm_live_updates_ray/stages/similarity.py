@@ -864,3 +864,101 @@ def pq_topk_sampled(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
     top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "neighbor_id", "rank", "adc_dist2"]]
+
+
+def ivfpq_topk_sampled(ds, query_ids: np.ndarray, query_vecs: np.ndarray,
+                       corpus_ids: np.ndarray, corpus_vecs: np.ndarray,
+                       k: int = 10, nlist: int = 16, nprobe: int = 4,
+                       m: int = 8, ks: int = 16) -> pd.DataFrame:
+    """IVF-PQ — the composed FAISS-style 100-TB ANN layout: a coarse
+    sampled quantizer prunes the scan to ``nprobe`` inverted lists
+    (at scale: Parquet partitions, see ivf_build_index) and PQ codes
+    compress what remains to ``m`` bytes/vector scored by ADC table
+    lookups.  Both stages reuse the session's oracle disciplines —
+    splitmix64 bottom-k sampling (one shared sample serves as coarse
+    centroids AND PQ codebook), integer fixed-point assignment /
+    probing / encoding / ADC — so the ENTIRE ranking is
+    bit-reproducible in SQL.  PQ encodes RAW vectors, not IVF
+    residuals (the classic refinement; documented simplification that
+    keeps the mirror one CTE set instead of a per-list one).
+
+    Distributed shape: one broadcast (centroids + probe lists + ADC
+    tables, all O(nlist·m·ks)), one streamed pass that assigns, masks
+    to probed lists, gathers ADC sums, and emits per-batch per-query
+    top-k partials; driver merges queries·k·blocks rows."""
+    import ray
+
+    cw_ids, C = sampled_centroids(corpus_ids, corpus_vecs, max(nlist, ks))
+    Cq = lsh_quantize(C)
+    dim = C.shape[1]
+    ds_sub = dim // m
+    Csub = Cq[:ks].reshape(ks, m, ds_sub)
+    Qint = lsh_quantize(np.asarray(query_vecs, dtype=np.float64))
+    probe = _probe_lists_int(np.asarray(query_vecs, dtype=np.float64),
+                             C[:nlist], nprobe)
+    Qsub = Qint.reshape(len(query_ids), m, ds_sub)
+    dots = np.einsum("qsd,csd->qsc", Qsub, Csub)
+    q2 = np.einsum("qsd,qsd->qs", Qsub, Qsub)
+    c2 = np.einsum("csd,csd->cs", Csub, Csub)
+    A = q2[:, :, None] + c2.T[None, :, :] - 2 * dots
+    coarse = Cq[:nlist]
+    cnorm = np.einsum("ij,ij->i", coarse, coarse)
+    ref = ray.put({
+        "qids": np.asarray(query_ids, dtype=np.int64),
+        "A": A, "Csub": Csub, "coarse": coarse, "cnorm": cnorm,
+        "probe": probe, "k": k,
+    })
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "adc_dist2": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        cfg = ray.get(_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        Xq = lsh_quantize(_stack(t, "embedding"))
+        # coarse assignment: integer score argmax, ties -> smaller cid
+        s = 2 * (Xq @ cfg["coarse"].T) - cfg["cnorm"][None, :]
+        lst = np.argmax(s, axis=1).astype(np.int64)
+        Ct = cfg["Csub"]
+        Xs = Xq.reshape(len(ids), Ct.shape[1], Ct.shape[2])
+        d = np.einsum("nsd,csd->nsc", Xs, Ct)
+        x2 = np.einsum("nsd,nsd->ns", Xs, Xs)
+        cc2 = np.einsum("csd,csd->cs", Ct, Ct)
+        code = np.argmin(x2[:, :, None] + cc2.T[None, :, :] - 2 * d, axis=2)
+        rows_q, rows_n, rows_d = [], [], []
+        sidx = np.arange(Ct.shape[1])
+        for qi, qid in enumerate(cfg["qids"]):
+            member = np.isin(lst, cfg["probe"][qi])
+            if not member.any():
+                continue
+            midx = np.flatnonzero(member)
+            adc = cfg["A"][qi][sidx[None, :], code[midx]].sum(axis=1)
+            take = min(cfg["k"], len(midx))
+            part = np.lexsort((ids[midx], adc))[:take]
+            rows_q.append(np.full(take, qid, dtype=np.int64))
+            rows_n.append(ids[midx][part])
+            rows_d.append(adc[part])
+        if not rows_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "neighbor_id": pa.array(np.concatenate(rows_n)),
+            "adc_dist2": pa.array(np.concatenate(rows_d)),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                             "rank": [], "adc_dist2": []})
+    parts = parts.sort_values(
+        ["query_id", "adc_dist2", "neighbor_id"], kind="stable",
+    )
+    top = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank", "adc_dist2"]]

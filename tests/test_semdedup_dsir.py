@@ -326,3 +326,45 @@ class TestDocWinnowing:
         ha, sa = self._brute(a)
         hb, sb = self._brute(b)
         assert {int(ha[p]) for p in sa} & {int(hb[p]) for p in sb}
+
+
+class TestAnnTopkIvfpq:
+    def test_self_probed_and_exact_under_full_codebook(self, ray_session,
+                                                       tmp_path):
+        # 16 vectors: every vector is its own coarse centroid AND PQ
+        # codeword; the nearest probed list is the query's own, so
+        # rank 1 is the query itself with ADC 0
+        rng = np.random.default_rng(29)
+        X = rng.uniform(-0.5, 0.5, size=(16, 64))
+        sf = _write_emb(tmp_path, X)
+        out = QUERIES["ann_topk_ivfpq"](sf)
+        first = out[out["rank"] == 1].set_index("query_id")
+        for q in range(5):
+            assert first.loc[q, "neighbor_id"] == q
+            assert first.loc[q, "adc_dist2"] == 0
+
+    def test_candidates_respect_probe_pruning(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages.similarity import (
+            _probe_lists_int,
+            _stack,
+            lsh_quantize,
+            sampled_centroids,
+        )
+
+        rng = np.random.default_rng(31)
+        X = rng.uniform(-0.5, 0.5, size=(60, 64))
+        sf = _write_emb(tmp_path, X)
+        out = QUERIES["ann_topk_ivfpq"](sf)
+        ids = np.arange(60, dtype=np.int64)
+        _, C = sampled_centroids(ids, X, 16)
+        Cq = lsh_quantize(C)
+        s = 2 * (lsh_quantize(X) @ Cq.T) - np.einsum(
+            "ij,ij->i", Cq, Cq
+        )[None, :]
+        lst = np.argmax(s, axis=1)
+        probe = _probe_lists_int(X[:5], C, 4)
+        for _, row in out.iterrows():
+            q, n = int(row["query_id"]), int(row["neighbor_id"])
+            assert lst[n] in probe[q]  # pruning is real, not cosmetic
