@@ -9031,3 +9031,282 @@ def ann_topk_ivfpq(sf_dir: str):
         _stack(emb, "embedding"),
         k=10, nlist=16, nprobe=4, m=8, ks=16,
     )
+
+
+# ===========================================================================
+# Near-dup graph: quality-aware representative selection + triangle census
+# ===========================================================================
+_NGRAM_PAIRS_CTES = r"""norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(nt, i, 5) AS sh
+      FROM norm,
+        LATERAL (SELECT unnest(generate_series(1, greatest(length(nt)-4, 1))) AS i) g
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+      WHERE i / (ca.n + cb.n - i) >= 0.8e0
+    )"""
+
+
+@register(
+    "near_dup_keep_best",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+    ),
+    comp AS (
+      SELECT node, LEAST(node, MIN(lab)) AS component
+      FROM reach GROUP BY node
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY component ORDER BY n_chars DESC, doc_id) = 1
+             THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM labeled
+    """,
+)
+def near_dup_keep_best(sf_dir: str):
+    """Quality-aware near-dup cluster REPRESENTATIVE selection — what a
+    real training-data dedup keeps is the BEST document of each fuzzy
+    cluster, not the smallest id: per component (the
+    `near_dup_components` label set over the deterministic PPJoin edge
+    set), the winner is max n_chars with min-doc_id tie-break (any
+    integer-exact quality — the Gopher feature score, an LM
+    perplexity bucket — plugs into the same packed argmax).
+
+    Distributed shape: components + winner argmax run on the
+    DUP-CLUSTER-sized member set (winner = first row of a
+    (component, -quality, doc_id) lexsort — equivalently a map-side
+    combinable max of quality·2^32 + (2^32-1-doc_id)); the member
+    qualities come from a PRUNED (doc_id, n_chars) scan filtered
+    against the broadcast dup-node set; the final attach streams the
+    corpus against the broadcast (component, kept) maps.  Singletons
+    never enter any exchange: kept=1, component=doc_id by default."""
+    import ray
+
+    from .stages import dedup_docs
+
+    rd = _rd()
+    docs_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup_docs.ngram_jaccard_pairs(
+        docs_ds, threshold=0.8, k=5
+    ).materialize()
+    if pairs.count() <= 2_000_000:
+        comp = dedup_docs.connected_components(pairs.to_pandas())
+    else:
+        comp = dedup_docs.connected_components_distributed(pairs).to_pandas()
+    nodes = comp["doc_id"].to_numpy(dtype=np.int64)
+    labs = comp["component"].to_numpy(dtype=np.int64)
+    o = np.argsort(nodes, kind="stable")
+    nodes, labs = nodes[o], labs[o]
+
+    mem_ref = ray.put(nodes)
+
+    def members_only(t: pa.Table) -> pa.Table:
+        nd = ray.get(mem_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(nd):
+            pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            mask = nd[pos] == ids
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        return t.filter(pa.array(mask))
+
+    mem = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        .map_batches(members_only, batch_format="pyarrow")
+        .to_pandas()
+    )
+    kept_by_node = np.ones(len(nodes), dtype=np.int64)
+    if len(mem):
+        mids = mem["doc_id"].to_numpy(dtype=np.int64)
+        mq = mem["n_chars"].to_numpy(dtype=np.int64)
+        mpos = np.searchsorted(nodes, mids)
+        mcomp = labs[mpos]
+        order = np.lexsort((mids, -mq, mcomp))
+        mc_s, mid_s = mcomp[order], mids[order]
+        first = np.ones(len(mc_s), dtype=bool)
+        first[1:] = mc_s[1:] != mc_s[:-1]
+        win_comp, win_id = mc_s[first], mid_s[first]  # sorted by comp
+        wpos = np.searchsorted(win_comp, mcomp)
+        kept_m = (win_id[wpos] == mids).astype(np.int64)
+        kept_by_node[:] = 0
+        kept_by_node[mpos] = kept_m
+
+    ref = ray.put((nodes, labs, kept_by_node))
+
+    def attach(t: pa.Table) -> pa.Table:
+        nd, lb, kp = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(nd):
+            pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            hit = nd[pos] == ids
+            compv = np.where(hit, lb[pos], ids)
+            keptv = np.where(hit, kp[pos], 1)
+        else:
+            compv = ids
+            keptv = np.ones(len(ids), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "component": pa.array(compv.astype(np.int64)),
+            "kept": pa.array(keptv.astype(np.int64)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(attach, batch_format="pyarrow")
+
+
+@register(
+    "near_dup_triangles",
+    f"""
+    WITH {_NGRAM_PAIRS_CTES},
+    edges AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tn AS (
+      SELECT x AS doc_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT doc_id, COUNT(*) AS triangles FROM tn GROUP BY doc_id
+    """,
+)
+def near_dup_triangles(sf_dir: str):
+    """Per-document TRIANGLE counts over the near-duplicate graph —
+    the local-clustering census that distinguishes a tight template
+    family (every copy similar to every other: many triangles) from a
+    chain of drifting revisions (few): the third graph shape after
+    component labels and PageRank, on the same deterministic PPJoin
+    edge set so the oracle is a plain 3-way self-join.
+
+    Distributed shape (`stages/dedup_docs.triangle_counts_distributed`,
+    equality-pinned to the driver variant by pytest): wedges per apex
+    (`groupby(a).map_groups`, one triu call per group), wedges and
+    edges CO-SHUFFLED into hash(x, y) buckets, bucket-local vectorized
+    closure merge — no Dataset.join (the round-4 empty-block hash-join
+    defect), no edge set on any single process — then one small
+    groupby-count rollup.  Driver variant below the exact-count gate
+    (the near_dup_components routing rule)."""
+    from .stages import dedup_docs
+
+    rd = _rd()
+    docs_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup_docs.ngram_jaccard_pairs(
+        docs_ds, threshold=0.8, k=5
+    ).materialize()
+    if pairs.count() <= 2_000_000:
+        return dedup_docs.triangle_counts(pairs.to_pandas())
+    return dedup_docs.triangle_counts_distributed(pairs)
+
+
+def _ann_recall_eval_sql() -> str:
+    """Recall@10 of the oracle-pinned IVF candidate path against the
+    exact brute-force ranking: BOTH sides are already bit-pinned SQL
+    mirrors (`ann_topk`, `ann_topk_ivf_sampled`), so the per-query hit
+    count is integer-exact — the normally-unverifiable quality metric
+    of an ANN index, fully oracled."""
+    exact = ORACLES["ann_topk"]
+    ivf = _ann_topk_ivf_sampled_sql()
+    return f"""
+    WITH exact_side AS ({exact}),
+    ivf_side AS ({ivf}),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS hits
+      FROM exact_side e
+      JOIN ivf_side i ON i.query_id = e.query_id
+                     AND i.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           ROUND(COALESCE(h.hits, 0) / 10.0, 4) AS recall
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """
+
+
+@register("ann_recall_eval", _ann_recall_eval_sql())
+def ann_recall_eval(sf_dir: str):
+    """ANN index QUALITY EVALUATION — recall@10 of the IVF-sampled
+    partition-pruning path against exact brute force, per query.  An
+    index eval is a first-class pipeline op (you re-run it whenever
+    the corpus or index parameters move); because this engine's IVF
+    candidate set is oracle-pinned (splitmix64 centroids + integer
+    fixed-point assignment), the eval itself is fully oracled — both
+    rankings, the intersection, and the recall ratio are
+    bit-reproducible in SQL.
+
+    Distributed shape: two independent broadcast-probe scans of the
+    embedding corpus (exact top-k partials + IVF probed lists); the
+    intersection runs on the two FINAL-ANSWER-sized rankings
+    (nq x k rows each) — nothing corpus-sized leaves the scans."""
+    from .stages.similarity import _stack, brute_force_topk, ivf_topk_sampled
+
+    rd = _rd()
+    emb = td.read(sf_dir, "embeddings")
+    q = emb.filter(pc.less(emb.column("vec_id"), pa.scalar(5)))
+    qids = q.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _stack(q, "embedding")
+    exact = brute_force_topk(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), qids, Q, k=10
+    )
+    ivf = ivf_topk_sampled(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        qids, Q,
+        emb.column("vec_id").to_numpy(zero_copy_only=False),
+        _stack(emb, "embedding"),
+        k=10, nlist=16, nprobe=4,
+    )
+    qs = np.sort(qids)
+    hits = np.zeros(len(qs), dtype=np.int64)
+    for i, qid in enumerate(qs):
+        es = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+        vs = set(ivf.loc[ivf["query_id"] == qid, "neighbor_id"])
+        hits[i] = len(es & vs)
+    return pd.DataFrame({
+        "query_id": qs,
+        "k": np.full(len(qs), 10, dtype=np.int64),
+        "hits": hits,
+        "recall": _round(hits / 10.0, 4),
+    })

@@ -1603,3 +1603,161 @@ def update_band_index(survivor_ds, index_dir: str, id_col: str = "doc_id",
     only adds duplicate rows, which membership semantics ignore)."""
     build_band_index(survivor_ds, index_dir, id_col, text_col, num_perm,
                      bands, n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-duplicate graph
+# ---------------------------------------------------------------------------
+def triangle_counts(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """Per-node triangle counts over canonical (id_a < id_b) edges —
+    DRIVER-sized variant (the dup graph after PPJoin is
+    dup-cluster-sized, the `connected_components` size class).
+    Wedge enumeration per apex + one vectorized merge against the edge
+    set; exact, deterministic.  Returns (doc_id, triangles) for nodes
+    in >= 1 triangle."""
+    empty = pd.DataFrame({
+        "doc_id": np.array([], dtype=np.int64),
+        "triangles": np.array([], dtype=np.int64),
+    })
+    if not len(pairs_df):
+        return empty
+    a = pairs_df["id_a"].to_numpy(dtype=np.int64)
+    b = pairs_df["id_b"].to_numpy(dtype=np.int64)
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    apex: list[np.ndarray] = []
+    w1: list[np.ndarray] = []
+    w2: list[np.ndarray] = []
+    ua, starts, counts = np.unique(a, return_index=True, return_counts=True)
+    # loop is over APEX NODES of the dup graph (not corpus rows); each
+    # iteration emits that apex's wedge pairs in one triu_indices call
+    for av, s, c in zip(ua, starts, counts):
+        if c < 2:
+            continue
+        nb = b[s:s + c]  # sorted ascending within the apex group
+        iu, ju = np.triu_indices(int(c), 1)
+        w1.append(nb[iu])
+        w2.append(nb[ju])
+        apex.append(np.full(len(iu), av, dtype=np.int64))
+    if not w1:
+        return empty
+    wed = pd.DataFrame({
+        "apex": np.concatenate(apex),
+        "x": np.concatenate(w1),
+        "y": np.concatenate(w2),
+    })
+    closed = wed.merge(
+        pd.DataFrame({"x": a, "y": b}), on=["x", "y"], how="inner"
+    )
+    if not len(closed):
+        return empty
+    ids = np.concatenate([
+        closed["apex"].to_numpy(), closed["x"].to_numpy(),
+        closed["y"].to_numpy(),
+    ])
+    uid, cnt = np.unique(ids, return_counts=True)
+    return pd.DataFrame({
+        "doc_id": uid.astype(np.int64),
+        "triangles": cnt.astype(np.int64),
+    })
+
+
+def triangle_counts_distributed(pairs_ds, num_buckets: int = 256):
+    """Exact per-node triangle counts as RAY stages — same result as
+    :func:`triangle_counts` (a pytest pins equality): wedges are
+    emitted per apex group (`groupby(a).map_groups`, one triu call per
+    group), then wedges and edges are CO-SHUFFLED into
+    ``hash(x, y) % num_buckets`` buckets and closed with a
+    bucket-local vectorized merge — no `Dataset.join` (the round-4
+    empty-block hash-join defect) and no edge set on the driver.
+    Per-node rollup is one small groupby-count.
+
+    Skew note: wedge count is sum(deg^2) — a hub apex inflates one
+    group.  The scale escape is the standard degree-ordered direction
+    (orient each edge low-degree -> high-degree before wedging), which
+    caps group width at O(sqrt(m)); not needed at dup-graph sizes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import hash_int64
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t.column("id_a").combine_chunks().cast(pa.int64()),
+            "b": t.column("id_b").combine_chunks().cast(pa.int64()),
+        })
+
+    edges = pairs_ds.map_batches(canon, batch_format="pyarrow")
+
+    def emit_wedges(g: pa.Table) -> pa.Table:
+        nb = np.sort(g.column("b").to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+        n = len(nb)
+        empty = pa.table({
+            "apex": pa.array([], type=pa.int64()),
+            "x": pa.array([], type=pa.int64()),
+            "y": pa.array([], type=pa.int64()),
+        })
+        if n < 2:
+            return empty
+        av = int(g.column("a")[0].as_py())
+        iu, ju = np.triu_indices(n, 1)
+        return pa.table({
+            "apex": pa.array(np.full(len(iu), av, dtype=np.int64)),
+            "x": pa.array(nb[iu]),
+            "y": pa.array(nb[ju]),
+        })
+
+    wedges = edges.groupby("a").map_groups(
+        emit_wedges, batch_format="pyarrow"
+    )
+
+    def tag(kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if kind == 0:
+                apex = t.column("apex").to_numpy(zero_copy_only=False)
+                x = t.column("x").to_numpy(zero_copy_only=False)
+                y = t.column("y").to_numpy(zero_copy_only=False)
+            else:
+                x = t.column("a").to_numpy(zero_copy_only=False)
+                y = t.column("b").to_numpy(zero_copy_only=False)
+                apex = np.full(len(x), -1, dtype=np.int64)
+            fold = (
+                hash_int64(x.astype(np.int64)).view(np.uint64)
+                ^ (hash_int64(y.astype(np.int64)).view(np.uint64)
+                   >> np.uint64(1))
+            ) % np.uint64(num_buckets)
+            return pa.table({
+                "bucket": pa.array(fold.astype(np.int64)),
+                "apex": pa.array(apex.astype(np.int64)),
+                "x": pa.array(x.astype(np.int64)),
+                "y": pa.array(y.astype(np.int64)),
+                "kind": pa.array(np.full(len(x), kind, dtype=np.int8)),
+            })
+        return fn
+
+    both = wedges.map_batches(tag(0), batch_format="pyarrow").union(
+        edges.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket-local exact closure: wedge (x, y) matches a real edge
+        # row — merge compares BOTH ids, so fold collisions are inert
+        w = g[g["kind"] == 0]
+        e = g[g["kind"] == 1][["x", "y"]]
+        if not len(w) or not len(e):
+            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64)})
+        closed = w.merge(e, on=["x", "y"], how="inner")
+        ids = np.concatenate([
+            closed["apex"].to_numpy(), closed["x"].to_numpy(),
+            closed["y"].to_numpy(),
+        ]).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids})
+
+    out = (
+        both.groupby("bucket")
+        .map_groups(close_bucket, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="triangles"))
+    )
+    return out

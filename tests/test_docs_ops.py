@@ -996,3 +996,134 @@ class TestQ8Q9PathEquality:
         b = tpch_q7(sf, _force_join=True).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 0
+
+
+class TestTriangles:
+    def _known(self):
+        import pandas as pd
+
+        # K4 on {1,2,3,4} (4 triangles, each node in 3), a K3 on
+        # {10,11,12} with pendant 13, and a triangle-free chain
+        # {20,21,22}
+        e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (10, 11), (10, 12), (11, 12), (12, 13),
+             (20, 21), (21, 22)]
+        return pd.DataFrame({"id_a": [x for x, _ in e],
+                             "id_b": [y for _, y in e]})
+
+    def test_driver_counts_known_graph(self):
+        got = dedup_docs.triangle_counts(self._known())
+        want = {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+        assert dict(zip(got["doc_id"], got["triangles"])) == want
+
+    def test_empty_and_triangle_free(self):
+        import pandas as pd
+
+        assert len(dedup_docs.triangle_counts(
+            pd.DataFrame({"id_a": [], "id_b": []}))) == 0
+        chain = pd.DataFrame({"id_a": [1, 2, 3], "id_b": [2, 3, 4]})
+        assert len(dedup_docs.triangle_counts(chain)) == 0
+
+    def test_distributed_equals_driver(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        rng = np.random.RandomState(7)
+        # random graph dense enough to have many triangles + the
+        # known structures; few buckets so buckets mix edge families
+        m = rng.randint(0, 40, size=(120, 2))
+        m = m[m[:, 0] != m[:, 1]]
+        a, b = np.minimum(m[:, 0], m[:, 1]), np.maximum(m[:, 0], m[:, 1])
+        pairs = pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+        pairs = pd.concat([pairs, self._known()], ignore_index=True)
+        want = (dedup_docs.triangle_counts(pairs)
+                .sort_values("doc_id").reset_index(drop=True))
+        got = (
+            dedup_docs.triangle_counts_distributed(
+                rd.from_pandas(pairs), num_buckets=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["triangles"]) == list(want["triangles"])
+
+
+class TestKeepBest:
+    def test_longest_wins_ties_to_min_id(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_live_updates_ray import queries
+
+        # distinct-word bases so DISTINCT shingle counts track text
+        # length (a repeated-base fixture collapses to few shingles
+        # and silently reshapes the dup graph)
+        base_a = " ".join(f"alpha{i}word" for i in range(60))
+        base_b = " ".join(f"omega{i}term" for i in range(60))
+        rows = [
+            # cluster {1,2,3}: 2 is longest -> kept
+            (1, base_a, "en", "web"),
+            (2, base_a + " with an extra closing sentence", "en", "web"),
+            (3, base_a + " tail", "en", "web"),
+            # cluster {4,5}: identical texts -> tie -> min id 4 kept
+            (4, base_b + " second family of copies", "en", "web"),
+            (5, base_b + " second family of copies", "en", "web"),
+            # singleton
+            (6, "completely unrelated tiny text", "en", "web"),
+        ]
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows],
+                                type=pa.int64()),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = (queries.QUERIES["near_dup_keep_best"](str(tmp_path))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        kept = dict(zip(out["doc_id"], out["kept"]))
+        comp = dict(zip(out["doc_id"], out["component"]))
+        assert kept == {1: 0, 2: 1, 3: 0, 4: 1, 5: 0, 6: 1}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[4] == comp[5] == 4
+        assert comp[6] == 6
+        # sanity on the planted graph: both clusters really pass the
+        # 0.8 Jaccard bar and the two bases do NOT cross-link
+        assert comp[1] != comp[4]
+
+    def test_exactly_one_kept_per_component(self, ray_session):
+        from osm_live_updates_ray import queries
+
+        out = queries.QUERIES["near_dup_keep_best"](
+            "/root/testdata/sf0.001").to_pandas()
+        per = out.groupby("component")["kept"].sum()
+        assert (per == 1).all()
+        assert len(out) == out["doc_id"].nunique()
+
+
+class TestAnnRecallEval:
+    def test_full_probe_gives_perfect_recall(self, ray_session):
+        import ray.data as rd
+
+        from osm_live_updates_ray.stages.similarity import (
+            brute_force_topk, ivf_topk_sampled)
+
+        rng = np.random.RandomState(11)
+        X = rng.standard_normal((200, 16)).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in X],
+                                  type=pa.list_(pa.float32())),
+        })
+        ds = rd.from_arrow(t)
+        qids = np.arange(3, dtype=np.int64)
+        Q = X[:3].astype(np.float64)
+        ids = np.arange(200, dtype=np.int64)
+        exact = brute_force_topk(ds, qids, Q, k=10)
+        # nprobe == nlist: the candidate set is the whole corpus, so
+        # the IVF ranking must equal brute force -> recall 1.0
+        ivf = ivf_topk_sampled(ds, qids, Q, ids, X.astype(np.float64),
+                               k=10, nlist=8, nprobe=8)
+        for qid in qids:
+            es = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
+            vs = set(ivf.loc[ivf["query_id"] == qid, "neighbor_id"])
+            assert es == vs
