@@ -9310,3 +9310,179 @@ def ann_recall_eval(sf_dir: str):
         "hits": hits,
         "recall": _round(hits / 10.0, 4),
     })
+
+
+def _doc_hash_embed_sql(dim: int = 16) -> str:
+    """Bit-exact mirror of the feature-hashing embedder: word hash =
+    hash_strings_poly (the CMS/HLL mirror chain), dim = h % {dim},
+    sign = bit 4 of h (+1/-1), per-(doc, dim) integer sum, dense 0-fill
+    over the doc x dim grid."""
+    from .stages.sketchq import splitmix64_sql
+
+    poly = """CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(word)+1),
+                           j -> CAST(unicode(substr(word, j, 1)) AS UHUGEINT))),
+            (a, c) -> (a * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT)"""
+    fin = splitmix64_sql("CAST(p AS HUGEINT)")
+    return f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    p0 AS (SELECT doc_id, {poly} AS p FROM words),
+    h AS (SELECT doc_id, {fin} AS h FROM p0),
+    contrib AS (
+      SELECT doc_id, CAST(h % {dim} AS BIGINT) AS dim,
+             CASE WHEN (h // 16) % 2 = 1 THEN -1 ELSE 1 END AS sgn
+      FROM h
+    ),
+    sums AS (
+      SELECT doc_id, dim, SUM(sgn) AS val FROM contrib
+      GROUP BY doc_id, dim
+    ),
+    grid AS (
+      SELECT d.doc_id, g.dim
+      FROM documents d
+      CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS dim) g
+    )
+    SELECT g.doc_id, CAST(g.dim AS BIGINT) AS dim,
+           CAST(COALESCE(s.val, 0) AS BIGINT) AS val
+    FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.dim = g.dim
+    """
+
+
+@register("doc_hash_embed", _doc_hash_embed_sql())
+def doc_hash_embed(sf_dir: str):
+    """EMBEDDING GENERATION as a pipeline stage — signed feature
+    hashing (hashing-trick bag of words, Weinberger et al. 2009): each
+    token lands in dim h%16 with sign ±1 from bit 4 of the
+    SQL-mirrorable poly+splitmix64 hash, summed per doc.  Closes the
+    stage the ANN/kmeans entries assume as input (a model-based
+    encoder is this same shuffle-free map with an actor-pool __init__
+    model load); unlike a neural embed, this one is fully ORACLED —
+    the vectors themselves are bit-checked, not just their plumbing.
+
+    Distributed shape: ONE pass, no exchange at all — each batch
+    tokenizes (one Arrow C split kernel), hashes the flat token array
+    (vectorized poly hash), and scatter-adds into a per-row 16-lane
+    accumulator; emits long-format (doc_id, dim, val) rows.  At 100 TB
+    the output is 16 int64 rows/doc regardless of document length."""
+    from .functions import hashing
+
+    rd = _rd()
+    DIM = 16
+
+    def embed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        acc = np.zeros(len(ids) * DIM, dtype=np.int64)
+        if len(flat):
+            h = hashing.hash_strings_poly(flat).view(np.uint64)
+            dimv = (h % np.uint64(DIM)).astype(np.int64)
+            sign = 1 - 2 * ((h >> np.uint64(4)) & np.uint64(1)).astype(
+                np.int64
+            )
+            row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            np.add.at(acc, row * DIM + dimv, sign)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, DIM)),
+            "dim": pa.array(np.tile(np.arange(DIM, dtype=np.int64),
+                                    len(ids))),
+            "val": pa.array(acc),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(embed, batch_format="pyarrow")
+
+
+@register("image_dedup_phash")  # rows-only (pixel decode not SQL-expressible)
+def image_dedup_phash(sf_dir: str):
+    """Perceptual image DEDUP over corpus-derived media — the
+    LAION-style hygiene op byte-level exact dedup cannot do: two
+    encodings of the same picture (different PNG filter, PNG vs JPEG)
+    hash to the same 64-bit dHash and group together.  To exercise it
+    the entry plants a RE-ENCODED copy of every 9th image doc
+    (lossless re-encode of the decoded pixels through a different
+    filter/codec, media_id + 1e9), exactly the duplicate class a crawl
+    carries.
+
+    Distributed shape: decode+hash per batch (task pool, small
+    batches), then the shuffle carries (media_id, phash) — 16 B/image,
+    never pixels (the exact-dedup hash-only-exchange shape) — and one
+    groupby assigns group_min/is_dup.  Deterministic end-to-end;
+    pytest pins the planted-copy collapse and the decode-noise
+    robustness (rows-only: SQL cannot decode pixels).
+
+    Payload note: the images here are doc-seeded hash-noise TEXTURES
+    (through the real PNG/JPEG encoders), not the smooth gradients of
+    `media_from_documents` — a dHash collapses any two smooth ramps
+    (by design: it is invariant to brightness offsets), so a
+    gradient-only corpus would degenerate into one perceptual group
+    and the dedup would test nothing."""
+    from .functions import hashing
+    from .functions import media as _media
+    from .stages import multimodal
+
+    rd = _rd()
+
+    def _textured(doc_id: int) -> np.ndarray:
+        w = 8 + (doc_id % 8) * 2
+        h = 6 + (doc_id % 5) * 2
+        yy, xx = np.mgrid[0:h, 0:w]
+        seed = (
+            np.int64(doc_id) * np.int64(1 << 20)
+            + yy.astype(np.int64) * 1024 + xx.astype(np.int64)
+        )
+        hv = hashing.hash_int64(seed.ravel()).view(np.uint64).reshape(h, w)
+        return np.stack(
+            [
+                (hv & np.uint64(0xFF)).astype(np.uint8),
+                ((hv >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8),
+                ((hv >> np.uint64(16)) & np.uint64(0xFF)).astype(np.uint8),
+            ],
+            axis=2,
+        )
+
+    def with_copies(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ids = ids[ids % 3 == 0]  # the media_from_documents image slots
+        out_ids: list[int] = []
+        out_pay: list[bytes] = []
+        for d in ids:
+            img = _textured(int(d))
+            if (int(d) // 3) % 2:
+                from .functions import jpeg as _jp
+
+                payload = _jp.encode_jpeg(img, quality=90)
+            else:
+                payload = _media.encode_png(img, filter_type=int(d) % 5)
+            out_ids.append(int(d))
+            out_pay.append(payload)
+            if d % 9 == 0:
+                # the planted duplicate class: lossless re-encode of
+                # the DECODED pixels under a different filter/codec —
+                # byte-distinct payload, perceptually identical
+                pix = _media.decode_image(payload)
+                out_ids.append(int(d) + 1_000_000_000)
+                out_pay.append(
+                    _media.encode_png(pix, filter_type=(int(d) + 1) % 5)
+                )
+        return pa.table({
+            "media_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+            "payload": pa.array(out_pay, type=pa.binary()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(with_copies, batch_format="pyarrow")
+    return multimodal.phash_dedup(ds)

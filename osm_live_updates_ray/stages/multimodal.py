@@ -415,3 +415,77 @@ def gen_media(n: int, seed: int = 42) -> pa.Table:
         "duration_ms": dur,
     }
     return pa.Table.from_pydict(rows, schema=MEDIA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing / near-duplicate image dedup
+# ---------------------------------------------------------------------------
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): nearest-resize to 9x8 grayscale,
+    bit(r, c) = gray[r, c] > gray[r, c+1], row-major MSB-first.  Robust
+    to re-encoding (PNG<->JPEG), uniform brightness/contrast shifts and
+    small noise — the standard perceptual key for image-level near-dup
+    dedup (LAION-style corpus hygiene), where byte-level exact dedup
+    sees two encodings of the same picture as distinct."""
+    g = _media.resize_nearest(img, 9, 8).astype(np.float64).mean(axis=2)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint8)
+    packed = np.packbits(bits.ravel())
+    return int(np.uint64(int.from_bytes(packed.tobytes(), "big")))
+
+
+def phash_images(media_ds, concurrency: int = 8):
+    """Decode + perceptual-hash stage: (media_id, payload) ->
+    (media_id, phash int64).  Stateless per batch (the hash needs no
+    model), so a task pool, not actors; payload batches stay small via
+    the caller's batch sizing.  Undecodable payloads yield a null
+    phash row (the ImageFeaturizer failure contract)."""
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        out: list[int | None] = []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                img = _media.decode_image(payload or b"")
+                out.append(
+                    int(np.uint64(dhash64(img)).view(np.int64))
+                )
+            except Exception:
+                out.append(None)
+        return pa.Table.from_pydict({
+            "media_id": batch.column("media_id"),
+            "phash": pa.array(out, type=pa.int64()),
+        })
+
+    return media_ds.map_batches(
+        hash_batch, batch_format="pyarrow", batch_size=64
+    )
+
+
+def phash_dedup(media_ds, concurrency: int = 8):
+    """Perceptual image dedup: hash (above), then group by phash and
+    keep the smallest media_id of each perceptual group.  The shuffle
+    carries (media_id, phash) — 16 B/image, never pixels (the
+    exact-dedup hash-only-exchange shape); groups form via one small
+    groupby.  Emits (media_id, phash, group_min, is_dup)."""
+    hashed = phash_images(media_ds, concurrency)
+
+    def assign(g: pa.Table) -> pa.Table:
+        ids = g.column("media_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        gmin = int(ids.min())
+        return pa.table({
+            "media_id": pa.array(ids),
+            "phash": g.column("phash"),
+            "group_min": pa.array(np.full(len(ids), gmin, dtype=np.int64)),
+            "is_dup": pa.array((ids != gmin).astype(np.int64)),
+        })
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    return (
+        hashed.map_batches(drop_null, batch_format="pyarrow")
+        .groupby("phash")
+        .map_groups(assign, batch_format="pyarrow")
+    )

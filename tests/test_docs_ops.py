@@ -1127,3 +1127,70 @@ class TestAnnRecallEval:
             es = set(exact.loc[exact["query_id"] == qid, "neighbor_id"])
             vs = set(ivf.loc[ivf["query_id"] == qid, "neighbor_id"])
             assert es == vs
+
+
+class TestPhashDedup:
+    def _noise(self, seed, w=16, h=12):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_dhash_invariant_to_encoding_and_brightness(self):
+        from osm_live_updates_ray.functions import media as _media
+
+        img = self._noise(5)
+        h0 = multimodal.dhash64(img)
+        # same pixels through different PNG filters decode identically
+        for ft in range(5):
+            dec = _media.decode_image(_media.encode_png(img, filter_type=ft))
+            assert multimodal.dhash64(dec) == h0
+        # uniform brightness shift flips no comparison bits
+        shifted = np.clip(img.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+        assert multimodal.dhash64(shifted) == h0
+
+    def test_dhash_separates_textures(self):
+        hashes = {multimodal.dhash64(self._noise(s)) for s in range(40)}
+        assert len(hashes) == 40
+
+    def test_entry_planted_copies_collapse(self, ray_session):
+        from osm_live_updates_ray import queries
+
+        out = queries.QUERIES["image_dedup_phash"](
+            "/root/testdata/sf0.001").to_pandas()
+        copies = out[out["media_id"] >= 1_000_000_000]
+        orig = out[out["media_id"] < 1_000_000_000]
+        assert len(copies) > 0
+        assert (copies["is_dup"] == 1).all()
+        assert (copies["group_min"]
+                == copies["media_id"] - 1_000_000_000).all()
+        assert (orig["is_dup"] == 0).all()
+
+
+class TestHashEmbed:
+    def test_matches_per_row_reference(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_live_updates_ray import queries
+        from osm_live_updates_ray.functions import hashing
+
+        texts = ["alpha beta gamma", "beta beta", "", "one two three four",
+                 "alpha  double space"]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+            "text": pa.array(texts),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = (queries.QUERIES["doc_hash_embed"](str(tmp_path))
+               .to_pandas().sort_values(["doc_id", "dim"])
+               .reset_index(drop=True))
+        # naive per-row reference: split on single space (empties kept)
+        want = {}
+        for did, tx in enumerate(texts):
+            v = np.zeros(16, dtype=np.int64)
+            for w in tx.split(" "):
+                h = int(hashing.hash_strings_poly([w]).view(np.uint64)[0])
+                v[h % 16] += 1 - 2 * ((h >> 4) & 1)
+            want[did] = v
+        for did in range(5):
+            got = out[out["doc_id"] == did]["val"].to_numpy()
+            assert (got == want[did]).all(), did
+        assert len(out) == 5 * 16
