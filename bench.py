@@ -332,7 +332,11 @@ def battery(sf_dir: str) -> dict:
                  # persisted-inverted-index BM25
                  "doc_tokens_bpe", "source_overlap",
                  "bm25_topk_indexed", "doc_winnowing",
-                 "ann_topk_ivfpq"):
+                 "ann_topk_ivfpq",
+                 # round-4 third session: quality-aware dedup policy,
+                 # feature-hashing embed, perceptual image dedup
+                 "near_dup_keep_best", "doc_hash_embed",
+                 "image_dedup_phash"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):

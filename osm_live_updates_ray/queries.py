@@ -9486,3 +9486,122 @@ def image_dedup_phash(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(with_copies, batch_format="pyarrow")
     return multimodal.phash_dedup(ds)
+
+
+def _hash_embed_search_sql() -> str:
+    """Integer-exact retrieval mirror: dense hashed embeddings (the
+    `doc_hash_embed` mirror nested as a CTE), integer dot product via
+    a 16-row dim join per pair, ROW_NUMBER ranking on
+    (score DESC, match_id) — every operand an integer, so the WHOLE
+    ranking is bit-pinned, ties included."""
+    return f"""
+    WITH emb AS ({_doc_hash_embed_sql()}),
+    q AS (SELECT doc_id AS query_id, dim, val FROM emb WHERE doc_id < 5),
+    sc AS (
+      SELECT q.query_id, e.doc_id AS match_id,
+             CAST(SUM(q.val * e.val) AS BIGINT) AS score
+      FROM q JOIN emb e ON e.dim = q.dim
+      GROUP BY q.query_id, e.doc_id
+    )
+    SELECT query_id, match_id, rank, score FROM (
+      SELECT query_id, match_id, score, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, match_id) AS rank
+      FROM sc
+    ) WHERE rank <= 10
+    """
+
+
+@register("hash_embed_search", _hash_embed_search_sql())
+def hash_embed_search(sf_dir: str):
+    """END-TO-END text retrieval on engine-computed vectors: embed
+    every document with the feature-hashing encoder (`doc_hash_embed`)
+    and rank the corpus against the first 5 docs' embeddings by
+    INTEGER dot product — the embed→search composition a RAG/retrieval
+    pipeline runs, with no external embedding table.  Because the
+    vectors and scores are all integers, the full ranking (not just
+    the candidate set) is oracle-pinned — ties resolved by match_id
+    both sides.
+
+    Distributed shape: the query matrix is 5x16 int64 (driver-built
+    from a pruned filtered read, broadcast once via ray.put); each
+    batch embeds itself (the shuffle-free hashing kernel) and emits
+    TIE-AWARE per-query top-k partials (lexsort before truncation —
+    the BM25 partial lesson), so the driver merge sees
+    nq x k x n_blocks rows, never corpus-sized scores."""
+    import ray
+
+    from .functions import hashing
+
+    rd = _rd()
+    DIM, K = 16, 10
+
+    def _embed_matrix(ids: np.ndarray, texts: pa.ChunkedArray | pa.Array):
+        toks = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        acc = np.zeros(len(ids) * DIM, dtype=np.int64)
+        if len(flat):
+            h = hashing.hash_strings_poly(flat).view(np.uint64)
+            dimv = (h % np.uint64(DIM)).astype(np.int64)
+            sign = 1 - 2 * ((h >> np.uint64(4)) & np.uint64(1)).astype(
+                np.int64
+            )
+            row = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            np.add.at(acc, row * DIM + dimv, sign)
+        return acc.reshape(len(ids), DIM)
+
+    qdf = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("doc_id"), pa.scalar(5))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    qids = qdf["doc_id"].to_numpy(dtype=np.int64)
+    Q = _embed_matrix(qids, pa.array(qdf["text"].tolist()))
+    qref = ray.put((qids, Q))
+
+    def score(t: pa.Table) -> pa.Table:
+        qi, Qm = ray.get(qref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "match_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.int64()),
+        })
+        if len(ids) == 0 or len(qi) == 0:
+            return empty
+        M = _embed_matrix(ids, t.column("text").combine_chunks())
+        S = M @ Qm.T  # int64 exact
+        outq, outm, outs = [], [], []
+        for j in range(len(qi)):
+            order = np.lexsort((ids, -S[:, j]))[:K]
+            outq.append(np.full(len(order), qi[j], dtype=np.int64))
+            outm.append(ids[order])
+            outs.append(S[order, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(outq)),
+            "match_id": pa.array(np.concatenate(outm)),
+            "score": pa.array(np.concatenate(outs)),
+        })
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["query_id", "score", "match_id"],
+        ascending=[True, False, True], kind="stable",
+    )
+    top = parts.groupby("query_id", sort=True).head(K).reset_index(drop=True)
+    top["rank"] = (top.groupby("query_id").cumcount() + 1).astype(np.int64)
+    return top[["query_id", "match_id", "rank", "score"]]

@@ -1194,3 +1194,37 @@ class TestHashEmbed:
             got = out[out["doc_id"] == did]["val"].to_numpy()
             assert (got == want[did]).all(), did
         assert len(out) == 5 * 16
+
+
+class TestHashEmbedSearch:
+    def test_matches_naive_integer_ranking(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_live_updates_ray import queries
+        from osm_live_updates_ray.functions import hashing
+
+        rng = np.random.RandomState(19)
+        vocab = [f"tok{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 20)))
+                 for _ in range(40)]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+            "text": pa.array(texts),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = queries.QUERIES["hash_embed_search"](str(tmp_path))
+
+        def emb(tx):
+            v = np.zeros(16, dtype=np.int64)
+            for w in tx.split(" "):
+                h = int(hashing.hash_strings_poly([w]).view(np.uint64)[0])
+                v[h % 16] += 1 - 2 * ((h >> 4) & 1)
+            return v
+        M = np.stack([emb(tx) for tx in texts])
+        for qid in range(5):
+            s = M @ M[qid]
+            order = np.lexsort((np.arange(40), -s))[:10]
+            got = out[out["query_id"] == qid]
+            assert got["match_id"].tolist() == order.tolist()
+            assert got["score"].tolist() == s[order].tolist()
+            assert got["rank"].tolist() == list(range(1, 11))
