@@ -9605,3 +9605,156 @@ def hash_embed_search(sf_dir: str):
     top = parts.groupby("query_id", sort=True).head(K).reset_index(drop=True)
     top["rank"] = (top.groupby("query_id").cumcount() + 1).astype(np.int64)
     return top[["query_id", "match_id", "rank", "score"]]
+
+
+def _source_distinct_kmv_sql(k: int = 16) -> str:
+    """Bit-exact mirror of the KMV set-algebra sketch: distinct word
+    hashes per source (the CMS/HLL poly+splitmix64 chain), bottom-k
+    per source, per-pair union bottom-k (DISTINCT h then ROW_NUMBER —
+    ties impossible after DISTINCT), membership flags against both
+    member sketches, integer rho + ROUND(rho/k_used, 4)."""
+    from .stages.sketchq import splitmix64_sql
+
+    poly = """CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(1, length(word)+1),
+                           j -> CAST(unicode(substr(word, j, 1)) AS UHUGEINT))),
+            (a, c) -> (a * 1099511628211 + c) % 18446744073709551616)
+            AS UBIGINT)"""
+    fin = splitmix64_sql("CAST(p AS HUGEINT)")
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT source, word FROM (
+        SELECT source, UNNEST(string_split(text, ' ')) AS word
+        FROM documents)
+    ),
+    p0 AS (SELECT source, {poly} AS p FROM words),
+    hh AS (SELECT DISTINCT source, {fin} AS h FROM p0),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hh) WHERE rn <= {k}
+    ),
+    prs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b
+        ON a.source < b.source
+    ),
+    uni AS (
+      SELECT p.sa, p.sb, s.h
+      FROM prs p JOIN sk s ON s.source IN (p.sa, p.sb)
+      GROUP BY p.sa, p.sb, s.h
+    ),
+    topu AS (
+      SELECT sa, sb, h FROM (
+        SELECT sa, sb, h,
+               ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM uni) WHERE rn <= {k}
+    ),
+    flags AS (
+      SELECT t.sa, t.sb, t.h,
+             MAX(CASE WHEN s.source = t.sa THEN 1 ELSE 0 END) AS ina,
+             MAX(CASE WHEN s.source = t.sb THEN 1 ELSE 0 END) AS inb
+      FROM topu t
+      JOIN sk s ON s.h = t.h AND s.source IN (t.sa, t.sb)
+      GROUP BY t.sa, t.sb, t.h
+    )
+    SELECT sa AS src_a, sb AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(SUM(ina * inb) AS BIGINT) AS inter_in_union,
+           ROUND(SUM(ina * inb) / COUNT(*), 4) AS jaccard_est
+    FROM flags GROUP BY sa, sb
+    """
+
+
+@register("source_distinct_kmv", _source_distinct_kmv_sql())
+def source_distinct_kmv(sf_dir: str):
+    """KMV sketch SET ALGEBRA across sources — the sketch-family
+    member that answers set QUESTIONS (how much vocabulary do two
+    crawl sources share?) rather than point frequencies (CMS) or
+    cardinalities (HLL): per source a bottom-k sketch of the distinct
+    word-hash set, per pair the classic KMV intersection estimate
+    rho/k over the union's bottom-k (Beyer et al. 2007).  k=16 is
+    deliberately SMALL for the 31-word battery vocab so truncation is
+    actually exercised (the CMS w=16 lesson); real deployments size
+    k ~ 1/eps^2.  Everything through rho is integer and the hash is
+    the poly+splitmix64 chain, so sketches AND estimates are
+    oracle-pinned bit-exactly.
+
+    Distributed shape: per-batch DISTINCT (source, hash) explode +
+    per-source bottom-k partial (bottom-k of a union == union of
+    bottom-k's, the KMV merge law), one groupby-source merge — the
+    exchange is <= k rows per (source, block), never vocabulary-sized;
+    pair enumeration runs on the S x k driver-side sketch table
+    (sources are few; at many-source scale the pair step is itself a
+    groupby over sketch rows)."""
+    from .functions import hashing
+
+    rd = _rd()
+    K = 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        srcs = t.column("source").to_numpy(zero_copy_only=False).astype(
+            object
+        )
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return pa.table({
+                "source": pa.array([], type=pa.string()),
+                "h": pa.array([], type=pa.int64()),
+            })
+        h = hashing.hash_strings_poly(flat).view(np.uint64)
+        src_rep = np.repeat(srcs, lens)
+        out_s: list[str] = []
+        out_h: list[np.ndarray] = []
+        for s in np.unique(src_rep):
+            hs = np.unique(h[src_rep == s])[:K]  # sorted unique -> bottom-k
+            out_s.extend([s] * len(hs))
+            out_h.append(hs)
+        return pa.table({
+            "source": pa.array(out_s, type=pa.string()),
+            "h": pa.array(np.concatenate(out_h).view(np.int64)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy().view(np.uint64))[:K]
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]] * len(hs),
+            "h": hs.view(np.int64),
+        })
+
+    sk = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    sketches = {
+        s: np.sort(g["h"].to_numpy().view(np.uint64))
+        for s, g in sk.groupby("source")
+    }
+    names = sorted(sketches)
+    rows = []
+    for i, sa in enumerate(names):
+        for sb in names[i + 1:]:
+            a, b = sketches[sa], sketches[sb]
+            uni = np.unique(np.concatenate([a, b]))[:K]
+            rho = int(np.isin(uni, a).sum() + np.isin(uni, b).sum()
+                      - len(uni))  # in both == ina + inb - 1 summed
+            rows.append((sa, sb, len(uni), rho,
+                         float(rho) / len(uni) if len(uni) else 0.0))
+    out = pd.DataFrame(
+        rows, columns=["src_a", "src_b", "k_used", "inter_in_union",
+                       "jaccard_est"],
+    )
+    out["k_used"] = out["k_used"].astype(np.int64)
+    out["inter_in_union"] = out["inter_in_union"].astype(np.int64)
+    out["jaccard_est"] = _round(out["jaccard_est"].to_numpy(), 4)
+    return out

@@ -1228,3 +1228,49 @@ class TestHashEmbedSearch:
             assert got["match_id"].tolist() == order.tolist()
             assert got["score"].tolist() == s[order].tolist()
             assert got["rank"].tolist() == list(range(1, 11))
+
+
+class TestSourceDistinctKmv:
+    def test_estimate_tracks_planted_overlap(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_live_updates_ray import queries
+
+        # sources A/B share exactly half their 40-word vocabularies;
+        # C is disjoint from both
+        shared = [f"sh{i}" for i in range(20)]
+        a_only = [f"aa{i}" for i in range(20)]
+        b_only = [f"bb{i}" for i in range(20)]
+        c_only = [f"cc{i}" for i in range(40)]
+        rows = []
+        rng = np.random.RandomState(3)
+        for did in range(120):
+            src = ["A", "B", "C"][did % 3]
+            vocab = {"A": shared + a_only, "B": shared + b_only,
+                     "C": c_only}[src]
+            rows.append((did, " ".join(rng.choice(vocab, size=30)), src))
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = queries.QUERIES["source_distinct_kmv"](str(tmp_path))
+        est = {(a, b): j for a, b, j in
+               zip(out["src_a"], out["src_b"], out["jaccard_est"])}
+        # true J(A,B) = 20/60 = 0.333; k=16 of 40-hash unions -> noisy
+        # but must clearly separate overlap from disjointness
+        assert est[("A", "C")] == 0.0
+        assert est[("B", "C")] == 0.0
+        assert 0.05 < est[("A", "B")] < 0.75
+
+    def test_bottom_k_merge_law(self):
+        # bottom-k of a union == bottom-k of the union of bottom-k's —
+        # the property that makes the per-block partial lossless
+        rng = np.random.RandomState(9)
+        K = 16
+        parts = [np.unique(rng.randint(0, 1 << 60, size=200).astype(
+            np.uint64)) for _ in range(5)]
+        full = np.unique(np.concatenate(parts))[:K]
+        merged = np.unique(np.concatenate([p[:K] for p in parts]))[:K]
+        assert (full == merged).all()
