@@ -9758,3 +9758,90 @@ def source_distinct_kmv(sf_dir: str):
     out["inter_in_union"] = out["inter_in_union"].astype(np.int64)
     out["jaccard_est"] = _round(out["jaccard_est"].to_numpy(), 4)
     return out
+
+
+def _embed_moment_matrix_sql() -> str:
+    """Integer-exact mirror: dense hashed embeddings (nested CTE) plus
+    an intercept column (dim 16, value 1) and the target column
+    (dim 17, n_chars), self-joined per doc for every i <= j moment
+    SUM(f_i * f_j) — all integers, bit-pinned."""
+    return f"""
+    WITH emb AS ({_doc_hash_embed_sql()}),
+    f AS (
+      SELECT doc_id, dim, val FROM emb
+      UNION ALL SELECT doc_id, CAST(16 AS BIGINT), CAST(1 AS BIGINT)
+        FROM documents
+      UNION ALL SELECT doc_id, CAST(17 AS BIGINT),
+        CAST(n_chars AS BIGINT) FROM documents
+    )
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(SUM(a.val * b.val) AS BIGINT) AS m
+    FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.dim >= a.dim
+    GROUP BY a.dim, b.dim
+    """
+
+
+@register("embed_moment_matrix", _embed_moment_matrix_sql())
+def embed_moment_matrix(sf_dir: str):
+    """Distributed MODEL-TRAINING PRIMITIVE: the second-moment (Gram /
+    normal-equation) matrix over [hashed features | intercept |
+    target] in ONE streamed pass.  The 171 upper-triangle integers
+    carry everything a linear model or PCA needs — X'X, X'y, n
+    (at (16,16)), sum(y) (16,17) and sum(y^2) (17,17) — so "fit a
+    regression of n_chars on the text features over 100 TB" is this
+    op + an 18x18 driver solve; batch SGD's order-dependence is what
+    makes it un-oracle-able, full-batch moments are not.
+
+    Distributed shape: per batch ONE F'F matmul (n x 18 int64), the
+    exchange is 171 integer rows per block folded by a tiny
+    groupby-sum — map-side combinable like every sketch in the
+    family; nothing corpus-sized moves."""
+    from ray.data.aggregate import Sum
+
+    from .functions import hashing
+
+    rd = _rd()
+    DIM = 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        empty = pa.table({
+            "i": pa.array([], type=pa.int64()),
+            "j": pa.array([], type=pa.int64()),
+            "m": pa.array([], type=pa.int64()),
+        })
+        if n == 0:
+            return empty
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        flat = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False).astype(object)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        F = np.zeros((n, DIM + 2), dtype=np.int64)
+        if len(flat):
+            h = hashing.hash_strings_poly(flat).view(np.uint64)
+            dimv = (h % np.uint64(DIM)).astype(np.int64)
+            sign = 1 - 2 * ((h >> np.uint64(4)) & np.uint64(1)).astype(
+                np.int64
+            )
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            np.add.at(F, (row, dimv), sign)
+        F[:, DIM] = 1
+        F[:, DIM + 1] = t.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        P = F.T @ F  # 18x18 int64, exact
+        iu, ju = np.triu_indices(DIM + 2)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "m": pa.array(P[iu, ju]),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("m", alias_name="m"))
+    )

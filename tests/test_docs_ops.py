@@ -1274,3 +1274,51 @@ class TestSourceDistinctKmv:
         full = np.unique(np.concatenate(parts))[:K]
         merged = np.unique(np.concatenate([p[:K] for p in parts]))[:K]
         assert (full == merged).all()
+
+
+class TestMomentMatrix:
+    def test_solves_planted_linear_model(self, ray_session, tmp_path):
+        """End use: recover a planted linear relation from the moment
+        rows alone (the 18x18 driver solve the docstring promises)."""
+        import pyarrow.parquet as pq
+
+        from osm_live_updates_ray import queries
+        from osm_live_updates_ray.functions import hashing
+
+        rng = np.random.RandomState(23)
+        vocab = [f"tok{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, size=rng.randint(5, 40)))
+                 for _ in range(200)]
+
+        def emb(tx):
+            v = np.zeros(16, dtype=np.int64)
+            for w in tx.split(" "):
+                h = int(hashing.hash_strings_poly([w]).view(np.uint64)[0])
+                v[h % 16] += 1 - 2 * ((h >> 4) & 1)
+            return v
+        X = np.stack([emb(tx) for tx in texts])
+        beta = rng.randint(-3, 4, size=16)
+        y = X @ beta + 7  # exact linear relation, intercept 7
+        t = pa.table({
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(texts),
+            "n_chars": pa.array(y.astype(np.int64)),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = queries.QUERIES["embed_moment_matrix"](
+            str(tmp_path)).to_pandas()
+        M = np.zeros((18, 18), dtype=np.int64)
+        for i, j, m in zip(out["i"], out["j"], out["m"]):
+            M[i, j] = M[j, i] = m
+        # integer cross-checks straight off the moment rows
+        assert M[16, 16] == 200          # n
+        assert M[16, 17] == y.sum()      # sum(y)
+        assert M[17, 17] == (y * y).sum()
+        # a hash dim no token lands in gives a zero row/col, so solve
+        # via lstsq and assert exact PREDICTION recovery (unused dims'
+        # coefficients are unidentifiable but never used)
+        A, b = M[:17, :17], M[:17, 17]
+        coef = np.linalg.lstsq(A.astype(np.float64),
+                               b.astype(np.float64), rcond=None)[0]
+        pred = X @ coef[:16] + coef[16]
+        np.testing.assert_allclose(pred, y, atol=1e-6)
