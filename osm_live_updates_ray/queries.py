@@ -9845,3 +9845,55 @@ def embed_moment_matrix(sf_dir: str):
         .groupby(["i", "j"])
         .aggregate(Sum("m", alias_name="m"))
     )
+
+
+@register(
+    "source_lang_rollup",
+    """
+    SELECT COALESCE(source, '<all>') AS source,
+           COALESCE(lang, '<all>') AS lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+)
+def source_lang_rollup(sf_dir: str):
+    """GROUPING-SETS aggregate (ROLLUP source -> lang -> grand total)
+    — the OLAP subtotal shape a mixing report needs in one result:
+    per-(source, lang) counts, per-source subtotals, and the corpus
+    total, with '<all>' sentinels (COALESCE keys both sides, so the
+    value hash pins all three levels at once).
+
+    Distributed shape: ONE exchange at the finest grain — per-batch
+    (source, lang) partials -> small groupby-sum — then the coarser
+    levels are driver re-aggregations of the ~|sources|x|langs| result
+    rows (subtotals of an aggregate never need the corpus again; at
+    any scale the rollup fan-out costs |groups|, not |rows|)."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    fine = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "lang", "n_chars"])
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    fine["n_docs"] = fine["n_docs"].astype(np.int64)
+    fine["sum_chars"] = fine["sum_chars"].astype(np.int64)
+    per_src = (
+        fine.groupby("source", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .assign(lang="<all>")
+    )
+    total = pd.DataFrame({
+        "source": ["<all>"], "lang": ["<all>"],
+        "n_docs": [fine["n_docs"].sum()],
+        "sum_chars": [fine["sum_chars"].sum()],
+    })
+    out = pd.concat([fine, per_src, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out[["source", "lang", "n_docs", "sum_chars"]]
