@@ -9897,3 +9897,82 @@ def source_lang_rollup(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["sum_chars"] = out["sum_chars"].astype(np.int64)
     return out[["source", "lang", "n_docs", "sum_chars"]]
+
+
+@register(
+    "pages_within_radius",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 'https://example.org/p/' || doc_id AS url,
+             {td.SQL_PAGE_LON} AS lon, {td.SQL_PAGE_LAT} AS lat
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id AS query_id, lon AS qlon, lat AS qlat
+      FROM p WHERE doc_id < 5
+    )
+    SELECT q.query_id, p.url,
+           ROUND((p.lon - q.qlon) * (p.lon - q.qlon)
+                 + (p.lat - q.qlat) * (p.lat - q.qlat), 6) AS d2
+    FROM q CROSS JOIN p
+    WHERE (p.lon - q.qlon) * (p.lon - q.qlon)
+          + (p.lat - q.qlat) * (p.lat - q.qlat) <= 25.0
+    """,
+)
+def pages_within_radius(sf_dir: str):
+    """RADIUS spatial search — the 2D twin of `ann_range_search`,
+    completing the spatial query-shape trio (point-in-polygon / kNN /
+    radius): every page within 5 degrees (planar d2 <= 25) of each of
+    5 query pages.  One broadcast-probe pass, the per-batch threshold
+    filter IS the answer (no merge step); d2 uses the identical
+    float expression tree both sides (the td adapter mirroring
+    contract), rounded for the hash only.
+
+    Scale path: with the pages layer cell-partitioned (as the store
+    keeps it), the probe prunes to cells intersecting the R-disc of
+    each query before any distance math — the `pip_nation` grid
+    machinery; the battery's flat corpus makes the one-pass filter
+    the honest shape here."""
+    import ray
+
+    rd = _rd()
+    R2 = 25.0
+    qids = np.arange(5, dtype=np.int64)
+    qlon, qlat = td.page_lonlat(qids)
+    ref = ray.put((qids, qlon, qlat))
+
+    def probe(t: pa.Table) -> pa.Table:
+        qi, qx, qy = ray.get(ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "url": pa.array([], type=pa.string()),
+            "d2": pa.array([], type=pa.float64()),
+        })
+        if len(ids) == 0:
+            return empty
+        lon, lat = td.page_lonlat(ids)
+        outq, outu, outd = [], [], []
+        for j in range(len(qi)):
+            dx = lon - qx[j]
+            dy = lat - qy[j]
+            d2 = dx * dx + dy * dy
+            m = d2 <= R2
+            if not m.any():
+                continue
+            outq.append(np.full(int(m.sum()), qi[j], dtype=np.int64))
+            outu.extend(f"https://example.org/p/{i}" for i in ids[m])
+            outd.append(d2[m])
+        if not outq:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(outq)),
+            "url": pa.array(outu, type=pa.string()),
+            "d2": pa.array(_round(np.concatenate(outd), 6)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(probe, batch_format="pyarrow")
