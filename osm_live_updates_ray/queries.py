@@ -9089,7 +9089,7 @@ _NGRAM_PAIRS_CTES = r"""norm AS (
     FROM labeled
     """,
 )
-def near_dup_keep_best(sf_dir: str):
+def near_dup_keep_best(sf_dir: str, cc_gate_rows: int = 2_000_000):
     """Quality-aware near-dup cluster REPRESENTATIVE selection — what a
     real training-data dedup keeps is the BEST document of each fuzzy
     cluster, not the smallest id: per component (the
@@ -9117,7 +9117,7 @@ def near_dup_keep_best(sf_dir: str):
     pairs = dedup_docs.ngram_jaccard_pairs(
         docs_ds, threshold=0.8, k=5
     ).materialize()
-    if pairs.count() <= 2_000_000:
+    if pairs.count() <= cc_gate_rows:
         comp = dedup_docs.connected_components(pairs.to_pandas())
     else:
         comp = dedup_docs.connected_components_distributed(pairs).to_pandas()
@@ -9976,3 +9976,69 @@ def pages_within_radius(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(probe, batch_format="pyarrow")
+
+
+@register(
+    "doc_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unicode(substr(text, i, 1)) AS cp
+      FROM documents,
+        LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g
+    ),
+    cc AS (SELECT doc_id, cp, COUNT(*) AS c FROM ch GROUP BY doc_id, cp),
+    nn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(c * LN(c)) AS slc
+           FROM cc GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(nn.n, 0) AS n,
+           ROUND(COALESCE(LN(nn.n) - nn.slc / nn.n, 0.0), 4) AS entropy
+    FROM documents d LEFT JOIN nn ON nn.doc_id = d.doc_id
+    """,
+)
+def doc_entropy(sf_dir: str):
+    """Character-distribution ENTROPY per document — the
+    compression-ratio proxy quality signal (low entropy = repeated
+    boilerplate/filler, high = natural text or noise) rounding out the
+    quality-feature family (stats / repetition / LM score / Gopher
+    rules).  H = ln(n) - (sum c*ln c)/n with the IDENTICAL formula
+    tree in numpy and SQL (only summation order differs; ROUND 4
+    absorbs it — the battery's float contract).
+
+    Distributed shape: shuffle-free single pass; per batch the
+    codepoint runs of ALL docs are counted with one sort+run-length
+    over (row, cp) int64 keys and folded per doc with np.add.at — no
+    per-doc Python loop, output one row per doc."""
+    rd = _rd()
+
+    def ent(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_doc = len(ids)
+        lens = np.fromiter((len(s or "") for s in texts), dtype=np.int64,
+                           count=n_doc)
+        buf = np.frombuffer(
+            "".join(s or "" for s in texts).encode("utf-32-le"),
+            dtype=np.uint32,
+        ).astype(np.int64)
+        H = np.zeros(n_doc, dtype=np.float64)
+        if len(buf):
+            row = np.repeat(np.arange(n_doc, dtype=np.int64), lens)
+            key = row * (np.int64(1) << np.int64(32)) + buf
+            key.sort()
+            uk, c = np.unique(key, return_counts=True)
+            urow = (uk >> np.int64(32)).astype(np.int64)
+            slc = np.zeros(n_doc, dtype=np.float64)
+            np.add.at(slc, urow, c * np.log(c))
+            nz = lens > 0
+            H[nz] = np.log(lens[nz]) - slc[nz] / lens[nz]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n": pa.array(lens),
+            "entropy": pa.array(_round(H, 4)),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(ent, batch_format="pyarrow")

@@ -1322,3 +1322,15 @@ class TestMomentMatrix:
                                b.astype(np.float64), rcond=None)[0]
         pred = X @ coef[:16] + coef[16]
         np.testing.assert_allclose(pred, y, atol=1e-6)
+
+
+class TestKeepBestDistributedGate:
+    def test_forced_distributed_cc_equals_default(self, ray_session):
+        from osm_live_updates_ray import queries
+
+        want = (queries.QUERIES["near_dup_keep_best"]("/root/testdata/sf0.001")
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        got = (queries.near_dup_keep_best("/root/testdata/sf0.001",
+                                          cc_gate_rows=0)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
