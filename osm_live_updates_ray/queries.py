@@ -3285,7 +3285,7 @@ def audio_features(sf_dir: str):
     feats = multimodal.featurize_audio(ds)
 
     def summarize(t: pa.Table) -> pa.Table:
-        flat = [np.asarray(v, dtype=np.float64) for v in t.column("mfcc_stub").to_pylist()]
+        flat = [np.asarray(v, dtype=np.float64) for v in t.column("mfcc").to_pylist()]
         return pa.Table.from_pydict(
             {
                 "media_id": t.column("media_id"),

@@ -6,8 +6,9 @@ Decode is format-sniffed (``functions/media.py``):
 
 - **REAL decode, no libraries needed**: P6 PPM + 24-bit BMP + PNG +
   baseline JPEG images (numpy; nearest-neighbor resize), PCM WAV +
-  G.711 mu-law/A-law + mono IMA ADPCM audio (per-window log-spectrum
-  bands via np.fft), PPMV frame sequences (length-prefixed P6
+  G.711 mu-law/A-law + mono IMA ADPCM audio (true per-window MFCCs:
+  Hann -> power spectrum -> mel filterbank -> log -> DCT-II, plain
+  numpy), PPMV frame sequences (length-prefixed P6
   frames) and MJPEG-AVI videos (standard RIFF layout, JPEG frames
   via functions/jpeg.py; the sampler seeks to the requested frame —
   by size prefix or idx1 index — without touching the others).
@@ -232,7 +233,7 @@ def featurize_images(media_ds, out_dim: int = 64, concurrency=(1, 8)):
 AUDIO_FEATURES = pa.schema(
     [
         ("media_id", pa.int64()),
-        ("mfcc_stub", pa.list_(pa.float32())),  # per-window features
+        ("mfcc", pa.list_(pa.float32())),  # per-window MFCCs (dim x n_windows flattened)
         ("n_windows", pa.int32()),
         ("decoder_version", pa.int32()),
     ]
@@ -240,36 +241,81 @@ AUDIO_FEATURES = pa.schema(
 
 
 class AudioFeaturizer:
-    """Actor-pool audio stage: PCM WAV payloads take the REAL path —
-    stdlib decode to float samples, fixed-length windows, per-window
-    log-magnitude spectrum pooled into ``dim`` bands (np.rfft) — the
-    windowed-feature shape (n_windows x dim flattened) a torchaudio
-    MFCC pipeline produces.  Unknown payloads take the byte stub.
-    ``__init__`` is the once-per-actor model load; batches stay small
-    for large payloads."""
+    """Actor-pool audio stage: RIFF payloads take the REAL path —
+    decode to float samples (PCM / G.711 / IMA ADPCM), fixed-length
+    Hann windows, and TRUE MFCCs per window: power spectrum -> mel
+    triangular filterbank (26 filters, Stevens-Volkmann mel scale) ->
+    log -> orthonormal DCT-II, first ``dim`` coefficients — the same
+    computation torchaudio/librosa produce, in plain numpy.  Unknown
+    payloads take the byte stub.  ``__init__`` is the once-per-actor
+    setup; the rate-dependent filterbank/DCT matrices are cached per
+    actor (stateful-stage contract), batches stay small for large
+    payloads."""
 
-    VERSION = 3  # 3 = real RIFF decode incl. G.711/IMA ADPCM
+    VERSION = 4  # 4 = true mel-filterbank MFCCs (3 = banded rfft)
 
     def __init__(self, dim: int = 13, window_bytes: int = 256,
-                 max_windows: int = 16, window_samples: int = 400):
+                 max_windows: int = 16, window_samples: int = 400,
+                 n_mels: int = 26):
         self.dim = dim
         self.window_bytes = window_bytes
         self.max_windows = max_windows
         self.window_samples = window_samples
+        self.n_mels = n_mels
+        self._hann = np.hanning(window_samples).astype(np.float64)
+        # orthonormal DCT-II rows (dim x n_mels), rate-independent
+        k = np.arange(dim)[:, None]
+        n = np.arange(n_mels)[None, :]
+        self._dct = np.sqrt(2.0 / n_mels) * np.cos(
+            np.pi * (n + 0.5) * k / n_mels
+        )
+        self._dct[0] /= np.sqrt(2.0)
+        self._fb: dict[int, np.ndarray] = {}  # per-rate mel filterbank
+
+    def _filterbank(self, rate: int) -> np.ndarray:
+        fb = self._fb.get(rate)
+        if fb is None:
+            ws = self.window_samples
+            n_bins = ws // 2 + 1
+
+            def mel(f):
+                return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+            def imel(m):
+                return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+            pts = imel(np.linspace(mel(0.0), mel(rate / 2.0),
+                                   self.n_mels + 2))
+            bins = np.floor((ws + 1) * pts / rate).astype(np.int64)
+            fb = np.zeros((self.n_mels, n_bins), dtype=np.float64)
+            for m in range(self.n_mels):
+                lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+                for b in range(int(lo), int(mid)):
+                    if mid > lo:
+                        fb[m, b] = (b - lo) / (mid - lo)
+                for b in range(int(mid), int(hi)):
+                    if hi > mid:
+                        fb[m, b] = (hi - b) / (hi - mid)
+            self._fb[rate] = fb
+        return fb
 
     def _windows(self, payload: bytes) -> np.ndarray:
         if _media.sniff(payload) == "wav":
-            x, _rate = _media.decode_wav(payload)
+            x, rate = _media.decode_wav(payload)
+            xs = x.astype(np.float64) / 32768.0
             ws = self.window_samples
-            nw = min(self.max_windows, max(1, -(-len(x) // ws)))
+            fb = self._filterbank(int(rate))
+            nw = min(self.max_windows, max(1, -(-len(xs) // ws)))
             out = np.zeros((nw, self.dim), dtype=np.float32)
             for w in range(nw):
-                seg = x[w * ws : (w + 1) * ws]
+                seg = xs[w * ws : (w + 1) * ws]
                 if not len(seg):
                     continue
-                spec = np.log1p(np.abs(np.fft.rfft(seg, n=ws)))
-                bands = np.array_split(spec, self.dim)
-                out[w] = [b.mean() for b in bands]
+                if len(seg) < ws:
+                    seg = np.pad(seg, (0, ws - len(seg)))
+                P = np.abs(np.fft.rfft(seg * self._hann)) ** 2
+                logmel = np.log(fb @ P + 1e-10)
+                out[w] = (self._dct @ logmel).astype(np.float32)
             return out
         nw = min(
             self.max_windows,
@@ -301,7 +347,7 @@ class AudioFeaturizer:
         return pa.Table.from_pydict(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
-                "mfcc_stub": pa.array(feats, type=pa.list_(pa.float32())),
+                "mfcc": pa.array(feats, type=pa.list_(pa.float32())),
                 "n_windows": pa.array(counts, type=pa.int32()),
                 "decoder_version": pa.array(
                     [self.VERSION] * len(ids), type=pa.int32()

@@ -101,7 +101,7 @@ class TestFeaturizerIntegration:
             ], type=pa.binary()),
         })
         out = fz(batch)
-        f = [np.array(v) for v in out.column("mfcc_stub").to_pylist()]
+        f = [np.array(v) for v in out.column("mfcc").to_pylist()]
         assert len(f[0]) == len(f[1])  # same window layout
         # companding noise moves the features far less than the byte
         # stub does: PCM<->ulaw distance well under PCM<->stub distance

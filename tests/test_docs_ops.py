@@ -327,11 +327,11 @@ class TestAudioFeaturizer:
         assert len(out) == auds.num_rows
         assert (out["n_windows"] >= 1).all()
         assert all(
-            len(f) == 13 * n for f, n in zip(out["mfcc_stub"], out["n_windows"])
+            len(f) == 13 * n for f, n in zip(out["mfcc"], out["n_windows"])
         )
         out2 = multimodal.featurize_audio(rd.from_arrow(auds)).to_pandas()
-        a = [np.array(f) for f in out.sort_values("media_id")["mfcc_stub"]]
-        b = [np.array(f) for f in out2.sort_values("media_id")["mfcc_stub"]]
+        a = [np.array(f) for f in out.sort_values("media_id")["mfcc"]]
+        b = [np.array(f) for f in out2.sort_values("media_id")["mfcc"]]
         assert all((x == y).all() for x, y in zip(a, b))
 
 
