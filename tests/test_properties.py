@@ -163,3 +163,82 @@ def test_keep_best_idempotent(rows):
     pd.testing.assert_frame_equal(
         once.sort_index(), twice.sort_index()
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 third-session kernels
+# ---------------------------------------------------------------------------
+@settings(max_examples=40)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0, max_size=60,
+    )
+)
+def test_triangle_counts_match_brute_force(edges):
+    import itertools
+
+    from osm_live_updates_ray.stages.dedup_docs import triangle_counts
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    df = pd.DataFrame(
+        {"id_a": [a for a, _ in canon], "id_b": [b for _, b in canon]}
+    )
+    got = dict(zip(*(triangle_counts(df)[c]
+                     for c in ("doc_id", "triangles"))))
+    # brute force over all node triples
+    nodes = sorted({n for e in canon for n in e})
+    want: dict[int, int] = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if ({(x, y), (x, z), (y, z)} <= canon):
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=40)
+@given(st.lists(st.text(alphabet="ab c", max_size=12), min_size=0,
+                max_size=8))
+def test_hash_embed_is_additive_in_tokens(texts):
+    """embed(doc) == sum over its tokens of embed(single-token doc):
+    the hashing trick is linear by construction — the property that
+    makes the kernel map-side combinable at any batch split."""
+    import numpy as np
+
+    from osm_live_updates_ray.functions import hashing
+
+    def emb(tokens):
+        v = np.zeros(16, dtype=np.int64)
+        for w in tokens:
+            h = int(hashing.hash_strings_poly([w]).view(np.uint64)[0])
+            v[h % 16] += 1 - 2 * ((h >> 4) & 1)
+        return v
+
+    for tx in texts:
+        toks = tx.split(" ")
+        whole = emb(toks)
+        parts = sum((emb([t]) for t in toks),
+                    np.zeros(16, dtype=np.int64))
+        assert (whole == parts).all()
+
+
+@settings(max_examples=40)
+@given(st.text(max_size=200))
+def test_entropy_bounds(text):
+    """0 <= H <= ln(distinct codepoints) for any text (engine kernel
+    formula), with H == 0 iff <= 1 distinct codepoint."""
+    import numpy as np
+
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(cps)
+    if n == 0:
+        return
+    _, c = np.unique(cps, return_counts=True)
+    H = float(np.log(n) - (c * np.log(c)).sum() / n)
+    assert -1e-12 <= H <= np.log(len(c)) + 1e-12
+    if len(c) == 1:
+        assert abs(H) < 1e-12
+    else:
+        assert H > 0
