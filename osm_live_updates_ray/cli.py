@@ -7,6 +7,9 @@ include/config/Constants.h:426-541).
         [--batch-size N] [--statistics] [--dry-run]
     python -m osm_live_updates_ray bootstrap --state DIR --pages DIR
         --nodes F --ways F --relations F
+    python -m osm_live_updates_ray corpus --input CORPUS --out DIR
+        [--format parquet|jsonl|csv] [--dedup exact|minhash|none]
+        [--langs en,de] [--min-chars N] [--stats]
 
 Mapping to the reference flags:
   --input            <- -i/--input (local change files; .osc/.osc.gz/.parquet)
@@ -91,6 +94,118 @@ def _parse_bbox(bbox: str) -> tuple[float, float, float, float]:
     return min_lon, min_lat, max_lon, max_lat
 
 
+def _sniff_format(path: str, forced: str | None) -> str:
+    if forced:
+        return forced
+    p = path.rstrip("/")
+    if p.endswith((".jsonl", ".jsonl.gz", ".json")):
+        return "jsonl"
+    if p.endswith(".csv"):
+        return "csv"
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            if f.endswith((".jsonl", ".json")):
+                return "jsonl"
+            if f.endswith(".csv"):
+                return "csv"
+            if f.endswith(".parquet"):
+                return "parquet"
+    return "parquet"
+
+
+def _cmd_corpus(args, rd) -> int:
+    """The LLM-pipeline CLI surface: read (any supported corpus
+    format) -> language/length filter -> dedup -> parquet out, with
+    per-stage counters under --stats.  Every stage is the battery's
+    own operator — the command is plumbing, not new semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages import dedup_docs
+
+    fmt = _sniff_format(args.input, args.format)
+    if fmt == "jsonl":
+        from .sources import text_formats
+
+        ds = text_formats.read_documents_jsonl(args.input)
+    elif fmt == "csv":
+        from .sources import text_formats
+
+        ds = text_formats.read_documents_csv(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
+    stats: dict[str, int] = {}
+    if args.stats:
+        ds = ds.materialize()
+        stats["rows_in"] = ds.count()
+
+    langs = (set(args.langs.split(",")) if args.langs else None)
+    min_chars = int(args.min_chars)
+    if langs is not None or min_chars > 0:
+
+        def keep(t: pa.Table) -> pa.Table:
+            mask = pa.array([True] * t.num_rows)
+            if langs is not None:
+                mask = pc.and_(
+                    mask,
+                    pc.is_in(t.column("lang"),
+                             value_set=pa.array(sorted(langs))),
+                )
+            if min_chars > 0:
+                nc = (t.column("n_chars")
+                      if "n_chars" in t.column_names
+                      else pc.utf8_length(t.column("text")))
+                mask = pc.and_(mask, pc.greater_equal(
+                    nc, pa.scalar(min_chars, type=pa.int64())))
+            return t.filter(mask)
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
+        if args.stats:
+            ds = ds.materialize()
+            stats["rows_after_filter"] = ds.count()
+
+    if args.dedup == "exact":
+        ds = dedup_docs.dedup_exact(ds)
+    elif args.dedup == "minhash":
+        import numpy as np
+        import ray
+
+        cand = dedup_docs.minhash_candidate_pairs(ds)
+        pairs = dedup_docs.verify_pairs_distributed(
+            cand, ds, threshold=args.minhash_threshold
+        ).to_pandas()
+        comp = dedup_docs.connected_components(
+            pairs.rename(columns={"new_id": "id_a", "match_id": "id_b"})
+            if "new_id" in pairs.columns else pairs
+        )
+        losers = comp.loc[comp["doc_id"] != comp["component"],
+                          "doc_id"].to_numpy(dtype=np.int64)
+        losers.sort()
+        ref = ray.put(losers)
+
+        def drop(t: pa.Table) -> pa.Table:
+            lo = ray.get(ref)
+            ids = t.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(lo):
+                pos = np.clip(np.searchsorted(lo, ids), 0, len(lo) - 1)
+                m = ~(lo[pos] == ids)
+            else:
+                m = np.ones(len(ids), dtype=bool)
+            return t.filter(pa.array(m))
+
+        ds = ds.map_batches(drop, batch_format="pyarrow")
+
+    os.makedirs(args.out, exist_ok=True)
+    ds = ds.materialize()
+    n_out = ds.count()
+    ds.write_parquet(args.out)
+    stats["rows_out"] = n_out
+    print(json.dumps({"status": "ok", "out": args.out,
+                      "format": fmt, "dedup": args.dedup, **stats}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="osm_live_updates_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -127,6 +242,28 @@ def main(argv=None) -> int:
                    help="compute the classification, report counts, "
                         "do not commit")
     a.add_argument("--enforce-watermark", action="store_true")
+
+    c = sub.add_parser(
+        "corpus",
+        help="training-data pipeline over a documents corpus "
+             "(read -> filter -> dedup -> partitioned parquet)",
+    )
+    c.add_argument("--input", required=True,
+                   help="documents corpus: parquet file/dir, .jsonl(.gz) "
+                        "file/dir, or .csv (format sniffed from the "
+                        "extension unless --format is given)")
+    c.add_argument("--format", choices=["parquet", "jsonl", "csv"],
+                   default=None)
+    c.add_argument("--out", required=True, help="output parquet dir")
+    c.add_argument("--dedup", choices=["exact", "minhash", "none"],
+                   default="exact")
+    c.add_argument("--minhash-threshold", type=float, default=0.8)
+    c.add_argument("--langs", default=None,
+                   help="comma-separated language allowlist")
+    c.add_argument("--min-chars", type=int, default=0)
+    c.add_argument("--stats", action="store_true",
+                   help="print per-stage row counts (materializes "
+                        "between stages; omit for one streamed pass)")
 
     b = sub.add_parser("bootstrap", help="build a state store")
     b.add_argument("--state", required=True)
@@ -186,6 +323,9 @@ def main(argv=None) -> int:
             )
             print(json.dumps({"status": "ok", "state": args.state}))
             return 0
+
+        if args.cmd == "corpus":
+            return _cmd_corpus(args, rd)
 
         from .config import EngineConfig
         from .pipelines import update
