@@ -10042,3 +10042,137 @@ def doc_entropy(sf_dir: str):
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(ent, batch_format="pyarrow")
+
+
+@register(
+    "data_quality_checks",
+    """
+    SELECT 'orders_custkey_fk' AS check_name, COUNT(*) AS violations
+    FROM orders o
+    WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', COUNT(*)
+    FROM lineitem l
+    WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'documents_docid_unique',
+           (SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+    UNION ALL
+    SELECT 'documents_nchars_consistent', COUNT(*)
+    FROM documents WHERE n_chars != LENGTH(text)
+    UNION ALL
+    SELECT 'events_ts_null', COUNT(*) FROM events WHERE ts IS NULL
+    """,
+)
+def data_quality_checks(sf_dir: str):
+    """DATA-QUALITY VALIDATION SUITE — the expectations gate a
+    production pipeline runs before (and after) every transform:
+    FK coverage (orders->customer, lineitem->orders), key uniqueness,
+    derived-column consistency (n_chars == LENGTH(text)), null checks;
+    one (check_name, violations) row each, all integer-exact.
+
+    Distributed shapes, one per check class: FK coverage = map-side
+    DISTINCT key exchange + sorted-array anti-probe per batch (the
+    tpch_q22 anti-join kernel; above a key-count gate the probe swaps
+    for the hash anti-join, dedup_exact's escape hatch); uniqueness =
+    groupby-count on the key; consistency/null checks = shuffle-free
+    per-batch C-kernel sums.  Nothing corpus-sized reaches the
+    driver — each check returns one integer."""
+    import ray
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+
+    def _distinct_sorted(path: str, col: str) -> np.ndarray:
+        def dd(t: pa.Table) -> pa.Table:
+            return pa.table({
+                col: pa.array(np.unique(
+                    t.column(col).to_numpy(zero_copy_only=False)
+                    .astype(np.int64)))
+            })
+
+        return np.sort(
+            rd.read_parquet(path, columns=[col])
+            .map_batches(dd, batch_format="pyarrow")
+            .groupby(col).count()
+            .to_pandas()[col].to_numpy(dtype=np.int64)
+        )
+
+    def _fk_violations(fact_path: str, fact_col: str,
+                       dim_keys: np.ndarray) -> int:
+        ref = ray.put(dim_keys)
+
+        def miss(t: pa.Table) -> pa.Table:
+            keys = ray.get(ref)
+            v = t.column(fact_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
+                n = int((keys[pos] != v).sum())
+            else:
+                n = len(v)
+            return pa.table({"n": pa.array([n], type=pa.int64())})
+
+        parts = (
+            rd.read_parquet(fact_path, columns=[fact_col])
+            .map_batches(miss, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return int(parts["n"].sum())
+
+    custkeys = _distinct_sorted(f"{sf_dir}/customer.parquet", "c_custkey")
+    orderkeys = _distinct_sorted(f"{sf_dir}/orders.parquet", "o_orderkey")
+    v_orders = _fk_violations(f"{sf_dir}/orders.parquet", "o_custkey",
+                              custkeys)
+    v_lineitem = _fk_violations(f"{sf_dir}/lineitem.parquet",
+                                "l_orderkey", orderkeys)
+
+    dup = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    v_unique = int((dup["c"] - 1).sum())
+
+    def nch(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t.column("text")).cast(pa.int64())
+        bad = pc.sum(pc.cast(pc.not_equal(
+            t.column("n_chars").cast(pa.int64()), n), pa.int64()))
+        return pa.table({
+            "n": pa.array([bad.as_py() or 0], type=pa.int64())
+        })
+
+    v_nchars = int(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "n_chars"])
+        .map_batches(nch, batch_format="pyarrow")
+        .to_pandas()["n"].sum()
+    )
+
+    def tnull(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array(
+                [int(pc.sum(pc.cast(pc.is_null(t.column("ts")),
+                                    pa.int64())).as_py() or 0)],
+                type=pa.int64(),
+            )
+        })
+
+    v_tsnull = int(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(tnull, batch_format="pyarrow")
+        .to_pandas()["n"].sum()
+    )
+
+    return pd.DataFrame({
+        "check_name": [
+            "orders_custkey_fk", "lineitem_orderkey_fk",
+            "documents_docid_unique", "documents_nchars_consistent",
+            "events_ts_null",
+        ],
+        "violations": np.array(
+            [v_orders, v_lineitem, v_unique, v_nchars, v_tsnull],
+            dtype=np.int64,
+        ),
+    })

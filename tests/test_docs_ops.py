@@ -1334,3 +1334,41 @@ class TestKeepBestDistributedGate:
                                           cc_gate_rows=0)
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert got.equals(want)
+
+
+class TestDataQuality:
+    def test_planted_violations_are_counted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_live_updates_ray import queries
+
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        }), tmp_path / "customer.parquet")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+            # custkey 9 missing from customer -> 2 violations
+            "o_custkey": pa.array([1, 9, 9], type=pa.int64()),
+        }), tmp_path / "orders.parquet")
+        pq.write_table(pa.table({
+            # orderkey 99 missing -> 1 violation
+            "l_orderkey": pa.array([10, 99, 12], type=pa.int64()),
+        }), tmp_path / "lineitem.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 0, 1], type=pa.int64()),  # dup id
+            "text": pa.array(["abc", "abc", "xy"]),
+            # n_chars wrong for the last row -> 1 violation
+            "n_chars": pa.array([3, 3, 5], type=pa.int64()),
+        }), tmp_path / "documents.parquet")
+        pq.write_table(pa.table({
+            "ts": pa.array([None, 1000], type=pa.timestamp("us")),
+        }), tmp_path / "events.parquet")
+        out = queries.QUERIES["data_quality_checks"](str(tmp_path))
+        v = dict(zip(out["check_name"], out["violations"]))
+        assert v == {
+            "orders_custkey_fk": 2,
+            "lineitem_orderkey_fk": 1,
+            "documents_docid_unique": 1,
+            "documents_nchars_consistent": 1,
+            "events_ts_null": 1,
+        }
