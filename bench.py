@@ -334,9 +334,11 @@ def battery(sf_dir: str) -> dict:
                  "bm25_topk_indexed", "doc_winnowing",
                  "ann_topk_ivfpq",
                  # round-4 third session: quality-aware dedup policy,
-                 # feature-hashing embed, perceptual image dedup
+                 # feature-hashing embed, perceptual image dedup,
+                 # embed->retrieve, entropy signal, expectations gate
                  "near_dup_keep_best", "doc_hash_embed",
-                 "image_dedup_phash"):
+                 "image_dedup_phash", "hash_embed_search",
+                 "doc_entropy", "data_quality_checks"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):
