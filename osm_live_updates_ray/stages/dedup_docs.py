@@ -435,6 +435,102 @@ def verify_pairs(
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+#: popcount lookup table for the bitmap verify fast path
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+#: per-worker verifier cache (see _worker_verifier)
+_VERIFIER_CACHE: dict = {}
+
+
+def _worker_verifier(dref, threshold: float, k: int):
+    """Process-level cache of :class:`_BroadcastVerifier` keyed by the
+    broadcast ObjectRef: Ray reuses worker processes across the tasks
+    of a map_batches stage, so the expensive per-corpus setup runs
+    once per worker without paying actor-pool spin-up."""
+    key = (dref.hex(), float(threshold), int(k))
+    v = _VERIFIER_CACHE.get(key)
+    if v is None:
+        if len(_VERIFIER_CACHE) >= 4:  # bound worker memory
+            _VERIFIER_CACHE.pop(next(iter(_VERIFIER_CACHE)))
+        v = _VERIFIER_CACHE[key] = _BroadcastVerifier(dref, threshold, k)
+    return v
+#: bitmap index budget: distinct_shingles x n_docs bits (256 MB)
+_BITMAP_BUDGET_BITS = 1 << 31
+
+
+class _BroadcastVerifier:
+    """Actor-pool exact-Jaccard scorer against a broadcast doc table.
+
+    ``__init__`` (once per actor, the stateful-stage contract) shingles
+    every broadcast doc ONCE and — when the corpus' distinct-shingle
+    dictionary is small enough (distinct x docs bits within
+    ``_BITMAP_BUDGET_BITS``, the dense-corpus case where candidate
+    sets are pairs-quadratic) — builds an EXACT bitmap index: one bit
+    per distinct shingle STRING (no hashing, so no collision caveat),
+    one packed row per doc.  ``__call__`` then scores a whole batch of
+    candidate pairs with one vectorized AND + popcount-LUT pass
+    (intersection counts, hence Jaccard values, are bit-identical to
+    the set-based kernel — a pytest pins equality).  Sparse corpora
+    (big dictionary) keep the per-doc set cache, which now ALSO
+    persists across batches instead of being rebuilt per batch."""
+
+    def __init__(self, dref, threshold: float, k: int):
+        import ray
+
+        self.threshold = threshold
+        self.k = k
+        self.sids, self.stexts = ray.get(dref)
+        sets = [set(hashing.shingles(t, k)) for t in self.stexts]
+        self.sizes = np.fromiter((len(s) for s in sets), dtype=np.int64,
+                                 count=len(sets))
+        vocab: dict[str, int] = {}
+        for s in sets:
+            for sh in s:
+                if sh not in vocab:
+                    vocab[sh] = len(vocab)
+        n_docs, n_bits = len(sets), len(vocab)
+        if n_docs * n_bits <= _BITMAP_BUDGET_BITS:
+            nbytes = (n_bits + 7) // 8
+            bm = np.zeros((n_docs, nbytes), dtype=np.uint8)
+            for i, s in enumerate(sets):
+                idx = np.fromiter((vocab[sh] for sh in s), dtype=np.int64,
+                                  count=len(s))
+                np.bitwise_or.at(bm[i], idx >> 3,
+                                 np.uint8(1) << (idx & 7).astype(np.uint8))
+            self.bitmaps = bm
+            self.sets = None
+        else:
+            self.bitmaps = None
+            self.sets = sets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        pa_i = np.searchsorted(self.sids, a)
+        pb_i = np.searchsorted(self.sids, b)
+        if self.bitmaps is not None:
+            inter = np.empty(len(a), dtype=np.int64)
+            CH = 1 << 16  # chunk pairs: CH x nbytes AND-buffer stays small
+            for s in range(0, len(a), CH):
+                e = min(s + CH, len(a))
+                band = self.bitmaps[pa_i[s:e]] & self.bitmaps[pb_i[s:e]]
+                inter[s:e] = _POP8[band].sum(axis=1)
+            na, nb = self.sizes[pa_i], self.sizes[pb_i]
+            union = na + nb - inter
+            sims = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        else:
+            sims = np.fromiter(
+                (hashing.jaccard(self.sets[int(i)], self.sets[int(j)])
+                 for i, j in zip(pa_i, pb_i)),
+                np.float64, t.num_rows,
+            )
+        keep = sims >= self.threshold
+        out = t.select(["id_a", "id_b"]).append_column(
+            "jaccard", pa.array(sims, type=pa.float64())
+        )
+        return out.filter(pa.array(keep))
+
+
 def verify_pairs_distributed(
     pairs_ds,
     docs_ds,
@@ -516,34 +612,14 @@ def verify_pairs_distributed(
         ).astype(object)[order]
         dref = ray.put((ids_all[order], texts_all))
 
+        # task pool + per-WORKER verifier cache: the corpus shingling
+        # (and, on a dense corpus, the exact bitmap index) happens once
+        # per worker process — amortized like an actor __init__ — while
+        # keeping the task pool's zero spin-up (the brute_force_topk
+        # lesson: an actor pool pays ~2 s of ramp this stage can't
+        # amortize at battery scale)
         def score_broadcast(t: pa.Table) -> pa.Table:
-            sids, stexts = ray.get(dref)
-            a = t.column("id_a").to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            b = t.column("id_b").to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            pa_i = np.searchsorted(sids, a)
-            pb_i = np.searchsorted(sids, b)
-            sets: dict = {}
-
-            def sset(i: int):
-                s = sets.get(i)
-                if s is None:
-                    s = sets[i] = set(hashing.shingles(stexts[i], k))
-                return s
-
-            sims = np.fromiter(
-                (hashing.jaccard(sset(int(i)), sset(int(j)))
-                 for i, j in zip(pa_i, pb_i)),
-                np.float64, t.num_rows,
-            )
-            keep = sims >= threshold
-            out = t.select(["id_a", "id_b"]).append_column(
-                "jaccard", pa.array(sims, type=pa.float64())
-            )
-            return out.filter(pa.array(keep))
+            return _worker_verifier(dref, threshold, k)(t)
 
         return pairs.map_batches(score_broadcast, batch_format="pyarrow")
 
@@ -989,25 +1065,46 @@ def ngram_jaccard_pairs(
     import ray
     from ray.data.aggregate import Count
 
-    def explode(t: pa.Table) -> pa.Table:
+    def explode_partial(t: pa.Table) -> pa.Table:
         # the df exchange carries the 64-bit shingle HASH, never the
         # string (int shuffle + int groupby; a collision only merges
         # two shingles' dfs — the prefix order stays a pure total
-        # function of the shingle, so PPJoin completeness holds)
+        # function of the shingle, so PPJoin completeness holds).
+        # MAP-SIDE COMBINED: each block emits one (hash, count) row
+        # per distinct shingle — the partial stream is vocab-per-block
+        # sized, never corpus-sized
         sh_out: list[str] = []
         for text in t.column(text_col).to_pylist():
             sh_out.extend(set(hashing.shingles(text, k)))
+        u, c = np.unique(hashing.hash_strings(sh_out), return_counts=True)
         return pa.Table.from_pydict(
-            {"sh_h": pa.array(hashing.hash_strings(sh_out))}
+            {"sh_h": pa.array(u), "c": pa.array(c.astype(np.int64))}
         )
 
-    hot = (
-        docs_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("sh_h")
-        .aggregate(Count(alias_name="df"))
-        .filter(expr=f"df >= {int(hot_df_floor)}")
-        .to_pandas()
-    )
+    # df reduce shape chosen by the EXACT partial-row count (the
+    # kmeans-partials precedent, commit d2991fc): below the gate the
+    # tiny per-block vocab partials fold on the driver — one pandas
+    # groupby instead of a full AllToAll ramp (~4 s of the join's
+    # wall-time at bench scale); above it (big vocabulary x many
+    # blocks) the Ray groupby-sum shuffle does the fold.  Both compute
+    # the same exact df.
+    partials = docs_ds.map_batches(
+        explode_partial, batch_format="pyarrow"
+    ).materialize()
+    if partials.count() <= 5_000_000:
+        pdf = partials.to_pandas()
+        agg = pdf.groupby("sh_h", as_index=False)["c"].sum()
+        hot = agg[agg["c"] >= int(hot_df_floor)].rename(
+            columns={"c": "df"})
+    else:
+        from ray.data.aggregate import Sum
+
+        hot = (
+            partials.groupby("sh_h")
+            .aggregate(Sum("c", alias_name="df"))
+            .filter(expr=f"df >= {int(hot_df_floor)}")
+            .to_pandas()
+        )
     hot_df = dict(zip(hot["sh_h"].astype(int), hot["df"].astype(int)))
     hot_ref = ray.put(hot_df)
 
