@@ -12,13 +12,14 @@ Decode is format-sniffed (``functions/media.py``):
   frames) and MJPEG-AVI videos (standard RIFF layout, JPEG frames
   via functions/jpeg.py; the sampler seeks to the requested frame —
   by size prefix or idx1 index — without touching the others).
-- **Exotic compressed formats** (progressive JPEG, MP3/AAC, MP4...)
-  are gated behind an import-try of PIL and surface as decode-failure
-  null rows in this container.
-- **Unknown payloads** fall back to the deterministic byte-feature
-  stub (clearly marked below) — this keeps the corpus-derived battery
-  entries, whose payloads are utf-8 text standing in for media, on
-  their existing oracles.
+- **Exotic compressed formats** (MP3/AAC, MP4...) are gated behind an
+  import-try of PIL and surface as decode-failure null rows in this
+  container.
+- **Unknown payloads** surface as decode-failure NULL rows, same as
+  undecodable recognized formats — features are never synthesized
+  from raw bytes (policy stated in ``functions/jpeg.py``).  The one
+  deliberate exception is :class:`FrameSampler`'s ``frame_stub``
+  column, which is honestly-named raw-byte truncation, not a feature.
 """
 
 from __future__ import annotations
@@ -51,32 +52,19 @@ IMAGE_FEATURES = pa.schema(
 )
 
 
-def _deterministic_fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
-    """STUB decode: deterministic pseudo-features from the payload bytes.
-
-    Replace with a real decoder (PIL.Image.open + resize + model) when
-    the imaging stack is available; everything around this function —
-    batching, actor lifecycle, schema — is production-shaped.
-    """
-    h = np.frombuffer(payload[:1024], dtype=np.uint8).astype(np.float32)
-    if len(h) == 0:
-        return np.zeros(out_dim, dtype=np.float32)
-    reps = int(np.ceil(out_dim / len(h)))
-    return np.tile(h, reps)[:out_dim] / 255.0
-
-
 class ImageFeaturizer:
     """Actor-pool stage: decode + resize + featurize images.
 
-    PPM/BMP payloads take the REAL path: numpy decode -> nearest
-    resize -> per-column grayscale means -> learned-weight-shaped
-    projection.  Unknown payloads take the byte stub; undecodable
-    recognized formats yield a null row.  ``__init__`` is the
-    once-per-actor model load; batches stay SMALL for large payloads
-    (see :func:`featurize_images`).
+    PPM/BMP/PNG/JPEG payloads take the REAL path: numpy decode ->
+    nearest resize -> per-column grayscale means -> learned-weight-
+    shaped projection.  Unknown payloads AND undecodable recognized
+    formats yield a null row — features are never synthesized from
+    raw bytes.  ``__init__`` is the once-per-actor model load;
+    batches stay SMALL for large payloads (see
+    :func:`featurize_images`).
     """
 
-    VERSION = 4  # 4 = real compressed decode (PNG + baseline JPEG)
+    VERSION = 5  # 5 = unknown-format -> null row (4 = PNG+JPEG decode)
 
     def __init__(self, out_dim: int = 64, resize: tuple[int, int] = (224, 224)):
         self.out_dim = out_dim
@@ -84,14 +72,14 @@ class ImageFeaturizer:
         rng = np.random.RandomState(7)
         self.proj = rng.standard_normal((out_dim, out_dim)).astype(np.float32)
 
-    def _raw(self, payload: bytes) -> np.ndarray:
+    def _raw(self, payload: bytes) -> np.ndarray | None:
         if _media.sniff(payload) in ("ppm", "bmp", "png", "jpeg"):
             img = _media.decode_image(payload)
             img = _media.resize_nearest(img, *self.resize)
             col = img.astype(np.float32).mean(axis=(0, 2))  # per-column gray
             reps = int(np.ceil(self.out_dim / len(col)))
             return np.tile(col, reps)[: self.out_dim] / 255.0
-        return _deterministic_fake_decode(payload, self.out_dim)
+        return None  # unrecognized format -> decode-failure null row
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, w, h = [], [], []
@@ -99,7 +87,10 @@ class ImageFeaturizer:
             try:
                 raw = self._raw(payload or b"")
             except Exception:
-                # decode failures yield a null row, never a crash
+                raw = None
+            if raw is None:
+                # decode failures yield a null row, never a crash and
+                # never a synthetic feature
                 feats.append(None)
                 w.append(None)
                 h.append(None)
@@ -247,18 +238,16 @@ class AudioFeaturizer:
     triangular filterbank (26 filters, Stevens-Volkmann mel scale) ->
     log -> orthonormal DCT-II, first ``dim`` coefficients — the same
     computation torchaudio/librosa produce, in plain numpy.  Unknown
-    payloads take the byte stub.  ``__init__`` is the once-per-actor
-    setup; the rate-dependent filterbank/DCT matrices are cached per
-    actor (stateful-stage contract), batches stay small for large
-    payloads."""
+    payloads yield a NULL row (never synthetic features).
+    ``__init__`` is the once-per-actor setup; the rate-dependent
+    filterbank/DCT matrices are cached per actor (stateful-stage
+    contract), batches stay small for large payloads."""
 
-    VERSION = 4  # 4 = true mel-filterbank MFCCs (3 = banded rfft)
+    VERSION = 5  # 5 = [-1,1] input scale + unknown -> null row
 
-    def __init__(self, dim: int = 13, window_bytes: int = 256,
-                 max_windows: int = 16, window_samples: int = 400,
-                 n_mels: int = 26):
+    def __init__(self, dim: int = 13, max_windows: int = 16,
+                 window_samples: int = 400, n_mels: int = 26):
         self.dim = dim
-        self.window_bytes = window_bytes
         self.max_windows = max_windows
         self.window_samples = window_samples
         self.n_mels = n_mels
@@ -299,10 +288,11 @@ class AudioFeaturizer:
             self._fb[rate] = fb
         return fb
 
-    def _windows(self, payload: bytes) -> np.ndarray:
+    def _windows(self, payload: bytes) -> np.ndarray | None:
         if _media.sniff(payload) == "wav":
             x, rate = _media.decode_wav(payload)
-            xs = x.astype(np.float64) / 32768.0
+            # decode_wav already returns float samples in [-1, 1]
+            xs = x.astype(np.float64)
             ws = self.window_samples
             fb = self._filterbank(int(rate))
             nw = min(self.max_windows, max(1, -(-len(xs) // ws)))
@@ -317,21 +307,7 @@ class AudioFeaturizer:
                 logmel = np.log(fb @ P + 1e-10)
                 out[w] = (self._dct @ logmel).astype(np.float32)
             return out
-        nw = min(
-            self.max_windows,
-            max(1, (len(payload) + self.window_bytes - 1) // self.window_bytes),
-        )
-        out = np.zeros((nw, self.dim), dtype=np.float32)
-        for w in range(nw):
-            chunk = np.frombuffer(
-                payload[w * self.window_bytes : (w + 1) * self.window_bytes],
-                dtype=np.uint8,
-            ).astype(np.float32)
-            if len(chunk):
-                # STUB decode: per-window moments stand in for MFCCs
-                reps = int(np.ceil(self.dim / len(chunk)))
-                out[w] = np.tile(chunk, reps)[: self.dim] / 255.0
-        return out
+        return None  # unrecognized format -> decode-failure null row
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, feats, counts = [], [], []
@@ -339,11 +315,17 @@ class AudioFeaturizer:
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            out = self._windows(payload or b"")
-            nw = len(out)
+            try:
+                out = self._windows(payload or b"")
+            except Exception:
+                out = None
             ids.append(mid)
+            if out is None:
+                feats.append(None)
+                counts.append(None)
+                continue
             feats.append(out.ravel().tolist())
-            counts.append(nw)
+            counts.append(len(out))
         return pa.Table.from_pydict(
             {
                 "media_id": pa.array(ids, type=pa.int64()),

@@ -89,27 +89,79 @@ class TestImaAdpcm:
 class TestFeaturizerIntegration:
     def test_compressed_wav_takes_real_path(self):
         """A mu-law payload and the same audio as PCM must land in the
-        same spectral neighborhood — and far from the byte stub."""
+        same spectral neighborhood; an unrecognized payload must be a
+        NULL row (never synthetic features)."""
         x = _sine()
+        x_far = _sine(hz=1900)  # spectrally distant control signal
         fz = AudioFeaturizer()
         batch = pa.table({
-            "media_id": pa.array([0, 1, 2], type=pa.int64()),
+            "media_id": pa.array([0, 1, 2, 3], type=pa.int64()),
             "payload": pa.array([
                 media.encode_wav(x, 8000),
                 media.encode_g711_wav(x, 8000, "ulaw"),
-                b"\x00\x01garbage-not-riff" * 40,  # stub path
+                b"\x00\x01garbage-not-riff" * 40,  # unknown format
+                media.encode_wav(x_far, 8000),
             ], type=pa.binary()),
         })
         out = fz(batch)
-        f = [np.array(v) for v in out.column("mfcc").to_pylist()]
+        raw = out.column("mfcc").to_pylist()
+        assert raw[2] is None  # unknown format -> null row
+        assert out.column("n_windows").to_pylist()[2] is None
+        f = [np.array(v) for v in (raw[0], raw[1], raw[3])]
         assert len(f[0]) == len(f[1])  # same window layout
-        # companding noise moves the features far less than the byte
-        # stub does: PCM<->ulaw distance well under PCM<->stub distance
-        d_codec = np.linalg.norm(f[0] - f[1])
-        n = min(len(f[0]), len(f[2]))
-        d_stub = np.linalg.norm(f[0][:n] - f[2][:n])
-        assert d_codec < 0.2 * d_stub
-        assert d_codec < 0.5 * np.linalg.norm(f[0])
+        # companding noise keeps the same tone spectrally close —
+        # closer than a genuinely different tone
+        cos = lambda a, b: (a @ b) / (
+            np.linalg.norm(a) * np.linalg.norm(b)
+        )
+        assert cos(f[0], f[1]) > 0.9
+        assert cos(f[0], f[1]) > cos(f[0][: len(f[2])], f[2])
         assert out.column("n_windows").to_pylist()[0] == out.column(
             "n_windows"
         ).to_pylist()[1]
+
+    def test_mfcc_scale_pinned_against_independent_reference(self):
+        """Pin the MFCC input scale: an independently-written
+        textbook MFCC of the SAME [-1, 1] float samples must match the
+        stage's first-window output exactly.  A stray re-division by
+        32768 (the round-4 advisor finding) shifts coefficient 0 by
+        ~2*log(32768)*sum(dct row) and clamps low mel bands to the log
+        floor — this test fails loudly in that case."""
+        rate, ws, n_mels, dim = 8000, 400, 26, 13
+        x = _sine(n=ws, rate=rate, hz=440, amp=10000)
+        fz = AudioFeaturizer(dim=dim, window_samples=ws, n_mels=n_mels)
+        batch = pa.table({
+            "media_id": pa.array([0], type=pa.int64()),
+            "payload": pa.array([media.encode_wav(x, rate)],
+                                type=pa.binary()),
+        })
+        got = np.array(
+            fz(batch).column("mfcc").to_pylist()[0], dtype=np.float64
+        )[:dim]
+
+        # ---- independent reference (textbook formulas, no reuse) ----
+        xs = x.astype(np.float64) / 32768.0  # decode_wav contract
+        seg = xs * np.hanning(ws)
+        P = np.abs(np.fft.rfft(seg)) ** 2
+        mel = lambda f: 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+        imel = lambda m: 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+        pts = imel(np.linspace(mel(0.0), mel(rate / 2.0), n_mels + 2))
+        bins = np.floor((ws + 1) * pts / rate).astype(int)
+        fb = np.zeros((n_mels, ws // 2 + 1))
+        for m in range(n_mels):
+            lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+            for b in range(lo, mid):
+                fb[m, b] = (b - lo) / max(mid - lo, 1)
+            for b in range(mid, hi):
+                fb[m, b] = (hi - b) / max(hi - mid, 1)
+        logmel = np.log(fb @ P + 1e-10)
+        k = np.arange(dim)[:, None]
+        n = np.arange(n_mels)[None, :]
+        dct = np.sqrt(2.0 / n_mels) * np.cos(np.pi * (n + 0.5) * k / n_mels)
+        dct[0] /= np.sqrt(2.0)
+        ref = dct @ logmel
+        assert np.abs(got - ref).max() < 1e-4
+        # at the correct [-1,1] scale a loud sine's mel bands sit well
+        # above the 1e-10 log floor; the double-division bug pushed the
+        # whole spectrum ~1e-9x down and clamped most bands to it
+        assert logmel.max() > np.log(1e-10) + 10.0

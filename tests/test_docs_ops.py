@@ -335,6 +335,39 @@ class TestAudioFeaturizer:
         assert all((x == y).all() for x, y in zip(a, b))
 
 
+class TestUnknownFormatNullRows:
+    """Unrecognized payloads must surface as decode-failure NULL rows,
+    never synthetic byte features (policy: functions/jpeg.py header)."""
+
+    def test_image_unknown_payload_is_null_row(self):
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        from osm_live_updates_ray.functions import media as _media
+
+        fz = multimodal.ImageFeaturizer(out_dim=8, resize=(8, 8))
+        batch = pa.table({
+            "media_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array(
+                [b"utf-8 text standing in for media bytes",
+                 _media.encode_ppm(img)],
+                type=pa.binary(),
+            ),
+        })
+        out = fz(batch)
+        feats = out.column("feat").to_pylist()
+        assert feats[0] is None and feats[1] is not None
+        assert out.column("out_width").to_pylist()[0] is None
+
+    def test_audio_unknown_payload_is_null_row(self):
+        fz = multimodal.AudioFeaturizer()
+        batch = pa.table({
+            "media_id": pa.array([7], type=pa.int64()),
+            "payload": pa.array([b"not riff at all"], type=pa.binary()),
+        })
+        out = fz(batch)
+        assert out.column("mfcc").to_pylist() == [None]
+        assert out.column("n_windows").to_pylist() == [None]
+
+
 class TestNgramJaccardJoin:
     def test_equals_brute_force(self, ray_session):
         """The prefix-filtered similarity join (AllPairs/PPJoin) finds

@@ -186,7 +186,7 @@ class TestFeaturizeJpegPath:
         assert f[0] is not None and f[1] is not None
         a, b = np.array(f[0]), np.array(f[1])
         assert np.abs(a - b).max() < 0.05
-        assert out.column("decoder_version").to_pylist() == [4, 4]
+        assert out.column("decoder_version").to_pylist() == [multimodal.ImageFeaturizer.VERSION] * 2
 
     def test_truncated_jpeg_is_null_row_not_crash(self):
         from osm_live_updates_ray.stages import multimodal

@@ -111,7 +111,7 @@ class TestFeaturizerRealPngPath:
         out = fz(batch)
         f = out.column("feat").to_pylist()
         assert f[0] is not None and f[0] == f[1]
-        assert out.column("decoder_version").to_pylist() == [4, 4]
+        assert out.column("decoder_version").to_pylist() == [multimodal.ImageFeaturizer.VERSION] * 2
 
     def test_media_from_documents_image_rows_are_real_compressed(self):
         from osm_live_updates_ray.stages import multimodal
