@@ -63,6 +63,41 @@ class EngineConfig:
     #: threadpool path (cheaper for a handful of tiles).
     cow_task_tiles: int = 64
 
+    # --- driver-reduce gates -------------------------------------------
+    # One policy, five knobs: a stage whose EXACT intermediate
+    # cardinality (measured with .count() / parquet metadata, never
+    # guessed) is at or below its gate runs the cheap driver-side /
+    # broadcast shape — the data is small BY CONSTRUCTION, and a Ray
+    # all-to-all has ~2s fixed ramp that dwarfs it.  Above the gate the
+    # stage switches to the distributed shape (hash join / groupby /
+    # label propagation) and nothing key- or corpus-sized ever lands on
+    # one process.  Every gate has BOTH branches equality-tested by
+    # forcing the gate to 0 in a pytest.
+    #: small-side key sets (dim keys, dup-id sets, order-key maps) at
+    #: or below this are ray.put-broadcast for sorted-probe / isin
+    #: lookups; above, a hash semi/anti-join.
+    broadcast_keys_max: int = 2_000_000
+    #: near-dup graphs with at most this many EXACT edges run driver
+    #: union-find; above, distributed min-label propagation.
+    cc_edge_gate: int = 2_000_000
+    #: mergeable partial rows (shingle df counts, k-means cluster sums)
+    #: at or below this are driver-reduced; above, a Ray groupby-sum.
+    driver_partials_max: int = 5_000_000
+    #: exact-dedup duplicate-id sets above this switch the final filter
+    #: to a hash anti-join (stages/dedup_docs.py).
+    broadcast_id_limit: int = 5_000_000
+    #: near-dup candidate-verify corpora at or below this many docs use
+    #: the broadcast bitmap verifier; above, a sig-prefiltered hash
+    #: join (stages/dedup_docs.py).
+    broadcast_docs_max: int = 200_000
+    #: the PPJoin prefix-order df dict broadcast keeps only the top
+    #: this-many shingles by df — bounds per-worker memory at O(cap)
+    #: instead of O(corpus vocabulary).  Shingles outside the cap
+    #: default to df=1; the order stays a pure total function of the
+    #: shingle, so the join stays EXACT at any cap (pytest forces
+    #: cap=7 and asserts pair-set equality).
+    ppjoin_hot_df_cap: int = 5_000_000
+
     # --- skew handling -------------------------------------------------
     #: cells whose page count exceeds this are salted into
     #: ``salt_factor`` sub-partitions for the shuffle-based join path.

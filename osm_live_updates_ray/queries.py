@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .config import DEFAULT_CONFIG as _CFG
 from .sources import testdata as td
 
 QUERIES: dict[str, Callable[[str], Any]] = {}
@@ -4475,7 +4476,7 @@ def tpch_q7(sf_dir: str, _force_join: bool = False):
         })
 
     n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    if n_orders <= 2_000_000 and not _force_join:
+    if n_orders <= _CFG.broadcast_keys_max and not _force_join:
         # broadcast-probe plan: the o_custkey map rides into the same
         # pruned lineitem scan as sorted arrays — zero exchanges
         ot = td.read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -5376,7 +5377,7 @@ def tpch_q8(sf_dir: str, _force_join: bool = False):
     import pyarrow.parquet as _pq
 
     n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    if n_orders <= 2_000_000 and not _force_join:
+    if n_orders <= _CFG.broadcast_keys_max and not _force_join:
         # broadcast-probe plan (q21's gate discipline): the QUALIFYING
         # orders — date window ∧ ASIA customer, pre-joined driver-side
         # against the already-broadcast customer arrays — ride into one
@@ -5524,7 +5525,7 @@ def tpch_q9(sf_dir: str, _force_join: bool = False):
     import pyarrow.parquet as _pq
 
     n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    if n_orders <= 2_000_000 and not _force_join:
+    if n_orders <= _CFG.broadcast_keys_max and not _force_join:
         # broadcast-probe plan (q21's gate discipline): order years ride
         # into ONE lineitem scan as sorted arrays — no fact-fact exchange
         ot = td.read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
@@ -6009,7 +6010,7 @@ def tpch_q21(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_suppkey", "l_shipdate"])
     n_orders = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    if n_orders <= 2_000_000:
+    if n_orders <= _CFG.broadcast_keys_max:
         per_supp = _q21_broadcast_path(rd, li, sf_dir, Count)
     else:
         per_supp = _q21_join_path(rd, li, sf_dir, Count)
@@ -6636,7 +6637,7 @@ def _dup_window_hits(rd, sf_dir: str):
     # duplicated-window VOCABULARY is small relative to the corpus, so
     # collect-and-broadcast it up to a cap; above the cap fall back to
     # the hash semi-join (whose partitions are then dense).
-    DUP_BROADCAST_LIMIT = 2_000_000
+    DUP_BROADCAST_LIMIT = _CFG.broadcast_keys_max
     dup_parts, n_dup = [], 0
     for b in dup.iter_batches(batch_format="pyarrow"):
         if b.num_rows:
@@ -7533,7 +7534,7 @@ def near_dup_components(sf_dir: str):
     # ~2 s of Ray join+groupby ramp PER ROUND; the two variants are
     # equality-pinned by pytest
     pairs = pairs.materialize()
-    if pairs.count() <= 2_000_000:
+    if pairs.count() <= _CFG.cc_edge_gate:
         comp = dedup_docs.connected_components(pairs.to_pandas())
     else:
         comp = dedup_docs.connected_components_distributed(pairs).to_pandas()
@@ -9089,7 +9090,7 @@ _NGRAM_PAIRS_CTES = r"""norm AS (
     FROM labeled
     """,
 )
-def near_dup_keep_best(sf_dir: str, cc_gate_rows: int = 2_000_000):
+def near_dup_keep_best(sf_dir: str, cc_gate_rows: int | None = None):
     """Quality-aware near-dup cluster REPRESENTATIVE selection — what a
     real training-data dedup keeps is the BEST document of each fuzzy
     cluster, not the smallest id: per component (the
@@ -9117,6 +9118,8 @@ def near_dup_keep_best(sf_dir: str, cc_gate_rows: int = 2_000_000):
     pairs = dedup_docs.ngram_jaccard_pairs(
         docs_ds, threshold=0.8, k=5
     ).materialize()
+    if cc_gate_rows is None:
+        cc_gate_rows = _CFG.cc_edge_gate
     if pairs.count() <= cc_gate_rows:
         comp = dedup_docs.connected_components(pairs.to_pandas())
     else:
@@ -9235,7 +9238,7 @@ def near_dup_triangles(sf_dir: str):
     pairs = dedup_docs.ngram_jaccard_pairs(
         docs_ds, threshold=0.8, k=5
     ).materialize()
-    if pairs.count() <= 2_000_000:
+    if pairs.count() <= _CFG.cc_edge_gate:
         return dedup_docs.triangle_counts(pairs.to_pandas())
     return dedup_docs.triangle_counts_distributed(pairs)
 
@@ -10064,24 +10067,34 @@ def doc_entropy(sf_dir: str):
     SELECT 'events_ts_null', COUNT(*) FROM events WHERE ts IS NULL
     """,
 )
-def data_quality_checks(sf_dir: str):
+def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
     """DATA-QUALITY VALIDATION SUITE — the expectations gate a
     production pipeline runs before (and after) every transform:
     FK coverage (orders->customer, lineitem->orders), key uniqueness,
     derived-column consistency (n_chars == LENGTH(text)), null checks;
     one (check_name, violations) row each, all integer-exact.
 
-    Distributed shapes, one per check class: FK coverage = map-side
-    DISTINCT key exchange + sorted-array anti-probe per batch (the
-    tpch_q22 anti-join kernel; above a key-count gate the probe swaps
-    for the hash anti-join, dedup_exact's escape hatch); uniqueness =
-    groupby-count on the key; consistency/null checks = shuffle-free
-    per-batch C-kernel sums.  Nothing corpus-sized reaches the
-    driver — each check returns one integer."""
+    Distributed shapes, one per check class: FK coverage — the dim
+    side's parquet-metadata row count (an upper bound on its distinct
+    keys, read without scanning) decides the shape: at or below
+    ``broadcast_keys_max`` the distinct keys are broadcast and each
+    fact batch runs the sorted-array anti-probe (the tpch_q22 kernel);
+    above the gate NO key set touches the driver — the probe is a hash
+    LEFT ANTI join of the fact keys against the dim keys (dedup_exact's
+    escape hatch, counted distributed).  Uniqueness = groupby-count on
+    the key with the ``sum(c-1)`` reduced per block — the per-key count
+    table never lands on the driver.  Consistency/null checks =
+    shuffle-free per-batch C-kernel sums.  Each check returns one
+    integer.  ``_gate_keys`` overrides the gate for the forced-branch
+    test."""
     import ray
     from ray.data.aggregate import Count
 
+    from .config import DEFAULT_CONFIG
+
     rd = _rd()
+    gate = (DEFAULT_CONFIG.broadcast_keys_max
+            if _gate_keys is None else _gate_keys)
 
     def _distinct_sorted(path: str, col: str) -> np.ndarray:
         def dd(t: pa.Table) -> pa.Table:
@@ -10099,41 +10112,68 @@ def data_quality_checks(sf_dir: str):
         )
 
     def _fk_violations(fact_path: str, fact_col: str,
-                       dim_keys: np.ndarray) -> int:
-        ref = ray.put(dim_keys)
+                       dim_path: str, dim_col: str) -> int:
+        import pyarrow.parquet as pq
 
-        def miss(t: pa.Table) -> pa.Table:
-            keys = ray.get(ref)
-            v = t.column(fact_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            if len(keys):
-                pos = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
-                n = int((keys[pos] != v).sum())
-            else:
-                n = len(v)
-            return pa.table({"n": pa.array([n], type=pa.int64())})
+        # row count from parquet metadata: free upper bound on the
+        # dim side's distinct-key count — decides the probe shape
+        # without a scan
+        n_dim = pq.ParquetFile(dim_path).metadata.num_rows
 
-        parts = (
-            rd.read_parquet(fact_path, columns=[fact_col])
-            .map_batches(miss, batch_format="pyarrow")
-            .to_pandas()
+        if n_dim <= gate:
+            dim_keys = _distinct_sorted(dim_path, dim_col)
+            ref = ray.put(dim_keys)
+
+            def miss(t: pa.Table) -> pa.Table:
+                keys = ray.get(ref)
+                v = t.column(fact_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                if len(keys):
+                    pos = np.clip(np.searchsorted(keys, v), 0, len(keys) - 1)
+                    n = int((keys[pos] != v).sum())
+                else:
+                    n = len(v)
+                return pa.table({"n": pa.array([n], type=pa.int64())})
+
+            parts = (
+                rd.read_parquet(fact_path, columns=[fact_col])
+                .map_batches(miss, batch_format="pyarrow")
+                .to_pandas()
+            )
+            return int(parts["n"].sum())
+
+        # at-scale shape: hash anti-join — dim keys never collected
+        n_cpu = (int(ray.cluster_resources().get("CPU", 8))
+                 if ray.is_initialized() else 8)
+        orphans = rd.read_parquet(fact_path, columns=[fact_col]).join(
+            rd.read_parquet(dim_path, columns=[dim_col]),
+            join_type="left_anti",
+            num_partitions=max(8, n_cpu),
+            on=(fact_col,),
+            right_on=(dim_col,),
         )
-        return int(parts["n"].sum())
+        return int(orphans.count())
 
-    custkeys = _distinct_sorted(f"{sf_dir}/customer.parquet", "c_custkey")
-    orderkeys = _distinct_sorted(f"{sf_dir}/orders.parquet", "o_orderkey")
-    v_orders = _fk_violations(f"{sf_dir}/orders.parquet", "o_custkey",
-                              custkeys)
-    v_lineitem = _fk_violations(f"{sf_dir}/lineitem.parquet",
-                                "l_orderkey", orderkeys)
+    v_orders = _fk_violations(
+        f"{sf_dir}/orders.parquet", "o_custkey",
+        f"{sf_dir}/customer.parquet", "c_custkey")
+    v_lineitem = _fk_violations(
+        f"{sf_dir}/lineitem.parquet", "l_orderkey",
+        f"{sf_dir}/orders.parquet", "o_orderkey")
 
-    dup = (
+    def _excess(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([int((c - 1).sum())], type=pa.int64())
+        })
+
+    v_unique = int(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
         .groupby("doc_id")
         .aggregate(Count(alias_name="c"))
-        .to_pandas()
+        .map_batches(_excess, batch_format="pyarrow")
+        .to_pandas()["n"].sum()
     )
-    v_unique = int((dup["c"] - 1).sum())
 
     def nch(t: pa.Table) -> pa.Table:
         n = pc.utf8_length(t.column("text")).cast(pa.int64())

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..config import DEFAULT_CONFIG as _GATES
 from ..functions import bloom, hashing
 
 
@@ -87,7 +88,9 @@ def _hash_group_marks(g: pa.Table, id_col: str = "doc_id") -> pa.Table:
 #: semi/anti joins on id so NO process (driver included) ever holds the
 #: duplicate-id set (VERDICT r3 item 4: a crawl corpus can be 30-50%
 #: duplicates, making the broadcast O(corpus_ids) driver memory).
-BROADCAST_ID_LIMIT = 5_000_000
+#: (value lives in config.EngineConfig.broadcast_id_limit with the
+#: rest of the driver-reduce gate policy)
+BROADCAST_ID_LIMIT = _GATES.broadcast_id_limit
 
 
 def _multi_marks_ds(ds, id_col: str, text_col: str, n_shuffle_buckets: int):
@@ -510,11 +513,31 @@ class _BroadcastVerifier:
         pb_i = np.searchsorted(self.sids, b)
         if self.bitmaps is not None:
             inter = np.empty(len(a), dtype=np.int64)
-            CH = 1 << 16  # chunk pairs: CH x nbytes AND-buffer stays small
+            # chunk size derives from the ROW WIDTH: the budget bounds
+            # n_docs*n_bits, not nbytes, so a small dense corpus can
+            # have wide rows (1000 docs x 2M shingles = 262 KB/doc) —
+            # a fixed 65536-pair chunk would allocate CH x nbytes
+            # (~17 GB there).  Target ~32 MB of AND-buffer instead.
+            nbytes = self.bitmaps.shape[1]
+            CH = max(1, (32 << 20) // max(nbytes, 1))
+            if hasattr(np, "bitwise_count"):  # numpy >= 2
+                def _pop(band):
+                    return np.bitwise_count(band).sum(
+                        axis=1, dtype=np.int64)
+            else:
+                def _pop(band):
+                    # accumulate per-column popcount lookups; never
+                    # materializes the full uint16 LUT-expanded array
+                    acc = np.zeros(band.shape[0], dtype=np.int64)
+                    COLS = 1 << 16
+                    for cs in range(0, band.shape[1], COLS):
+                        acc += _POP8[band[:, cs:cs + COLS]].sum(
+                            axis=1, dtype=np.int64)
+                    return acc
             for s in range(0, len(a), CH):
                 e = min(s + CH, len(a))
                 band = self.bitmaps[pa_i[s:e]] & self.bitmaps[pb_i[s:e]]
-                inter[s:e] = _POP8[band].sum(axis=1)
+                inter[s:e] = _pop(band)
             na, nb = self.sizes[pa_i], self.sizes[pb_i]
             union = na + nb - inter
             sims = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
@@ -540,7 +563,7 @@ def verify_pairs_distributed(
     k: int = 5,
     sig_prefilter: bool = False,
     num_perm: int = 64,
-    broadcast_docs_max: int = 200_000,
+    broadcast_docs_max: int = _GATES.broadcast_docs_max,
 ):
     """Corpus-scale pair verification: candidate pairs hash-join back to
     the documents Dataset TWICE (id_a side, id_b side), then the exact
@@ -1036,6 +1059,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     k: int = 5,
     hot_df_floor: int = 2,
+    hot_df_cap: int | None = None,
 ):
     """EXACT n-gram-Jaccard similarity join: every pair with
     Jaccard(shingles_k(a), shingles_k(b)) >= threshold, no
@@ -1045,7 +1069,14 @@ def ngram_jaccard_pairs(
       1. df pass: shingle explode -> groupby count; only shingles with
          df >= hot_df_floor are broadcast (ray.put) — the frequent
          tail is what must sort LAST in prefixes, rare dfs don't
-         matter for candidate quality and default to 1.
+         matter for candidate quality and default to 1.  The dict is
+         additionally CAPPED at the top ``hot_df_cap`` shingles by df
+         (default ``EngineConfig.ppjoin_hot_df_cap``): on a crawl-
+         scale corpus nearly every shingle has df >= 2, so an uncapped
+         dict is O(corpus vocabulary) per worker.  Capping preserves
+         exactness — prefix-filter completeness only needs the order
+         to be a pure total function of the shingle, and
+         (df-or-default-1, hash, sh) is one at ANY cap.
       2. prefix emission: each doc indexes only its first
          n - ceil(t*n) + 1 shingles under the global (df, hash, sh)
          order.  Lemma: if |A∩B| >= ceil(t*|A|) the smallest common
@@ -1088,21 +1119,34 @@ def ngram_jaccard_pairs(
     # wall-time at bench scale); above it (big vocabulary x many
     # blocks) the Ray groupby-sum shuffle does the fold.  Both compute
     # the same exact df.
+    if hot_df_cap is None:
+        hot_df_cap = _GATES.ppjoin_hot_df_cap
     partials = docs_ds.map_batches(
         explode_partial, batch_format="pyarrow"
     ).materialize()
-    if partials.count() <= 5_000_000:
+    if partials.count() <= _GATES.driver_partials_max:
         pdf = partials.to_pandas()
         agg = pdf.groupby("sh_h", as_index=False)["c"].sum()
         hot = agg[agg["c"] >= int(hot_df_floor)].rename(
             columns={"c": "df"})
+        if len(hot) > hot_df_cap:
+            # deterministic top-M: df desc, hash asc tie-break
+            hot = hot.sort_values(
+                ["df", "sh_h"], ascending=[False, True]
+            ).head(hot_df_cap)
     else:
         from ray.data.aggregate import Sum
 
-        hot = (
+        hot_ds = (
             partials.groupby("sh_h")
             .aggregate(Sum("c", alias_name="df"))
             .filter(expr=f"df >= {int(hot_df_floor)}")
+        )
+        # top-M selected DISTRIBUTED (sort+limit) — only the capped
+        # dict ever reaches the driver, never the full vocabulary
+        hot = (
+            hot_ds.sort(["df", "sh_h"], descending=[True, False])
+            .limit(hot_df_cap)
             .to_pandas()
         )
     hot_df = dict(zip(hot["sh_h"].astype(int), hot["df"].astype(int)))

@@ -410,6 +410,20 @@ class TestNgramJaccardJoin:
         assert list(got["id_b"]) == [w[1] for w in want]
         assert np.allclose(got["jaccard"], [w[2] for w in want], rtol=0, atol=0)
 
+        # forced-tiny hot_df cap: the broadcast df dict keeps only 7
+        # shingles (everything else defaults df=1), proving exactness
+        # is CAP-INDEPENDENT — the prefix order stays a pure total
+        # function of the shingle, so the identical pair set falls out
+        capped = (
+            dedup_docs.ngram_jaccard_pairs(
+                rd.from_arrow(t), threshold=0.7, k=5, hot_df_cap=7
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert capped.equals(got)
+
     def test_hot_shingles_leave_prefixes(self):
         """Frequency-ordered prefixes push ubiquitous shingles OUT of the
         index: a shingle every doc shares must not become a mega-bucket."""
@@ -1405,3 +1419,7 @@ class TestDataQuality:
             "documents_nchars_consistent": 1,
             "events_ts_null": 1,
         }
+        # forced anti-join branch (gate=0): the at-scale FK probe —
+        # no dim-key set ever collected — must count identically
+        out2 = queries.data_quality_checks(str(tmp_path), _gate_keys=0)
+        assert dict(zip(out2["check_name"], out2["violations"])) == v
