@@ -197,10 +197,21 @@ def _cmd_corpus(args, rd) -> int:
         ds = ds.map_batches(drop, batch_format="pyarrow")
 
     os.makedirs(args.out, exist_ok=True)
-    ds = ds.materialize()
-    n_out = ds.count()
-    ds.write_parquet(args.out)
-    stats["rows_out"] = n_out
+    if args.stats:
+        ds = ds.materialize()
+        stats["rows_out"] = ds.count()
+        ds.write_parquet(args.out)
+    else:
+        # no --stats: one streamed pass straight into the sink — the
+        # corpus is never pinned in the object store; rows_out comes
+        # from the written files' parquet metadata (free)
+        ds.write_parquet(args.out)
+        import pyarrow.parquet as pq
+
+        stats["rows_out"] = sum(
+            pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+            for f in os.listdir(args.out) if f.endswith(".parquet")
+        )
     print(json.dumps({"status": "ok", "out": args.out,
                       "format": fmt, "dedup": args.dedup, **stats}))
     return 0

@@ -9872,13 +9872,35 @@ def source_lang_rollup(sf_dir: str):
     (source, lang) partials -> small groupby-sum — then the coarser
     levels are driver re-aggregations of the ~|sources|x|langs| result
     rows (subtotals of an aggregate never need the corpus again; at
-    any scale the rollup fan-out costs |groups|, not |rows|)."""
+    any scale the rollup fan-out costs |groups|, not |rows|).
+
+    NULL contract: a NULL source/lang would collide with the '<all>'
+    rollup sentinel in the SQL mirror (COALESCE maps it to '<all>' at
+    the finest grain) while the pandas rollup groups it differently —
+    so the kernel ENFORCES non-null group keys per batch (the
+    data_quality_checks philosophy: fail loudly on contract breach
+    instead of silently mis-bucketing)."""
     from ray.data.aggregate import Count, Sum
 
     rd = _rd()
+
+    def _assert_keys(t: pa.Table) -> pa.Table:
+        bad = (pc.sum(pc.cast(pc.is_null(t.column("source")),
+                              pa.int64())).as_py() or 0) + (
+              pc.sum(pc.cast(pc.is_null(t.column("lang")),
+                             pa.int64())).as_py() or 0)
+        if bad:
+            raise ValueError(
+                f"source_lang_rollup: {bad} NULL source/lang values — "
+                "NULL group keys would collide with the '<all>' rollup "
+                "sentinel; clean the corpus first"
+            )
+        return t
+
     fine = (
         rd.read_parquet(f"{sf_dir}/documents.parquet",
                         columns=["source", "lang", "n_chars"])
+        .map_batches(_assert_keys, batch_format="pyarrow")
         .groupby(["source", "lang"])
         .aggregate(Count(alias_name="n_docs"),
                    Sum("n_chars", alias_name="sum_chars"))

@@ -71,6 +71,35 @@ class TestExportSharded:
         assert _read_all(out).equals(
             pq.read_table(corpus_dir).sort_by("doc_id"))
 
+    def test_membership_change_reexports_not_silently_skips(
+            self, ray_session, corpus_dir, tmp_path):
+        """The advisor's resume-contract hole: committing shards under
+        one (file list, num_shards) and resuming under another must NOT
+        skip shards with stale membership — rows would silently drop or
+        duplicate in the combined output."""
+        out = str(tmp_path / "out")
+        export_sharded(corpus_dir, out, num_shards=4)
+        # the input GROWS between runs: a new file lands
+        import numpy as np
+
+        ids = np.arange(600, 700, dtype=np.int64)
+        pq.write_table(pa.table({"doc_id": ids, "v": ids * 2}),
+                       os.path.join(corpus_dir, "part6.parquet"))
+        res = export_sharded(corpus_dir, out, num_shards=4)
+        # shard 2 now owns part6 too -> membership mismatch -> re-export
+        assert 2 in res["remapped"] and 2 in res["written"]
+        assert _read_all(out).equals(
+            pq.read_table(corpus_dir).sort_by("doc_id"))
+
+    def test_membership_change_can_error(self, ray_session, corpus_dir,
+                                         tmp_path):
+        out = str(tmp_path / "out")
+        export_sharded(corpus_dir, out, num_shards=4)
+        with pytest.raises(RuntimeError, match="membership"):
+            # changing num_shards remaps EVERY file; strict mode refuses
+            export_sharded(corpus_dir, out, num_shards=5,
+                           on_membership_change="error")
+
     def test_transform_and_projection(self, ray_session, corpus_dir,
                                       tmp_path):
         out = str(tmp_path / "out")

@@ -156,3 +156,24 @@ class TestRemoveDuplicateSpans:
         )
         assert list(out["text"]) == ["", ""]
         assert list(out["n_removed"]) == [16, 16]
+
+
+class TestSourceLangRollupNullContract:
+    def test_null_group_key_fails_loudly(self, ray_session, tmp_path):
+        """A NULL source/lang would collide with the '<all>' rollup
+        sentinel (SQL COALESCE maps it there; pandas groups it
+        differently) — the kernel must refuse the corpus instead of
+        silently mis-bucketing."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+        import ray
+
+        pq.write_table(pa.table({
+            "source": pa.array(["web", None]),
+            "lang": pa.array(["en", "en"]),
+            "n_chars": pa.array([3, 4], type=pa.int64()),
+        }), tmp_path / "documents.parquet")
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                           match="NULL"):
+            QUERIES["source_lang_rollup"](str(tmp_path))
