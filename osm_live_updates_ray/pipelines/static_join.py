@@ -67,6 +67,7 @@ def build_state(
     cfg: EngineConfig = DEFAULT_CONFIG,
     resume: bool = False,
     pages_shards: list[list[str]] | None = None,
+    filesystem=None,
 ) -> StateStore:
     """Bootstrap the full state store; returns the committed store.
 
@@ -89,14 +90,16 @@ def build_state(
     only the unsealed shards of the phase it died in, not the whole
     phase.  Use it when one phase is hours long (planet bootstrap).
     """
-    import os as _os
+    from ..state.fsio import StoreFS
 
-    if resume and _os.path.exists(_os.path.join(root, "manifest.json")):
-        store = StateStore(root, cfg)
+    _io = StoreFS(filesystem)
+    if resume and _io.exists(_io.join(root, "manifest.json")):
+        store = StateStore(root, cfg, filesystem=filesystem)
         cfg = store.discovered_config(cfg)
     else:
         store = StateStore.build(
-            root, nodes=nodes, ways=ways, relations=relations, config=cfg
+            root, nodes=nodes, ways=ways, relations=relations, config=cfg,
+            filesystem=filesystem,
         )
     have = store._manifest["tables"]
     n_obj = nodes.num_rows + ways.num_rows + relations.num_rows

@@ -716,10 +716,10 @@ def apply_changes(
         # re-joined rows NEVER land on the driver (the at-scale shape:
         # an adversarial window can invalidate a corpus-sized fraction)
         import ray
-        import pyarrow.parquet as _pq
 
         node_files = store._files("nodes")
-        n_nodes = sum(_pq.read_metadata(f).num_rows for f in node_files)
+        n_nodes = sum(store.io.read_metadata(f).num_rows
+                      for f in node_files)
         n_cpu = int(ray.cluster_resources().get("CPU", 8))
         rejoin_in = dirty_rows.map_batches(
             lambda t: t.select(["url", "lon", "lat", "cell_id", "tile_id"]),
@@ -741,6 +741,7 @@ def apply_changes(
             ds = spatial.spatial_join_sharded(
                 rejoin_in, ring_groups, groups, cfg,
                 keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
+                filesystem=store.io.fs,
             )
         else:
             _ti = _time.time()
@@ -765,10 +766,9 @@ def apply_changes(
         summary["rejoined_pages"] = stats["staged_rows"]
         timers["rejoin"] = stats.get("staging_sec", 0.0)
     elif dirty_rows.num_rows:
-        import pyarrow.parquet as _pq
-
         node_files = store._files("nodes")
-        n_nodes = sum(_pq.read_metadata(f).num_rows for f in node_files)
+        n_nodes = sum(store.io.read_metadata(f).num_rows
+                      for f in node_files)
         rejoin_input = dirty_rows.select(
             ["url", "lon", "lat", "cell_id", "tile_id"]
         )
@@ -797,6 +797,7 @@ def apply_changes(
                 ds = spatial.spatial_join_sharded(
                     pages_in, ring_groups, groups, cfg,
                     keep_lonlat=True, concurrency=(1, max(2, n_cpu // k)),
+                    filesystem=store.io.fs,
                 )
             else:
                 _ti = _time.time()

@@ -1210,7 +1210,7 @@ class _KnnShardStage:
     holds ONLY its shard's index — no process ever builds the full node
     layer (the broadcast-limit escape hatch for planet-scale layers)."""
 
-    def __init__(self, shard_src, config: EngineConfig):
+    def __init__(self, shard_src, config: EngineConfig, filesystem=None):
         if isinstance(shard_src, (list, tuple)) and shard_src and isinstance(
             shard_src[0], str
         ):
@@ -1219,7 +1219,9 @@ class _KnnShardStage:
             import pyarrow.parquet as pq_
 
             t = pa.concat_tables(
-                [pq_.read_table(f, columns=["id", "lon", "lat"]) for f in shard_src]
+                [pq_.read_table(f, columns=["id", "lon", "lat"],
+                                filesystem=filesystem)
+                 for f in shard_src]
             )
             ids = t.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
             lons = t.column("lon").to_numpy(zero_copy_only=False)
@@ -1285,14 +1287,17 @@ class _PipShardStage:
     by construction.  No process — driver included — ever holds the
     full ring layer (VERDICT r3 finding 1)."""
 
-    def __init__(self, shard_src, config: EngineConfig):
+    def __init__(self, shard_src, config: EngineConfig, filesystem=None):
         if isinstance(shard_src, (list, tuple)) and shard_src and isinstance(
             shard_src[0], str
         ):
             # file-path shard: the ACTOR reads its partition parquet
             import pyarrow.parquet as pq_
 
-            rings = pa.concat_tables([pq_.read_table(f) for f in shard_src])
+            rings = pa.concat_tables(
+                [pq_.read_table(f, filesystem=filesystem)
+                 for f in shard_src]
+            )
         else:
             import ray
 
@@ -1378,6 +1383,7 @@ def spatial_join_sharded(
     n_shards: int = 4,
     concurrency=None,
     keep_lonlat: bool = False,
+    filesystem=None,
 ):
     """Broadcast-free kNN join: the node layer is split into cell-range
     shards, each held by its own actor-pool stage; pages stream through
@@ -1397,7 +1403,12 @@ def spatial_join_sharded(
     holding complete polygons — polygon_id-partitioned store files
     qualify) — then the PIP side runs as chained :class:`_PipShardStage`
     pools merging the running (area, pid) best, and no process ever
-    materializes the full ring layer either."""
+    materializes the full ring layer either.
+
+    ``filesystem`` (an optional pyarrow FileSystem, picklable) travels
+    with file-path shards so the actors read them through the state
+    store's filesystem seam — required when the store lives on shared
+    storage rather than local disk."""
     import ray
 
     rings_sharded = not isinstance(polygons, pa.Table)
@@ -1433,7 +1444,9 @@ def spatial_join_sharded(
         ds = pages_geo_ds.map_batches(_init_running_best, batch_format="pyarrow")
         for ref in ring_refs:
             ds = ds.map_batches(
-                _PipShardStage, fn_constructor_args=(ref, config), **pool_kwargs
+                _PipShardStage,
+                fn_constructor_args=(ref, config, filesystem),
+                **pool_kwargs,
             )
     else:
         ds = pages_geo_ds.map_batches(
@@ -1443,7 +1456,9 @@ def spatial_join_sharded(
         )
     for ref in shard_refs:
         ds = ds.map_batches(
-            _KnnShardStage, fn_constructor_args=(ref, config), **pool_kwargs
+            _KnnShardStage,
+            fn_constructor_args=(ref, config, filesystem),
+            **pool_kwargs,
         )
 
     def finalize(t: pa.Table) -> pa.Table:

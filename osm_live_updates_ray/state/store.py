@@ -30,24 +30,28 @@ In local/sandbox mode lookups use threaded pyarrow.dataset scans (the
 result of every lookup is delta-sized); at cluster scale the same
 filter expressions run as ``ray.data.read_parquet(filter=...)`` scans
 — ``use_ray_reads`` toggles, semantics identical.
+
+Every byte of state moves through the :mod:`.fsio` filesystem seam
+(``StateStore(root, filesystem=...)``): local disk by default,
+shared storage (S3/GCS/HDFS/subtree) for multi-node deployments —
+actors receive the (picklable) filesystem with their file lists.
+Commit protocol per filesystem class is documented in ``fsio``.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
-import uuid
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions.hashing import hash_int64
+from .fsio import LOCK_TTL_SEC, StoreFS
 from ..schemas import (
     OSM_NODES,
     OSM_RELATIONS,
@@ -138,6 +142,12 @@ def _part_of(keys: np.ndarray, n_parts: int) -> np.ndarray:
     return (hash_int64(keys).view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
 
 
+def _hostname() -> str:
+    import socket
+
+    return socket.gethostname()
+
+
 def explode_way_members(ways: pa.Table) -> pa.Table:
     """ways(node_ids list) -> (way_id, node_id, pos) edge rows."""
     node_ids = ways.column("node_ids").combine_chunks()
@@ -196,11 +206,19 @@ _PERSISTED_OPTIONS = (
 
 
 class StateStore:
-    """Hash-partitioned Parquet state with COW commits + lineage."""
+    """Hash-partitioned Parquet state with COW commits + lineage.
 
-    def __init__(self, root: str, config: EngineConfig | None = None):
+    ``filesystem`` is the multi-node seam (see :mod:`.fsio`): pass a
+    ``pyarrow.fs.FileSystem`` to put the whole state tree on shared
+    storage; the default ``LocalFileSystem`` preserves the single-node
+    behavior byte-for-byte.  ``root`` is a path within that
+    filesystem."""
+
+    def __init__(self, root: str, config: EngineConfig | None = None,
+                 filesystem=None):
         self.root = root
         self.config = config or DEFAULT_CONFIG
+        self.io = StoreFS(filesystem)
         self._manifest = self._read_manifest()
         sv = self._manifest.get("schema_version")
         if sv is not None and sv > SCHEMA_VERSION:
@@ -231,29 +249,54 @@ class StateStore:
         return dataclasses.replace(cfg, **known)
 
     # -- writer lock -------------------------------------------------------
-    # The store is SINGLE-WRITER: begin() takes a pid lock, commit()
+    # The store is SINGLE-WRITER: begin() takes a lock, commit()
     # releases it, and _gc() skips while a LIVE foreign writer holds it
     # — otherwise an opener would delete the writer's uncommitted
-    # new-generation files mid-flight.  A crashed writer leaves a stale
-    # lock (dead pid), which the next open ignores and cleans.
+    # new-generation files mid-flight.  The lock records {host, pid,
+    # ts}: a SAME-HOST foreign pid is probed exactly (kill -0, as
+    # before); a lock from ANOTHER host cannot be probed and is honored
+    # until fsio.LOCK_TTL_SEC passes — a crashed remote writer expires
+    # instead of wedging the store, a live one is never raced within
+    # the TTL.  Legacy bare-pid lock files still parse.
     def _lock_path(self) -> str:
-        return os.path.join(self.root, ".writer.lock")
+        return self.io.join(self.root, ".writer.lock")
+
+    def _read_lock(self) -> dict | None:
+        try:
+            raw = self.io.read_text(self._lock_path()).strip()
+        except (FileNotFoundError, OSError):
+            return None
+        if not raw:
+            return None
+        try:
+            rec = json.loads(raw)
+            if isinstance(rec, dict):
+                return rec
+        except json.JSONDecodeError:
+            pass
+        try:  # legacy format: bare pid, implicitly this host
+            return {"pid": int(raw), "host": _hostname(), "ts": time.time()}
+        except ValueError:
+            return None
 
     def _live_foreign_writer(self) -> bool:
-        try:
-            with open(self._lock_path()) as f:
-                pid = int(f.read().strip() or 0)
-        except (FileNotFoundError, ValueError):
+        rec = self._read_lock()
+        if rec is None:
             return False
-        if pid == os.getpid():
-            return False
-        try:
-            os.kill(pid, 0)
-            return True
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            return True  # exists under another uid
+        pid = int(rec.get("pid", 0))
+        host = rec.get("host", "")
+        if host == _hostname():
+            if pid == os.getpid():
+                return False
+            try:
+                os.kill(pid, 0)
+                return True
+            except ProcessLookupError:
+                return False
+            except PermissionError:
+                return True  # exists under another uid
+        # cross-host: honor until the TTL expires
+        return (time.time() - float(rec.get("ts", 0))) < LOCK_TTL_SEC
 
     def _gc(self) -> None:
         """Remove tile-table files superseded by the manifest (COW
@@ -263,58 +306,62 @@ class StateStore:
         while another live process holds the writer lock."""
         if self._live_foreign_writer():
             return
+        io = self.io
         # crashed streaming-COW runs leave unreferenced staging dirs
-        stag = os.path.join(self.root, "_staging")
-        if os.path.isdir(stag):
-            for d in os.listdir(stag):
+        stag = io.join(self.root, "_staging")
+        if io.isdir(stag):
+            for d in io.listdir(stag):
                 if d.startswith("rejoin-"):
-                    shutil.rmtree(os.path.join(stag, d), ignore_errors=True)
+                    io.rmtree(io.join(stag, d))
         for key, entry in self._manifest.get("tables", {}).items():
             if not key.startswith("tile:"):
                 # hash-partitioned table: drop generation leftovers
-                base = os.path.join(self.root, key)
-                if os.path.isdir(base):
+                base = io.join(self.root, key)
+                if io.isdir(base):
                     keep = set(entry.values())
-                    for f in os.listdir(base):
+                    for f in io.listdir(base):
                         if f.startswith("part-") and f not in keep:
-                            os.remove(os.path.join(base, f))
+                            io.remove(io.join(base, f))
                 continue
             name = key.split(":", 1)[1]
-            base = os.path.join(self.root, name)
-            if not os.path.isdir(base):
+            base = io.join(self.root, name)
+            if not io.isdir(base):
                 continue
-            for d in os.listdir(base):
+            for d in io.listdir(base):
                 if not d.startswith("tile_id="):
                     continue
                 tid = d.split("=", 1)[1]
                 keep = set(entry.get(tid, []))
-                dpath = os.path.join(base, d)
-                for f in os.listdir(dpath):
+                dpath = io.join(base, d)
+                for f in io.listdir(dpath):
                     if f not in keep:
-                        os.remove(os.path.join(dpath, f))
+                        io.remove(io.join(dpath, f))
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
-        return os.path.join(self.root, "manifest.json")
+        return self.io.join(self.root, "manifest.json")
 
     def _read_manifest(self) -> dict:
         p = self._manifest_path()
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
+        if self.io.exists(p):
+            return self.io.read_json(p)
         return {"generation": 0, "tables": {}, "watermark": None}
 
     def _commit_manifest(self, lineage: list[dict]) -> None:
         self._manifest["generation"] += 1
-        tmp = self._manifest_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(self._manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path())  # atomic swap = the commit point
-        with open(os.path.join(self.root, "lineage.log"), "a") as f:
-            for rec in lineage:
-                rec["generation"] = self._manifest["generation"]
-                rec["committed_at"] = time.time()
-                f.write(json.dumps(rec) + "\n")
+        # tmp + replace = atomic rename on local/HDFS; on object stores
+        # the single-writer contract covers the copy+delete window (see
+        # fsio module docstring, commit-protocol note)
+        self.io.write_json_atomic(self._manifest_path(), self._manifest,
+                                  indent=1)
+        lines = []
+        for rec in lineage:
+            rec["generation"] = self._manifest["generation"]
+            rec["committed_at"] = time.time()
+            lines.append(json.dumps(rec))
+        if lines:
+            self.io.append_lines(self.io.join(self.root, "lineage.log"),
+                                 lines)
 
     @property
     def watermark(self):
@@ -346,7 +393,7 @@ class StateStore:
         best = None
         for name in ("nodes", "ways", "relations"):
             for f in self._files(name):
-                md = pq.read_metadata(f)
+                md = self.io.read_metadata(f)
                 try:
                     ti = md.schema.names.index("ts")
                 except ValueError:
@@ -374,13 +421,14 @@ class StateStore:
         pages: pa.Table | None = None,
         assignments: pa.Table | None = None,
         config: EngineConfig | None = None,
+        filesystem=None,
     ) -> "StateStore":
         """Bootstrap a store from in-memory tables (test scale) — edge
         tables derived from the ways/relations lists.  At data scale the
         same layout is produced by ``pipelines.static_join`` writing
         with Ray Data."""
-        os.makedirs(root, exist_ok=True)
-        store = cls(root, config)
+        store = cls(root, config, filesystem=filesystem)
+        store.io.makedirs(root)
         lineage: list[dict] = []
         ways = ways if ways is not None else OSM_WAYS.empty_table()
         relations = relations if relations is not None else OSM_RELATIONS.empty_table()
@@ -419,7 +467,7 @@ class StateStore:
         """Full (re)write of a table, hash-partitioned by its key."""
         key = _TABLE_KEYS[name]
         n_parts = self._n_parts(name)
-        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        self.io.makedirs(self.io.join(self.root, name))
         keys = table.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
         parts = _part_of(keys, n_parts)
         gen = self._manifest["generation"] + 1
@@ -428,7 +476,7 @@ class StateStore:
             sub = table.filter(pa.array(parts == p))
             sub = sub.sort_by(key)  # row-group stats pruning on lookups
             fname = f"part-{p:04d}-g{gen}.parquet"
-            pq.write_table(sub, os.path.join(self.root, name, fname))
+            self.io.write_table(sub, self.io.join(self.root, name, fname))
             entry[str(p)] = fname
             lineage.append(
                 {"table": name, "partition": p, "file": fname, "rows": sub.num_rows,
@@ -443,13 +491,13 @@ class StateStore:
     # -- reads -------------------------------------------------------------
     def _files(self, name: str) -> list[str]:
         entry = self._manifest["tables"].get(name, {})
-        return [os.path.join(self.root, name, f) for f in entry.values()]
+        return [self.io.join(self.root, name, f) for f in entry.values()]
 
     def _files_for_keys(self, name: str, keys: np.ndarray) -> list[str]:
         entry = self._manifest["tables"].get(name, {})
         wanted = np.unique(_part_of(keys, self._n_parts(name)))
         return [
-            os.path.join(self.root, name, entry[str(p)])
+            self.io.join(self.root, name, entry[str(p)])
             for p in wanted.tolist()
             if str(p) in entry
         ]
@@ -461,7 +509,8 @@ class StateStore:
         files = self._files(name)
         if not files:
             return rd.from_arrow(_schema_of(name).empty_table())
-        return rd.read_parquet(files, columns=columns)
+        return rd.read_parquet(files, columns=columns,
+                               filesystem=self.io.fs)
 
     def lookup(
         self,
@@ -496,7 +545,7 @@ class StateStore:
         scan_columns = columns
         if guard and columns is not None and key not in columns:
             scan_columns = list(columns) + [key]
-        dset = pads.dataset(files)
+        dset = self.io.parquet_dataset(files)
         out = []
         bs = self.config.batch_size
         for s in range(0, len(ids), bs):
@@ -524,7 +573,7 @@ class StateStore:
         return result
 
     def count(self, name: str) -> int:
-        return sum(pq.read_metadata(f).num_rows for f in self._files(name))
+        return sum(self.io.read_metadata(f).num_rows for f in self._files(name))
 
     def read_all(self, name: str, columns: list[str] | None = None) -> pa.Table:
         """Whole table in memory — ONLY for broadcast-sized layers
@@ -535,7 +584,7 @@ class StateStore:
             t = schema.empty_table()
             return t.select(columns) if columns else t
         return pa.concat_tables(
-            [pq.read_table(f, columns=columns) for f in files]
+            [self.io.read_table(f, columns=columns) for f in files]
         ).cast(schema.empty_table().select(columns).schema if columns else schema)
 
     # -- hot-table cache -----------------------------------------------------
@@ -766,7 +815,7 @@ class StateStore:
         key = _TABLE_KEYS[name]
         n_parts = self._n_parts(name)
         schema = _schema_of(name)
-        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        self.io.makedirs(self.io.join(self.root, name))
         if upserts is None:
             upserts = schema.empty_table()
         up_keys = upserts.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -785,7 +834,8 @@ class StateStore:
             # releases the GIL, so a thread pool overlaps the rewrites
             old_file = entry.get(str(p))
             if old_file:
-                old = pq.read_table(os.path.join(self.root, name, old_file))
+                old = self.io.read_table(
+                    self.io.join(self.root, name, old_file))
                 keep = pc.invert(pc.is_in(old.column(key), value_set=drop_set))
                 old = old.filter(keep).cast(schema)  # parquet round-trips
                 # timestamp[s] as [ms]; normalize to the canonical schema
@@ -794,7 +844,7 @@ class StateStore:
             add = upserts.filter(pa.array(up_parts == p)).cast(schema)
             merged = pa.concat_tables([old, add]).sort_by(key)
             fname = f"part-{p:04d}-g{gen}.parquet"
-            pq.write_table(merged, os.path.join(self.root, name, fname))
+            self.io.write_table(merged, self.io.join(self.root, name, fname))
             return p, fname, merged.num_rows
 
         from concurrent.futures import ThreadPoolExecutor
@@ -833,7 +883,7 @@ class StateStore:
         key = _TABLE_KEYS[name]
         n_parts = self._n_parts(name)
         schema = _schema_of(name)
-        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        self.io.makedirs(self.io.join(self.root, name))
         up_keys = upserts.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
         touch = np.unique(
             np.concatenate([np.asarray(touch_keys, dtype=np.int64), up_keys])
@@ -848,7 +898,8 @@ class StateStore:
         def rewrite(p: int) -> tuple[int, str, int]:
             old_file = entry.get(str(p))
             if old_file:
-                old = pq.read_table(os.path.join(self.root, name, old_file))
+                old = self.io.read_table(
+                    self.io.join(self.root, name, old_file))
                 keep = pc.invert(pc.is_in(old.column(owner_col), value_set=owner_set))
                 old = old.filter(keep).cast(schema)
             else:
@@ -856,7 +907,7 @@ class StateStore:
             add = upserts.filter(pa.array(up_parts == p)).cast(schema)
             merged = pa.concat_tables([old, add]).sort_by(key)
             fname = f"part-{p:04d}-g{gen}.parquet"
-            pq.write_table(merged, os.path.join(self.root, name, fname))
+            self.io.write_table(merged, self.io.join(self.root, name, fname))
             return p, fname, merged.num_rows
 
         from concurrent.futures import ThreadPoolExecutor
@@ -883,9 +934,10 @@ class StateStore:
                 f"another live process holds the writer lock on {self.root} "
                 "(single-writer store; see StateStore._gc)"
             )
-        os.makedirs(self.root, exist_ok=True)
-        with open(self._lock_path(), "w") as f:
-            f.write(str(os.getpid()))
+        self.io.makedirs(self.root)
+        self.io.write_text_atomic(self._lock_path(), json.dumps({
+            "host": _hostname(), "pid": os.getpid(), "ts": time.time(),
+        }))
         self._pending_lineage = []
 
     def commit(self) -> None:
@@ -895,8 +947,8 @@ class StateStore:
         # (read_tiles_dataset) match the new manifest without reopening
         self._gc()
         try:
-            os.remove(self._lock_path())
-        except FileNotFoundError:
+            self.io.remove(self._lock_path())
+        except (FileNotFoundError, OSError):
             pass
 
     # -- tile tables (pages / assignments partitioned by tile_id) ----------
@@ -910,35 +962,39 @@ class StateStore:
         the build is skipped (idempotent bootstrap)."""
         if self._manifest["tables"].get(f"tile:{name}"):
             return
-        path = os.path.join(self.root, name)
-        if os.path.exists(path):
+        io = self.io
+        path = io.join(self.root, name)
+        if io.exists(path):
             # a previous attempt crashed MID-PHASE (dir exists, manifest
             # entry absent): startup GC only sweeps manifest-listed
             # tables, so stale shards / truncated .tmp files would be
             # merged into the rebuild — start the phase clean instead
-            shutil.rmtree(path)
-        ds.write_parquet(path, partition_cols=["tile_id"])
+            io.rmtree(path, ignore_errors=False)
+        ds.write_parquet(path, partition_cols=["tile_id"],
+                         filesystem=io.fs)
         # COMPACT: the partitioned write produces one file per (write
         # task x tile); merge each tile dir to a single file in parallel
         # so reads see one well-sized file per tile, not thousands of
         # shards (small-files problem).
-        tile_dirs = [d for d in os.listdir(path) if d.startswith("tile_id=")]
+        tile_dirs = [d for d in io.listdir(path) if d.startswith("tile_id=")]
         import ray.data as rd
 
-        def compact(batch: pa.Table) -> pa.Table:
+        # the compact tasks run on WORKERS: capture the (picklable)
+        # StoreFS, never `self` (that would ship the whole store)
+        def compact(batch: pa.Table, io=io, path=path) -> pa.Table:
             for d in batch.column("dir").to_pylist():
-                dpath = os.path.join(path, d)
-                files = sorted(os.listdir(dpath))
+                dpath = io.join(path, d)
+                files = sorted(io.listdir(dpath))
                 if len(files) <= 1 and files and files[0] == "data.parquet":
                     continue
                 merged = pa.concat_tables(
-                    [pq.read_table(os.path.join(dpath, f)) for f in files]
+                    [io.read_table(io.join(dpath, f)) for f in files]
                 )
-                tmp = os.path.join(dpath, ".data.parquet.tmp")
-                pq.write_table(merged, tmp)
+                tmp = io.join(dpath, ".data.parquet.tmp")
+                io.write_table(merged, tmp)
                 for f in files:
-                    os.remove(os.path.join(dpath, f))
-                os.replace(tmp, os.path.join(dpath, "data.parquet"))
+                    io.remove(io.join(dpath, f))
+                io.replace(tmp, io.join(dpath, "data.parquet"))
             return pa.Table.from_pydict({"n": [batch.num_rows]})
 
         if tile_dirs:
@@ -950,7 +1006,7 @@ class StateStore:
         entry: dict[str, list[str]] = {}
         for d in tile_dirs:
             tid = d.split("=", 1)[1]
-            entry[tid] = sorted(os.listdir(os.path.join(path, d)))
+            entry[tid] = sorted(io.listdir(io.join(path, d)))
         self._manifest["tables"][f"tile:{name}"] = entry
         self.begin()
         self._pending_lineage = [
@@ -985,49 +1041,48 @@ class StateStore:
             return
         import ray.data as rd
 
-        stage = os.path.join(self.root, f"{name}.stage")
-        final = os.path.join(self.root, name)
+        io = self.io
+        stage = io.join(self.root, f"{name}.stage")
+        final = io.join(self.root, name)
         for k, shard in enumerate(shards):
-            sdir = os.path.join(stage, f"shard={k}")
-            done = os.path.join(sdir, "_DONE")
-            if os.path.exists(done):
+            sdir = io.join(stage, f"shard={k}")
+            done = io.join(sdir, "_DONE")
+            if io.exists(done):
                 continue
-            if os.path.exists(sdir):
-                shutil.rmtree(sdir)  # unsealed partial attempt
-            transform(shard).write_parquet(sdir, partition_cols=["tile_id"])
-            tmp = done + ".tmp"
-            with open(tmp, "w") as f:
-                f.write("1")
-            os.replace(tmp, done)
+            if io.exists(sdir):
+                io.rmtree(sdir, ignore_errors=False)  # unsealed partial attempt
+            transform(shard).write_parquet(sdir, partition_cols=["tile_id"],
+                                           filesystem=io.fs)
+            io.write_text_atomic(done, "1")
         # compaction is itself idempotent: a crash here leaves the
         # sealed stage intact and an unlisted final dir, which the next
         # attempt rebuilds from scratch
-        if os.path.exists(final):
-            shutil.rmtree(final)
+        if io.exists(final):
+            io.rmtree(final, ignore_errors=False)
         shard_dirs = sorted(
-            (d for d in os.listdir(stage) if d.startswith("shard=")),
+            (d for d in io.listdir(stage) if d.startswith("shard=")),
             key=lambda d: int(d.split("=", 1)[1]),
         )
         per_tile: dict[str, list[str]] = {}
         for sd in shard_dirs:
-            sp = os.path.join(stage, sd)
-            for td in os.listdir(sp):
+            sp = io.join(stage, sd)
+            for td in io.listdir(sp):
                 if td.startswith("tile_id="):
-                    tp = os.path.join(sp, td)
+                    tp = io.join(sp, td)
                     per_tile.setdefault(td, []).extend(
-                        os.path.join(tp, f) for f in sorted(os.listdir(tp))
+                        io.join(tp, f) for f in sorted(io.listdir(tp))
                     )
 
-        def compact(batch: pa.Table) -> pa.Table:
+        def compact(batch: pa.Table, io=io) -> pa.Table:
             for td in batch.column("dir").to_pylist():
                 merged = pa.concat_tables(
-                    [pq.read_table(f) for f in per_tile[td]]
+                    [io.read_table(f) for f in per_tile[td]]
                 )
-                dpath = os.path.join(final, td)
-                os.makedirs(dpath, exist_ok=True)
-                tmp = os.path.join(dpath, ".data.parquet.tmp")
-                pq.write_table(merged, tmp)
-                os.replace(tmp, os.path.join(dpath, "data.parquet"))
+                dpath = io.join(final, td)
+                io.makedirs(dpath)
+                tmp = io.join(dpath, ".data.parquet.tmp")
+                io.write_table(merged, tmp)
+                io.replace(tmp, io.join(dpath, "data.parquet"))
             return pa.Table.from_pydict({"n": [batch.num_rows]})
 
         if per_tile:
@@ -1044,7 +1099,7 @@ class StateStore:
             for t in entry
         ]
         self.commit()
-        shutil.rmtree(stage, ignore_errors=True)
+        io.rmtree(stage)
 
     def tile_ids(self, name: str) -> list[int]:
         return [int(t) for t in self._manifest["tables"].get(f"tile:{name}", {})]
@@ -1054,7 +1109,7 @@ class StateStore:
         files = []
         for t in tile_ids:
             for f in entry.get(str(t), []):
-                files.append(os.path.join(self.root, name, f"tile_id={t}", f))
+                files.append(self.io.join(self.root, name, f"tile_id={t}", f))
         return files
 
     def read_tiles(self, name: str, tile_ids=None, columns=None) -> pa.Table:
@@ -1069,7 +1124,8 @@ class StateStore:
         per_tile_files = {t: self._tile_files(name, [t]) for t in tile_ids}
         with ThreadPoolExecutor(max_workers=16) as ex:
             all_files = [f for fs in per_tile_files.values() for f in fs]
-            tables = dict(zip(all_files, ex.map(pq.read_table, all_files)))
+            tables = dict(zip(all_files,
+                              ex.map(self.io.read_table, all_files)))
         out = []
         for t in tile_ids:
             files = per_tile_files[t]
@@ -1106,7 +1162,7 @@ class StateStore:
         entry = self._manifest["tables"].get(f"tile:{name}", {})
         if not entry:
             return rd.from_arrow(_schema_of(name).empty_table())
-        path = os.path.join(self.root, name)
+        path = self.io.join(self.root, name)
         kwargs = {}
         if columns is not None:
             kwargs["columns"] = columns
@@ -1118,7 +1174,7 @@ class StateStore:
             # restored from the file path as int64.
             want = {str(int(t)) for t in tile_ids}
             files = [
-                os.path.join(path, f"tile_id={t}", f)
+                self.io.join(path, f"tile_id={t}", f)
                 for t, fs in entry.items()
                 if str(t) in want
                 for f in fs
@@ -1129,7 +1185,7 @@ class StateStore:
             if columns is not None:
                 phys_cols = [c for c in columns if c != "tile_id"]
             ds = rd.read_parquet(
-                files, include_paths=True,
+                files, include_paths=True, filesystem=self.io.fs,
                 **({"columns": phys_cols} if phys_cols is not None else {}),
             )
 
@@ -1147,7 +1203,7 @@ class StateStore:
                 return t.drop_columns(drop).append_column("tile_id", tid)
 
             return ds.map_batches(_restore_tile, batch_format="pyarrow")
-        ds = rd.read_parquet(path, **kwargs)
+        ds = rd.read_parquet(path, filesystem=self.io.fs, **kwargs)
         return ds
 
     def replace_tiles(self, name: str, tile_ids, new_rows: pa.Table) -> None:
@@ -1173,15 +1229,16 @@ class StateStore:
         fname = f"delta-g{gen}.parquet"
 
         def write_one(t: int):
-            d = os.path.join(self.root, name, f"tile_id={t}")
-            os.makedirs(d, exist_ok=True)
+            d = self.io.join(self.root, name, f"tile_id={t}")
+            self.io.makedirs(d)
             se = slice_of.get(int(t))
             sub = (
                 srt.slice(se[0], se[1] - se[0])
                 if se is not None
                 else srt.schema.empty_table()
             )
-            pq.write_table(sub.drop_columns(["tile_id"]), os.path.join(d, fname))
+            self.io.write_table(sub.drop_columns(["tile_id"]),
+                                self.io.join(d, fname))
             return int(t), sub.num_rows
 
         with ThreadPoolExecutor(max_workers=16) as ex:
@@ -1234,19 +1291,19 @@ class StateStore:
         new_ref = ray.put(srt)
         drop_ref = ray.put(drop_urls)
         root = self.root
+        io = self.io  # picklable; never capture `self` in the task
         schema = _schema_of("assignments")
 
         @ray.remote
         def rewrite(items):
             import pyarrow as pa2
             import pyarrow.compute as pc2
-            import pyarrow.parquet as pq2
 
             srt_ = ray.get(new_ref)
             drop_ = ray.get(drop_ref)
             out = []
             for t, files, se in items:
-                olds = [pq2.read_table(f) for f in files]
+                olds = [io.read_table(f) for f in files]
                 old = (
                     pa2.concat_tables(olds)
                     if olds
@@ -1266,16 +1323,16 @@ class StateStore:
                     [old.filter(keep).select(srt_.column_names).cast(srt_.schema),
                      sub_new]
                 )
-                d = os.path.join(root, "assignments", f"tile_id={t}")
-                os.makedirs(d, exist_ok=True)
-                pq2.write_table(
-                    merged.drop_columns(["tile_id"]), os.path.join(d, fname)
+                d = io.join(root, "assignments", f"tile_id={t}")
+                io.makedirs(d)
+                io.write_table(
+                    merged.drop_columns(["tile_id"]), io.join(d, fname)
                 )
                 rollup = rollup_fn(merged)
-                d = os.path.join(root, "rollups", f"tile_id={t}")
-                os.makedirs(d, exist_ok=True)
-                pq2.write_table(
-                    rollup.drop_columns(["tile_id"]), os.path.join(d, fname)
+                d = io.join(root, "rollups", f"tile_id={t}")
+                io.makedirs(d)
+                io.write_table(
+                    rollup.drop_columns(["tile_id"]), io.join(d, fname)
                 )
                 old_cells = np.unique(
                     old.column("cell_id").to_numpy(zero_copy_only=False)
@@ -1350,23 +1407,23 @@ class StateStore:
         Returns (cell-summary rows of the merged tiles, old cell ids of
         the touched tiles, stats: staged_rows / staged_cells / tiles).
         """
-        import glob as _glob
-        import shutil
-
         import ray
 
+        io = self.io  # picklable; never capture `self` in the task
         a_entry = dict(self._manifest["tables"].get("tile:assignments", {}))
         r_entry = dict(self._manifest["tables"].get("tile:rollups", {}))
         gen = self._manifest["generation"] + 1
         fname = f"delta-g{gen}.parquet"
-        staging = os.path.join(self.root, "_staging", f"rejoin-g{gen}")
-        shutil.rmtree(staging, ignore_errors=True)  # crashed prior attempt
+        staging = io.join(self.root, "_staging", f"rejoin-g{gen}")
+        io.rmtree(staging)  # crashed prior attempt
         _t0 = time.time()
-        recomputed_ds.write_parquet(staging, partition_cols=["tile_id"])
+        recomputed_ds.write_parquet(staging, partition_cols=["tile_id"],
+                                    filesystem=io.fs)
         staging_sec = time.time() - _t0
         staged_tiles = sorted(
-            int(os.path.basename(d).split("=", 1)[1])
-            for d in _glob.glob(os.path.join(staging, "tile_id=*"))
+            int(d.split("=", 1)[1])
+            for d in io.listdir(staging)
+            if d.startswith("tile_id=")
         )
         root = self.root
         schema = _schema_of("assignments")
@@ -1375,10 +1432,9 @@ class StateStore:
         def rewrite(items):
             import pyarrow as pa2
             import pyarrow.compute as pc2
-            import pyarrow.parquet as pq2
 
             def read_with_tile(files, t):
-                tabs = [pq2.read_table(f) for f in files]
+                tabs = [io.read_table(f) for f in files]
                 tab = (
                     pa2.concat_tables(tabs)
                     if tabs
@@ -1401,16 +1457,16 @@ class StateStore:
                     )
                 )
                 merged = pa2.concat_tables([old.filter(keep), new])
-                d = os.path.join(root, "assignments", f"tile_id={t}")
-                os.makedirs(d, exist_ok=True)
-                pq2.write_table(
-                    merged.drop_columns(["tile_id"]), os.path.join(d, fname)
+                d = io.join(root, "assignments", f"tile_id={t}")
+                io.makedirs(d)
+                io.write_table(
+                    merged.drop_columns(["tile_id"]), io.join(d, fname)
                 )
                 rollup = rollup_fn(merged)
-                d = os.path.join(root, "rollups", f"tile_id={t}")
-                os.makedirs(d, exist_ok=True)
-                pq2.write_table(
-                    rollup.drop_columns(["tile_id"]), os.path.join(d, fname)
+                d = io.join(root, "rollups", f"tile_id={t}")
+                io.makedirs(d)
+                io.write_table(
+                    rollup.drop_columns(["tile_id"]), io.join(d, fname)
                 )
                 old_cells = np.unique(
                     old.column("cell_id").to_numpy(zero_copy_only=False)
@@ -1429,9 +1485,11 @@ class StateStore:
             (
                 t,
                 self._tile_files("assignments", [t]),
-                sorted(
-                    _glob.glob(os.path.join(staging, f"tile_id={t}", "*.parquet"))
-                ),
+                [
+                    io.join(staging, f"tile_id={t}", f)
+                    for f in io.listdir(io.join(staging, f"tile_id={t}"))
+                    if f.endswith(".parquet")
+                ],
             )
             for t in staged_tiles
             if t in existing
@@ -1460,7 +1518,7 @@ class StateStore:
                 )
         self._manifest["tables"]["tile:assignments"] = a_entry
         self._manifest["tables"]["tile:rollups"] = r_entry
-        shutil.rmtree(staging, ignore_errors=True)
+        io.rmtree(staging)
         from ..stages.tiles import CELL_SUMMARY
 
         summary_rows = (
