@@ -290,10 +290,105 @@ class SeqTreeReplicationSource(LocalReplicationSource):
         return ReplicationState(self._latest.sequence_number, self._latest.ts)
 
 
-def open_replication_source(path: str) -> LocalReplicationSource:
-    """Pick the source layout: a root ``state.txt`` means the
-    reference's XXX/XXX/XXX sequence tree; otherwise the flat
-    ``<seq>.parquet`` dir."""
+def _default_transport(url: str, timeout: float = 30.0) -> bytes:
+    """Stdlib HTTP GET (urllib; no extra deps).  Raises
+    ``ReplicationError`` on any transport failure — the reference
+    aborts the window and keeps the watermark on fetch errors
+    (src/osm/OsmReplicationServerHelper.cpp:40-107: cpr status checks
+    throw, OsmUpdater catches and leaves state untouched)."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            if getattr(resp, "status", 200) >= 400:
+                raise ReplicationError(
+                    f"GET {url} -> HTTP {resp.status}"
+                )
+            return resp.read()
+    except ReplicationError:
+        raise
+    except (urllib.error.URLError, OSError, ValueError) as e:
+        raise ReplicationError(f"GET {url} failed: {e}") from e
+
+
+class HttpReplicationSource(LocalReplicationSource):
+    """The reference's live replication-server transport
+    (src/osm/OsmReplicationServerHelper.cpp:40-107) behind the same
+    source seam: the layout and path arithmetic are EXACTLY
+    :class:`SeqTreeReplicationSource`'s (``state.txt`` at the root,
+    ``XXX/XXX/XXX.state.txt`` / ``XXX/XXX/XXX.osc.gz`` per sequence,
+    built with the golden-string-tested ``replication_url`` helpers) —
+    only the byte transport differs.
+
+    ``transport`` is a ``url -> bytes`` callable (default: stdlib
+    urllib GET).  Any transport failure raises
+    :class:`ReplicationError`, which the apply path surfaces WITHOUT
+    committing — the window aborts and the watermark stays, matching
+    the reference's catch-and-keep behavior.  Tests inject a mocked
+    transport; nothing in CI touches the network.
+
+    ``max_walk_back`` bounds the per-sequence state walk (the
+    reference walks back batch-by-batch only as far as the requested
+    timestamp needs; a bound keeps a misconfigured start from crawling
+    the whole server history)."""
+
+    def __init__(self, base_url: str, transport=None,
+                 max_walk_back: int = 1000):
+        from ..sources import replication_url as ru
+
+        self._base = base_url.rstrip("/")
+        self._get = transport or _default_transport
+        self.path = self._base
+        latest_txt = self._get(
+            ru.build_url([self._base, ru.PATH_TO_STATE_FILE])
+        ).decode("utf-8")
+        self._latest = ru.parse_state_file(latest_txt)
+        self._files = {}
+        self._states = []
+        seq = self._latest.sequence_number
+        floor = max(0, seq - max_walk_back + 1)
+        while seq >= floor:
+            frag = ru.format_sequence_for_url(seq)
+            try:
+                st_txt = self._get(ru.build_url(
+                    [self._base, frag + "." + ru.PATH_TO_STATE_FILE]
+                )).decode("utf-8")
+            except ReplicationError:
+                break  # history horizon: older states pruned server-side
+            st = ru.parse_state_file(st_txt)
+            # change-file URL recorded, bytes fetched lazily in load()
+            self._files[seq] = ru.build_url(
+                [self._base, ru.change_file_path(seq)]
+            )
+            self._states.append(ReplicationState(st.sequence_number, st.ts))
+            seq -= 1
+        if not self._files:
+            raise ReplicationError(
+                f"no change windows reachable under {self._base}"
+            )
+        self._states.sort(key=lambda s: s.seq)
+
+    @property
+    def uri(self) -> str:
+        return self._base
+
+    def latest_state(self) -> ReplicationState:
+        return ReplicationState(self._latest.sequence_number, self._latest.ts)
+
+    def load_file(self, f: str):
+        from ..sources import osc
+
+        return osc.parse_osc_bytes(self._get(f), seq=0)
+
+
+def open_replication_source(path: str, transport=None):
+    """Pick the source layout: an ``http(s)://`` URI opens the live
+    HTTP transport (reference ``-r/--replication-server``); a root
+    ``state.txt`` means the reference's XXX/XXX/XXX sequence tree on
+    local disk; otherwise the flat ``<seq>.parquet`` dir."""
+    if path.startswith(("http://", "https://")):
+        return HttpReplicationSource(path, transport=transport)
     if os.path.exists(os.path.join(path, "state.txt")):
         return SeqTreeReplicationSource(path)
     return LocalReplicationSource(path)

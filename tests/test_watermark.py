@@ -379,3 +379,128 @@ class TestSeqTreeSource:
         assert t.num_rows == 1
         assert t.column("id")[0].as_py() == 7
         assert t.column("seq")[0].as_py() == seq
+
+
+class TestHttpReplicationSource:
+    """Live-transport adapter (reference
+    OsmReplicationServerHelper.cpp:40-107) with a MOCKED url->bytes
+    transport — no network anywhere; the layout/path arithmetic is the
+    golden-string-tested seq-tree."""
+
+    BASE = "https://mock.example/replication/minute"
+
+    @staticmethod
+    def _osc(nodes):
+        body = "".join(
+            f'<node id="{i}" version="2" timestamp="{ts}Z" '
+            f'lon="{lon}" lat="{lat}"/>'
+            for i, lon, lat, ts in nodes
+        )
+        return (
+            '<?xml version="1.0"?><osmChange version="0.6">'
+            f"<modify>{body}</modify></osmChange>"
+        ).encode()
+
+    def _server(self):
+        """Fake tree: sequences 42..44, state.txt at 44."""
+        import gzip as _gz
+
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        urls = {}
+        for seq, ts in ((42, "2024-06-01T00:00:00"),
+                        (43, "2024-06-01T00:01:00"),
+                        (44, "2024-06-01T00:02:00")):
+            frag = ru.format_sequence_for_url(seq)
+            urls[f"{self.BASE}/{frag}.state.txt"] = ru.render_state_file(
+                seq, ts).encode()
+            urls[f"{self.BASE}/{frag}.osc.gz"] = _gz.compress(
+                self._osc([(seq * 10, 1.5, 2.5, ts)]))
+        urls[f"{self.BASE}/state.txt"] = ru.render_state_file(
+            44, "2024-06-01T00:02:00").encode()
+        return urls
+
+    def _transport(self, urls, log=None):
+        from osm_live_updates_ray.pipelines.watermark import ReplicationError
+
+        def get(url):
+            if log is not None:
+                log.append(url)
+            if url not in urls:
+                raise ReplicationError(f"GET {url} -> HTTP 404")
+            return urls[url]
+
+        return get
+
+    def test_states_walk_and_lazy_load(self):
+        from osm_live_updates_ray.pipelines import watermark as wmk
+
+        log = []
+        src = wmk.open_replication_source(
+            self.BASE, transport=self._transport(self._server(), log))
+        assert isinstance(src, wmk.HttpReplicationSource)
+        assert [s.seq for s in src.states()] == [42, 43, 44]
+        assert src.latest_state().seq == 44
+        # constructor fetched ONLY state files — change bytes are lazy
+        assert not any(u.endswith(".osc.gz") for u in log)
+        t = src.load(43)
+        assert t.num_rows == 1
+        assert t.column("id").to_pylist() == [430]
+        assert t.column("seq").to_pylist() == [43]
+        w = src.window(43)
+        assert sorted(w.column("id").to_pylist()) == [430, 440]
+
+    def test_history_horizon_stops_walk(self):
+        from osm_live_updates_ray.pipelines import watermark as wmk
+
+        urls = self._server()
+        # server pruned sequence 42's state: the walk must stop there,
+        # not error
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        del urls[f"{self.BASE}/{ru.format_sequence_for_url(42)}.state.txt"]
+        src = wmk.HttpReplicationSource(
+            self.BASE, transport=self._transport(urls))
+        assert [s.seq for s in src.states()] == [43, 44]
+
+    def test_transport_failure_aborts_window_keeps_watermark(
+            self, ray_session, t1_world, tmp_path_factory):
+        """Reference behavior on fetch errors: abort the window, keep
+        the watermark (cpr throws, OsmUpdater leaves state untouched)."""
+        import ray.data as rd
+
+        from osm_live_updates_ray.pipelines import watermark as wmk
+
+        urls = self._server()
+        # change file 44 vanishes AFTER the state walk (mid-pull fault)
+        from osm_live_updates_ray.sources import replication_url as ru
+
+        src = wmk.HttpReplicationSource(
+            self.BASE, transport=self._transport(urls))
+        del urls[f"{self.BASE}/{ru.format_sequence_for_url(44)}.osc.gz"]
+
+        w = t1_world
+        root = str(tmp_path_factory.mktemp("httprep"))
+        store = static_join.build_state(
+            root, rd.from_arrow(w["pages"]), w["osm_nodes"], w["osm_ways"],
+            w["osm_relations"])
+        store.set_watermark(43, "2024-06-01T00:01:00", source=src.uri)
+        store.begin()
+        store.commit()
+        gen = store._manifest["generation"]
+        with pytest.raises(wmk.ReplicationError, match="404"):
+            src.window(44)
+        # nothing applied, watermark untouched
+        reopened = StateStore(root)
+        assert reopened.watermark["seq"] == 43
+        assert reopened._manifest["generation"] == gen
+
+    def test_default_transport_error_shape(self):
+        """The stdlib transport wraps any failure in ReplicationError
+        (never a raw urllib exception) — exercised against an
+        unresolvable scheme, no network touched."""
+        from osm_live_updates_ray.pipelines import watermark as wmk
+
+        with pytest.raises(wmk.ReplicationError):
+            wmk._default_transport("http://127.0.0.1:1/state.txt",
+                                   timeout=0.2)
