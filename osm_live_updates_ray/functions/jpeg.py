@@ -20,9 +20,20 @@ Annex-K quantization tables, the standard Annex-K Huffman tables
 subsampling and restart intervals.  It exists so tests can pin the
 decoder against known pixels (the role encode_png plays for PNG).
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-modes raise NotImplementedError — surfaced as decode-failure null rows
-by the actor stages, never a synthetic substitute.
+Progressive (SOF2) decode is REAL as of round 5: the general scan loop
+handles DC-first/DC-refine (interleaved or not), AC-first with EOB
+runs, AC successive-approximation refinement (the T.81 G.1.2
+algorithms), spectral bands, per-scan Huffman redefinition, restarts,
+and multi-scan sequential (SOF0 with one scan per component) — the
+largest real-crawl format that previously raised.  A progressive
+ENCODER (``encode_jpeg_progressive``, spectral-selection +
+successive-approximation script with per-scan canonical tables) exists
+so tests pin progressive decode against known pixels exactly the way
+``encode_jpeg`` pins baseline.
+
+Arithmetic coding, 12-bit precision and hierarchical modes still raise
+NotImplementedError — surfaced as decode-failure null rows by the
+actor stages, never a synthetic substitute.
 """
 
 from __future__ import annotations
@@ -415,10 +426,494 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+def _uniform_huff(symbols):
+    """(bits, values) DHT spec with near-uniform canonical code lengths
+    over exactly the used symbol set — valid (possibly incomplete)
+    Huffman tree; optimality is irrelevant for a test/fixture encoder."""
+    syms = sorted(set(symbols))
+    n = max(1, len(syms))
+    L = 1
+    while n > (1 << L) - 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+class _TokenScan:
+    """Two-pass scan writer: collect (symbol / raw-bit) tokens, build
+    the canonical tables from the symbols actually used, then serialize
+    DHT + SOS + stuffed entropy bytes."""
+
+    def __init__(self):
+        self.tokens = []  # ("d"|"a", sym) or ("b", value, nbits)
+
+    def sym(self, kind: str, s: int) -> None:
+        self.tokens.append((kind, s))
+
+    def bits(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.tokens.append(("b", value, nbits))
+
+    def serialize(self, sel, ss, se, ah, al) -> bytes:
+        dc_syms = [t[1] for t in self.tokens if t[0] == "d"]
+        ac_syms = [t[1] for t in self.tokens if t[0] == "a"]
+        out = bytearray()
+        codes = {}
+        for kind, tc, used in (("d", 0, dc_syms), ("a", 1, ac_syms)):
+            if not used:
+                continue
+            bits, values = _uniform_huff(used)
+            codes[kind] = _canonical_codes(bits, values)
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + \
+                bytes([(tc << 4) | 0]) + bytes(bits) + bytes(values)
+        ns = len(sel)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid in sel:
+            out += bytes([cid, 0x00])  # both selectors -> table 0
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        for t in self.tokens:
+            if t[0] == "b":
+                bw.write(t[1], t[2])
+            else:
+                code, length = codes[t[0]][t[1]]
+                bw.write(code, length)
+        out += bw.flush()
+        return bytes(out)
+
+
+def _mag_bits(v: int) -> tuple[int, int, int]:
+    """value -> (size s, magnitude bits, s) per T.81 F.1.2.1/F.2.2.1."""
+    if v == 0:
+        return 0, 0, 0
+    s = abs(v).bit_length()
+    mag = v if v >= 0 else v + (1 << s) - 1
+    return s, mag, s
+
+
+def _flush_eobrun(ts: _TokenScan, eobrun: int) -> int:
+    while eobrun > 0:
+        r = min(14, eobrun.bit_length() - 1)
+        take = min(eobrun, (1 << (r + 1)) - 1)
+        ts.sym("a", r << 4)
+        ts.bits(take - (1 << r), r)
+        eobrun -= take
+    return 0
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False) -> bytes:
+    """uint8 image -> progressive (SOF2) JFIF JPEG bytes.
+
+    Fixed scan script exercising every progressive scan class the
+    decoder implements: interleaved DC first at Al=1; per-component
+    AC first scans in TWO spectral bands (1-5, 6-63) at Al=1 with EOB
+    runs; interleaved DC refinement (Ah=1->Al=0); per-component AC
+    refinement scans (correction bits + newly-significant +-1
+    placement).  Output decodes bit-exactly to the same pixels as the
+    baseline encoder at the same quality (same quantized
+    coefficients; the scan script only reorders the bits)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    lq, cq = _quality_tables(quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            ph = (h + 1) & ~1
+            pw = (w + 1) & ~1
+            cbp = _pad_to(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2)
+            crp = _pad_to(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2)
+            cb = cbp.mean(axis=(1, 3))
+            cr = crp.mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * 3
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qtabs = [lq, cq] if not gray else [lq]
+    coefs = []
+    for p, (sh, sv), qi in zip(planes, samp, qsel):
+        pad = _pad_to(np.clip(np.round(p), 0, 255),
+                      mcuy * sv * 8, mcux * sh * 8)
+        coefs.append(_forward_blocks(pad, qtabs[qi]))  # (by, bx, 64) zz
+
+    AL = 1  # one successive-approximation level
+
+    def dc_first_scan():
+        ts = _TokenScan()
+        preds = [0] * len(planes)
+        if gray:
+            order = [(0, by, bx)
+                     for by in range(-(-h // 8)) for bx in range(-(-w // 8))]
+        else:
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (sh, sv) in enumerate(samp):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                order.append((ci, my * sv + by, mx * sh + bx))
+        for ci, by, bx in order:
+            dshift = int(coefs[ci][by, bx, 0]) >> AL  # arithmetic shift
+            diff = dshift - preds[ci]
+            preds[ci] = dshift
+            s, mag, nb = _mag_bits(diff)
+            ts.sym("d", s)
+            ts.bits(mag, nb)
+        return ts.serialize(
+            [1] if gray else [1, 2, 3], 0, 0, 0, AL)
+
+    def dc_refine_scan():
+        ts = _TokenScan()
+        if gray:
+            order = [(0, by, bx)
+                     for by in range(-(-h // 8)) for bx in range(-(-w // 8))]
+        else:
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (sh, sv) in enumerate(samp):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                order.append((ci, my * sv + by, mx * sh + bx))
+        for ci, by, bx in order:
+            ts.bits((int(coefs[ci][by, bx, 0]) >> 0) & 1, 1)
+        return ts.serialize([1] if gray else [1, 2, 3], 0, 0, AL, 0)
+
+    def comp_blocks(ci):
+        sh, sv = samp[ci]
+        cbw = -(-(-(-w * sh // hmax)) // 8)
+        cbh = -(-(-(-h * sv // vmax)) // 8)
+        return [(by, bx) for by in range(cbh) for bx in range(cbw)]
+
+    def ac_first_scan(ci, ss, se):
+        ts = _TokenScan()
+        eobrun = 0
+        for by, bx in comp_blocks(ci):
+            zz = coefs[ci][by, bx]
+            av = np.abs(zz[ss:se + 1]).astype(np.int64) >> AL
+            if not av.any():
+                eobrun += 1
+                continue
+            eobrun = _flush_eobrun(ts, eobrun)
+            nz = np.flatnonzero(av)
+            run = 0
+            prev = -1
+            for off in nz:
+                run = int(off) - prev - 1
+                prev = int(off)
+                while run > 15:
+                    ts.sym("a", 0xF0)  # ZRL
+                    run -= 16
+                v = int(av[off]) * (1 if zz[ss + off] > 0 else -1)
+                s, mag, nb = _mag_bits(v)
+                ts.sym("a", (run << 4) | s)
+                ts.bits(mag, nb)
+            if int(nz[-1]) < se - ss:
+                eobrun += 1  # EOB covers this block's tail
+        _flush_eobrun(ts, eobrun)
+        return ts.serialize([ci + 1], ss, se, 0, AL)
+
+    def ac_refine_scan(ci, ss, se):
+        # the T.81 G.1.2.3 encoder discipline (libjpeg's shape,
+        # re-derived): every emitted SYMBOL is immediately followed by
+        # the correction bits buffered since the previous symbol, so
+        # the decoder's per-symbol walk consumes exactly the bits for
+        # the span it traverses; block tails fold into an EOB run whose
+        # first chunk carries the pending tail bits.
+        ts = _TokenScan()
+        eob_pending = 0
+        pend_bits: list[int] = []
+
+        def flush_pending():
+            nonlocal eob_pending, pend_bits
+            first = True
+            while eob_pending > 0:
+                r = min(14, eob_pending.bit_length() - 1)
+                take = min(eob_pending, (1 << (r + 1)) - 1)
+                ts.sym("a", r << 4)
+                ts.bits(take - (1 << r), r)
+                if first:  # tail bits belong to the run's FIRST block
+                    for bbit in pend_bits:
+                        ts.bits(bbit, 1)
+                    pend_bits = []
+                    first = False
+                eob_pending -= take
+
+        for by, bx in comp_blocks(ci):
+            zz = coefs[ci][by, bx]
+            cur = np.abs(zz[ss:se + 1]).astype(np.int64)
+            if not cur.any():
+                eob_pending += 1
+                continue
+            # position of the last NEWLY-significant coef (t == 1);
+            # zeros after it fold into the EOB run, not ZRLs
+            news = np.flatnonzero(cur == 1)
+            last_new = int(news[-1]) if len(news) else -1
+            flush_pending()
+            r = 0
+            br: list[int] = []
+            for off in range(se - ss + 1):
+                t = int(cur[off])
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and off <= last_new:
+                    ts.sym("a", 0xF0)
+                    for bbit in br:
+                        ts.bits(bbit, 1)
+                    br = []
+                    r -= 16
+                if t > 1:  # history coef: buffered correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                ts.sym("a", (r << 4) | 1)
+                ts.bits(1 if zz[ss + off] > 0 else 0, 1)
+                for bbit in br:
+                    ts.bits(bbit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eob_pending += 1
+                pend_bits.extend(br)
+        flush_pending()
+        return ts.serialize([ci + 1], ss, se, AL, 0)
+
+    # --- headers
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for qi, qt in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([qi]) + bytes(
+            int(v) for v in qt[_ZIGZAG]
+        )
+    ncomp = len(planes)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (sh, sv) in enumerate(samp):
+        out += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += dc_first_scan()
+    bands0 = [(1, 5), (6, 63)]
+    for ss, se in bands0:
+        out += ac_first_scan(0, ss, se)
+    for ci in range(1, ncomp):
+        out += ac_first_scan(ci, 1, 63)
+    out += dc_refine_scan()
+    for ss, se in bands0:
+        out += ac_refine_scan(0, ss, se)
+    for ci in range(1, ncomp):
+        out += ac_refine_scan(ci, 1, 63)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
+def _split_restart_segments(data: bytes, restart_interval: int) -> list[bytes]:
+    """Entropy bytes -> destuffed segments split on RST markers."""
+    segments = []
+    if restart_interval:
+        i0 = 0
+        i = 0
+        while i + 1 < len(data):
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                segments.append(data[i0:i])
+                i0 = i + 2
+                i += 2
+            else:
+                i += 1
+        segments.append(data[i0:])
+    else:
+        segments = [data]
+    return [s.replace(b"\xff\x00", b"\xff") for s in segments]
+
+
+def _decode_scan(scan, comps, coef, mcux, mcuy, hmax, vmax, fh, fw):
+    """Decode ONE scan (sequential or progressive) into the shared
+    per-component coefficient stacks.  Implements the four progressive
+    scan classes of T.81 G.1.2 (DC first / DC refine / AC first with
+    EOB runs / AC successive-approximation refine) plus full-band
+    sequential scans — interleaved (MCU order) or single-component
+    (component block order); restart markers reset predictors and the
+    EOB run."""
+    sel, Ss, Se, Ah, Al, segments, restart_interval, htabs = scan
+    comp_of = {c[0]: i for i, c in enumerate(comps)}
+    members = []  # (ci, dc_tab, ac_tab)
+    for cs, td, ta in sel:
+        ci = comp_of[cs]
+        members.append((ci, htabs.get((0, td)), htabs.get((1, ta))))
+    interleaved = len(members) > 1
+    p1 = 1 << Al
+
+    # scan units: interleaved => MCUs; single component => its REAL
+    # blocks row-major (non-interleaved geometry, T.81 A.2.2)
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        ci0 = members[0][0]
+        _, sh0, sv0, _q = comps[ci0]
+        # real (unpadded) component block dims, T.81 A.1.1/A.2.2
+        cbw = -(-(-(-fw * sh0 // hmax)) // 8)
+        cbh = -(-(-(-fh * sv0 // vmax)) // 8)
+        n_units = cbw * cbh
+
+    preds = [0] * len(comps)
+    eobrun = 0
+    seg_idx = 0
+    reader = _BitReader(segments[0]) if segments else _BitReader(b"")
+
+    def block_dc(blk, ci, dc_tab):
+        nonlocal preds
+        if Ah == 0:  # DC first (sequential Al=0 is the same formula)
+            s = _decode_symbol(reader, dc_tab)
+            diff = _extend(reader.receive(s), s) if s else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << Al
+        else:  # DC refine: one appended bit
+            if reader.read_bit():
+                blk[0] |= p1
+
+    def block_ac_sequential(blk, ac_tab):
+        k = max(Ss, 1)
+        while k <= Se:
+            rs = _decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > Se:
+                break
+            blk[k] = _extend(reader.receive(s), s)
+            k += 1
+
+    def block_ac_first(blk, ac_tab):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = Ss
+        while k <= Se:
+            rs = _decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:  # EOBn: run = 2^r + extra, incl. this block
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > Se:
+                return  # corrupt run; tolerate like the baseline loop
+            blk[k] = _extend(reader.receive(s), s) << Al
+            k += 1
+
+    def block_ac_refine(blk, ac_tab):
+        # T.81 G.1.2.3 (the libjpeg-shape control flow, re-derived from
+        # the spec): correction bits ride along while new +-1<<Al
+        # coefficients are placed after their zero-history runs
+        nonlocal eobrun
+        m1 = -p1
+
+        def correct(k):
+            v = int(blk[k])
+            if reader.read_bit() and (abs(v) & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+
+        k = Ss
+        if eobrun == 0:
+            while k <= Se:
+                rs = _decode_symbol(reader, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:  # EOBn (covers this block too)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:  # s == 1 by spec: a newly-significant coefficient
+                    val = p1 if reader.read_bit() else m1
+                while k <= Se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= Se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= Se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            eobrun -= 1
+
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx < len(segments):
+                reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for ci, dc_tab, ac_tab in members:
+                _, sh, sv, _q = comps[ci]
+                bw_ = mcux * sh
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coef[ci][(my * sv + by) * bw_ + (mx * sh + bx)]
+                        if Ss == 0:
+                            block_dc(blk, ci, dc_tab)
+                        if Se > 0:
+                            block_ac_sequential(blk, ac_tab)
+        else:
+            ci, dc_tab, ac_tab = members[0]
+            _, sh, sv, _q = comps[ci]
+            bw_ = mcux * sh
+            r_, c_ = divmod(u, cbw)
+            blk = coef[ci][r_ * bw_ + c_]
+            if Ss == 0 and Se == 0:
+                block_dc(blk, ci, dc_tab)
+            elif Ss == 0:  # sequential single-component full scan
+                block_dc(blk, ci, dc_tab)
+                block_ac_sequential(blk, ac_tab)
+            elif Ah == 0:
+                block_ac_first(blk, ac_tab)
+            else:
+                block_ac_refine(blk, ac_tab)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB (grayscale replicated)."""
+    """JPEG bytes -> HxWx3 uint8 RGB (grayscale replicated).  Baseline
+    sequential (SOF0/SOF1, single- or multi-scan) and progressive
+    (SOF2) streams decode; arithmetic/12-bit/hierarchical raise."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -427,7 +922,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     frame = None  # (h, w, [(cid, sh, sv, qsel)])
-    scan = None
+    progressive = False
+    scans = []  # (sel, Ss, Se, Ah, Al, segments, ri, htabs snapshot)
 
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -466,7 +962,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -476,10 +973,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sv_ = seg[7 + 3 * ci]
                 comps.append((cid, sv_ >> 4, sv_ & 0xF, seg[8 + 3 * ci]))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman JPEG supported"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
@@ -488,6 +986,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * si]
                 tt = seg[2 + 2 * si]
                 sel.append((cs, tt >> 4, tt & 0xF))
+            ss_ = seg[1 + 2 * ns]
+            se_ = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             data_start = pos + 2 + seglen
             # find EOI / next non-RST marker
             j = data_start
@@ -497,17 +998,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ):
                     break
                 j += 1
-            scan = (sel, payload[data_start:j])
+            scans.append((
+                sel, ss_, se_, ahal >> 4, ahal & 0xF,
+                _split_restart_segments(payload[data_start:j],
+                                        restart_interval),
+                restart_interval,
+                dict(htables),  # tables may be redefined between scans
+            ))
             pos = j
             continue
         pos += 2 + seglen
 
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
-    sel, data = scan
-    if len(sel) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) JPEG")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -515,69 +1019,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise NotImplementedError("non-integer chroma upsample ratios")
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-    n_mcu = mcux * mcuy
 
-    # per-component huffman selectors
-    td_ta = {cs: (td, ta) for cs, td, ta in sel}
-
-    # entropy segments split on restart markers, destuffed once each
-    segments = []
-    if restart_interval:
-        i0 = 0
-        i = 0
-        while i + 1 < len(data):
-            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
-                segments.append(data[i0:i])
-                i0 = i + 2
-                i += 2
-            else:
-                i += 1
-        segments.append(data[i0:])
-    else:
-        segments = [data]
-    segments = [s.replace(b"\xff\x00", b"\xff") for s in segments]
-
-    # decode the symbol stream: per component a (n_blocks, 64) coef stack
-    counts = [c[1] * c[2] for c in comps]
+    # per component a (n_blocks, 64) coefficient stack (MCU-padded)
     coef = [
         np.zeros((mcuy * c[2] * mcux * c[1], 64), dtype=np.int32)
         for c in comps
     ]
-    preds = [0] * len(comps)
-    seg_idx = 0
-    reader = _BitReader(segments[0])
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx < len(segments):
-                reader = _BitReader(segments[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (cid, sh, sv, _q) in enumerate(comps):
-            dc_tab = htables[(0, td_ta[cid][0])]
-            ac_tab = htables[(1, td_ta[cid][1])]
-            bw_ = mcux * sh  # component blocks per row
-            for by in range(sv):
-                for bx in range(sh):
-                    blk = coef[ci][(my * sv + by) * bw_ + (mx * sh + bx)]
-                    s = _decode_symbol(reader, dc_tab)
-                    diff = _extend(reader.receive(s), s) if s else 0
-                    preds[ci] += diff
-                    blk[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_symbol(reader, ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            break
-                        blk[k] = _extend(reader.receive(s), s)
-                        k += 1
+    for scan in scans:
+        _decode_scan(scan, comps, coef, mcux, mcuy, hmax, vmax, fh, fw)
 
     # vectorized tail: dequant + unzigzag + IDCT per component stack
     planes = []

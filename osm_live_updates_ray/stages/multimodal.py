@@ -114,8 +114,9 @@ class ImageFeaturizer:
 def _doc_image(doc_id: int, w: int, h: int, text: bytes) -> bytes:
     """Deterministic small REAL compressed image for an image-kind
     document row: a doc-seeded gradient through the actual encoders —
-    PNG and baseline JPEG alternate per doc (a real crawl is mostly
-    JPEG), so featurization exercises BOTH compressed decode paths."""
+    PNG, baseline JPEG and progressive JPEG rotate per doc (a real
+    crawl is mostly JPEG, a large share of it progressive), so
+    featurization exercises ALL THREE compressed decode paths."""
     xs = np.arange(w, dtype=np.int64)[None, :]
     ys = np.arange(h, dtype=np.int64)[:, None]
     s = int(doc_id) & 0xFF
@@ -128,10 +129,18 @@ def _doc_image(doc_id: int, w: int, h: int, text: bytes) -> bytes:
         ],
         axis=2,
     )
-    if (int(doc_id) // 3) % 2:
+    v = (int(doc_id) // 3) % 3
+    if v == 1:
         from ..functions import jpeg as _jp
 
         return _jp.encode_jpeg(
+            img, quality=85 + (int(doc_id) % 3) * 5,
+            subsample=bool(int(doc_id) % 2),
+        )
+    if v == 2:
+        from ..functions import jpeg as _jp
+
+        return _jp.encode_jpeg_progressive(
             img, quality=85 + (int(doc_id) % 3) * 5,
             subsample=bool(int(doc_id) % 2),
         )
@@ -174,7 +183,7 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[kind_idx]
     is_img = kind_idx == 0
     mimes = np.where(
-        is_img & (((did // 3) % 2) == 1), "image/jpeg", mimes
+        is_img & (((did // 3) % 3) >= 1), "image/jpeg", mimes
     ).astype(object)
     is_timed = ~is_img
     # small real dimensions for image rows (payload must match the

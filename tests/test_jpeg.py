@@ -145,12 +145,23 @@ class TestWireFormat:
         out = media.decode_image(enc)
         assert out.shape == (10, 12, 3)
 
-    def test_progressive_rejected(self):
-        """SOF2 must raise NotImplementedError (decode-failure null row
-        downstream), never return synthetic pixels."""
+    def test_sof2_routes_through_general_scan_loop(self):
+        """SOF2 no longer raises (round-5 progressive decode): a
+        baseline stream relabeled SOF2 is one full-band interleaved
+        scan and must decode to the identical pixels via the general
+        scan loop."""
         enc = bytearray(jpeg.encode_jpeg(_smooth(8, 8)))
         i = bytes(enc).find(b"\xff\xc0")
+        want = jpeg.decode_jpeg(bytes(enc))
         enc[i + 1] = 0xC2
+        assert np.array_equal(jpeg.decode_jpeg(bytes(enc)), want)
+
+    def test_arithmetic_coding_rejected(self):
+        """SOF9 (arithmetic) must still raise NotImplementedError
+        (decode-failure null row downstream), never synthetic pixels."""
+        enc = bytearray(jpeg.encode_jpeg(_smooth(8, 8)))
+        i = bytes(enc).find(b"\xff\xc0")
+        enc[i + 1] = 0xC9
         with pytest.raises(NotImplementedError):
             jpeg.decode_jpeg(bytes(enc))
 
@@ -200,3 +211,76 @@ class TestFeaturizeJpegPath:
         })
         out = fz(batch)
         assert out.column("feat").to_pylist() == [None]
+
+
+class TestProgressive:
+    """SOF2 decode pinned against the baseline decoder: the scan
+    script only reorders bits, so the SAME quantized coefficients must
+    reconstruct — pixel-exact equality, not tolerance."""
+
+    def _roundtrip_equal(self, img, **kw):
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, **kw))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, **kw))
+        assert np.array_equal(base, prog)
+        return prog
+
+    def test_color_shapes_and_subsampling(self):
+        for h, w in ((8, 8), (20, 28), (33, 17)):
+            for sub in (False, True):
+                self._roundtrip_equal(_smooth(h, w), quality=90,
+                                      subsample=sub)
+
+    def test_grayscale_non_interleaved_scans(self):
+        img = _smooth(24, 16)[:, :, 0]
+        out = self._roundtrip_equal(img, quality=90)
+        assert out.shape == (24, 16, 3)
+
+    def test_known_pixels_flat_image(self):
+        """A constant image decodes exactly (every AC band is one long
+        EOB run — the multi-block EOBRUN path in first AND refine
+        scans)."""
+        img = np.full((64, 64, 3), 77, dtype=np.uint8)
+        out = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=90))
+        assert np.array_equal(out, np.full((64, 64, 3), 77, np.uint8))
+
+    def test_noise_dense_coefficients(self):
+        """Dense spectra exercise ZRL + correction-bit interleaving in
+        the refinement scans."""
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (40, 56, 3), dtype=np.uint8)
+        self._roundtrip_equal(img, quality=75)
+
+    def test_sniffs_and_parses_as_jpeg(self):
+        from osm_live_updates_ray.functions import media
+
+        enc = jpeg.encode_jpeg_progressive(_smooth(16, 16), quality=90)
+        assert media.sniff(enc) == "jpeg"
+        assert media.image_meta(enc) == ("jpeg", 16, 16)
+
+    def test_featurizer_mixed_fixture_no_null_rows(self):
+        """VERDICT r4 task 6 'done' criterion: on a mixed PNG /
+        baseline-JPEG / progressive-JPEG fixture set, image_features'
+        null-row rate is 0 — progressive no longer falls into the
+        decode-failure path."""
+        from osm_live_updates_ray.functions import media
+        from osm_live_updates_ray.stages import multimodal
+
+        img = _smooth(16, 16)
+        fz = multimodal.ImageFeaturizer(out_dim=8, resize=(16, 16))
+        batch = pa.table({
+            "media_id": pa.array([1, 2, 3], type=pa.int64()),
+            "payload": pa.array([
+                media.encode_png(img),
+                jpeg.encode_jpeg(img, quality=95),
+                jpeg.encode_jpeg_progressive(img, quality=95),
+            ], type=pa.binary()),
+        })
+        out = fz(batch)
+        feats = out.column("feat").to_pylist()
+        assert all(f is not None for f in feats)
+        # near-lossless quality: all three containers of the SAME
+        # pixels land in the same feature neighborhood
+        a, b, c = (np.array(f) for f in feats)
+        assert np.abs(a - c).max() < 0.05
+        assert np.abs(b - c).max() < 0.05

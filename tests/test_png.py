@@ -124,14 +124,19 @@ class TestFeaturizerRealPngPath:
         imgs = m.filter(pa.compute.equal(m.column("kind"), "image"))
         assert imgs.num_rows == 4
         kinds = set()
+        progressive = 0
         for row in imgs.to_pylist():
             p = row["payload"]
             k = media.sniff(p)
             kinds.add(k)
-            expect = "jpeg" if (row["media_id"] // 3) % 2 else "png"
+            v = (row["media_id"] // 3) % 3
+            expect = "png" if v == 0 else "jpeg"
             assert k == expect
             assert row["mime"] == f"image/{expect}"
+            if k == "jpeg" and b"\xff\xc2" in p:
+                progressive += 1  # SOF2 present
             arr = media.decode_image(p)
             assert arr.shape == (row["height"], row["width"], 3)
-        # both real compressed decode paths exercised
+        # all three real compressed decode paths exercised
         assert kinds == {"png", "jpeg"}
+        assert progressive >= 1
