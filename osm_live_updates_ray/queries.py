@@ -3350,6 +3350,85 @@ def video_frames(sf_dir: str):
     )
 
 
+@register(
+    "media_container_stats",
+    """
+    SELECT kind, container, COUNT(*) AS n
+    FROM (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CASE
+               WHEN doc_id % 3 = 0 THEN
+                 CASE (doc_id // 3) % 3 WHEN 0 THEN 'png'
+                                        WHEN 1 THEN 'jpeg-baseline'
+                                        ELSE 'jpeg-progressive' END
+               WHEN doc_id % 3 = 1 THEN
+                 CASE (doc_id // 3) % 3 WHEN 0 THEN 'wav-pcm'
+                                        WHEN 1 THEN 'wav-ulaw'
+                                        ELSE 'wav-adpcm' END
+               ELSE 'text'
+             END AS container
+      FROM documents
+    )
+    GROUP BY kind, container
+    """,
+)
+def media_container_stats(sf_dir: str):
+    """Container census over the corpus-derived media table — the
+    format-distribution report a crawl-ingest pipeline runs before
+    sizing its decode fleet.  The Ray side SNIFFS every payload's
+    actual bytes (magic numbers; SOF marker scan splits baseline vs
+    progressive JPEG; WAV fmt tag splits PCM / G.711 mu-law / IMA
+    ADPCM) — the SQL mirror derives the expected container from the
+    deterministic doc-id rotation, so a match proves every generated
+    payload PARSES as the container it claims (an encoder bug or a
+    sniffer bug breaks the hash).  Map-side combined counts -> tiny
+    groupby-sum; payload bytes never shuffle."""
+    import struct as _struct
+
+    from ray.data.aggregate import Sum
+
+    from .stages import multimodal
+
+    def census(t: pa.Table) -> pa.Table:
+        kinds, containers = [], []
+        for kind, payload in zip(
+            t.column("kind").to_pylist(), t.column("payload").to_pylist()
+        ):
+            p = payload or b""
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                c = "png"
+            elif p[:2] == b"\xff\xd8":
+                c = ("jpeg-progressive" if b"\xff\xc2" in p
+                     else "jpeg-baseline")
+            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                i = p.find(b"fmt ")
+                tag = _struct.unpack_from("<H", p, i + 8)[0] if i >= 0 else 0
+                c = {1: "wav-pcm", 7: "wav-ulaw", 0x11: "wav-adpcm"}.get(
+                    tag, "wav-other")
+            else:
+                c = "text"
+            kinds.append(kind)
+            containers.append(c)
+        part = pd.DataFrame({"kind": kinds, "container": containers})
+        agg = part.groupby(["kind", "container"], as_index=False).size()
+        return pa.Table.from_pydict({
+            "kind": agg["kind"].tolist(),
+            "container": agg["container"].tolist(),
+            "n": pa.array(agg["size"].to_numpy(np.int64)),
+        })
+
+    rd = _rd()
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(multimodal.media_from_documents, batch_format="pyarrow")
+        .map_batches(census, batch_format="pyarrow")
+        .groupby(["kind", "container"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 _SQL_KNN_WAY = (
     "WITH " + td.SQL_PAGES.strip() + ",\n" + td.SQL_STATE_NODES.strip()
     + ",\n" + td.SQL_WAY_EDGES.strip()
