@@ -369,7 +369,13 @@ def wait_for_calm_host(thresh_1m: float = 2.0, thresh_15m: float = 1.0,
 def run_once() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    load1, load15 = wait_for_calm_host()
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        # scaling subprocesses: run_scaling already gates per pair, and
+        # its own prior runs keep the 15-min load elevated — re-gating
+        # here would burn the bounded wait on every subprocess
+        load1, load15 = os.getloadavg()[0], os.getloadavg()[2]
+    else:
+        load1, load15 = wait_for_calm_host()
     import ray
 
     if not ray.is_initialized():
