@@ -10187,17 +10187,35 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
     table never lands on the driver.  Consistency/null checks =
     shuffle-free per-batch C-kernel sums.  Each check returns one
     integer.  ``_gate_keys`` overrides the gate for the forced-branch
-    test."""
+    test.
+
+    The five checks submit CONCURRENTLY (driver threads; each is still
+    a distributed Ray pipeline) so their fixed pipeline ramps overlap
+    instead of summing — the checks are independent by construction.
+    Dataset CONSTRUCTION (read_parquet path resolution) serializes on
+    a lock: Ray's path resolver probes an optional fsspec HTTP module
+    whose failing import is not thread-safe; execution overlaps."""
+    import threading
+
     import ray
     from ray.data.aggregate import Count
 
     from .config import DEFAULT_CONFIG
 
     rd = _rd()
+    _read_lock = threading.Lock()
+
+    def _read(path: str, columns):
+        with _read_lock:
+            return rd.read_parquet(path, columns=columns)
+
     gate = (DEFAULT_CONFIG.broadcast_keys_max
             if _gate_keys is None else _gate_keys)
 
     def _distinct_sorted(path: str, col: str) -> np.ndarray:
+        # per-batch uniques union'd on the driver: this path only runs
+        # BELOW the broadcast gate, so the union is <= gate keys by
+        # construction — no groupby AllToAll needed for a dim side
         def dd(t: pa.Table) -> pa.Table:
             return pa.table({
                 col: pa.array(np.unique(
@@ -10205,12 +10223,16 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
                     .astype(np.int64)))
             })
 
-        return np.sort(
-            rd.read_parquet(path, columns=[col])
+        parts = [
+            b.column(col).to_numpy(zero_copy_only=False)
+            for b in _read(path, [col])
             .map_batches(dd, batch_format="pyarrow")
-            .groupby(col).count()
-            .to_pandas()[col].to_numpy(dtype=np.int64)
-        )
+            .iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
 
     def _fk_violations(fact_path: str, fact_col: str,
                        dim_path: str, dim_col: str) -> int:
@@ -10237,7 +10259,7 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
                 return pa.table({"n": pa.array([n], type=pa.int64())})
 
             parts = (
-                rd.read_parquet(fact_path, columns=[fact_col])
+                _read(fact_path, [fact_col])
                 .map_batches(miss, batch_format="pyarrow")
                 .to_pandas()
             )
@@ -10246,8 +10268,8 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
         # at-scale shape: hash anti-join — dim keys never collected
         n_cpu = (int(ray.cluster_resources().get("CPU", 8))
                  if ray.is_initialized() else 8)
-        orphans = rd.read_parquet(fact_path, columns=[fact_col]).join(
-            rd.read_parquet(dim_path, columns=[dim_col]),
+        orphans = _read(fact_path, [fact_col]).join(
+            _read(dim_path, [dim_col]),
             join_type="left_anti",
             num_partitions=max(8, n_cpu),
             on=(fact_col,),
@@ -10255,12 +10277,15 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
         )
         return int(orphans.count())
 
-    v_orders = _fk_violations(
-        f"{sf_dir}/orders.parquet", "o_custkey",
-        f"{sf_dir}/customer.parquet", "c_custkey")
-    v_lineitem = _fk_violations(
-        f"{sf_dir}/lineitem.parquet", "l_orderkey",
-        f"{sf_dir}/orders.parquet", "o_orderkey")
+    def _check_orders():
+        return _fk_violations(
+            f"{sf_dir}/orders.parquet", "o_custkey",
+            f"{sf_dir}/customer.parquet", "c_custkey")
+
+    def _check_lineitem():
+        return _fk_violations(
+            f"{sf_dir}/lineitem.parquet", "l_orderkey",
+            f"{sf_dir}/orders.parquet", "o_orderkey")
 
     def _excess(t: pa.Table) -> pa.Table:
         c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -10268,13 +10293,14 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
             "n": pa.array([int((c - 1).sum())], type=pa.int64())
         })
 
-    v_unique = int(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="c"))
-        .map_batches(_excess, batch_format="pyarrow")
-        .to_pandas()["n"].sum()
-    )
+    def _check_unique():
+        return int(
+            _read(f"{sf_dir}/documents.parquet", ["doc_id"])
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="c"))
+            .map_batches(_excess, batch_format="pyarrow")
+            .to_pandas()["n"].sum()
+        )
 
     def nch(t: pa.Table) -> pa.Table:
         n = pc.utf8_length(t.column("text")).cast(pa.int64())
@@ -10284,12 +10310,12 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
             "n": pa.array([bad.as_py() or 0], type=pa.int64())
         })
 
-    v_nchars = int(
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["text", "n_chars"])
-        .map_batches(nch, batch_format="pyarrow")
-        .to_pandas()["n"].sum()
-    )
+    def _check_nchars():
+        return int(
+            _read(f"{sf_dir}/documents.parquet", ["text", "n_chars"])
+            .map_batches(nch, batch_format="pyarrow")
+            .to_pandas()["n"].sum()
+        )
 
     def tnull(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -10300,11 +10326,23 @@ def data_quality_checks(sf_dir: str, _gate_keys: int | None = None):
             )
         })
 
-    v_tsnull = int(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
-        .map_batches(tnull, batch_format="pyarrow")
-        .to_pandas()["n"].sum()
-    )
+    def _check_tsnull():
+        return int(
+            _read(f"{sf_dir}/events.parquet", ["ts"])
+            .map_batches(tnull, batch_format="pyarrow")
+            .to_pandas()["n"].sum()
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(f) for f in (
+            _check_orders, _check_lineitem, _check_unique,
+            _check_nchars, _check_tsnull,
+        )]
+        v_orders, v_lineitem, v_unique, v_nchars, v_tsnull = (
+            f.result() for f in futs
+        )
 
     return pd.DataFrame({
         "check_name": [
