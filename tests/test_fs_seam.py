@@ -155,3 +155,47 @@ class TestNoDirectOsIO:
         io2 = pickle.loads(pickle.dumps(io))
         assert isinstance(io2.fs, pafs.SubTreeFileSystem)
         assert not io2.is_local
+
+
+class TestShardedBootstrapOnSubtree:
+    def test_sharded_build_through_fs_equals_plain(
+            self, ray_session, tmp_path_factory):
+        """The mid-phase-resumable sharded bootstrap (staging dirs,
+        _DONE seals, worker-side compaction) is the most multi-node-
+        critical path: run it entirely through a SubTreeFileSystem and
+        pin equality with a plain local build.  Note the PAGES INPUT
+        stays on local disk (a corpus read is not store state); only
+        the store tree goes through the seam."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        w = synthetic.gen_world("t1")
+        pdir = tmp_path_factory.mktemp("fs_pshards")
+        n = w["pages"].num_rows
+        step = -(-n // 3)
+        shards = []
+        for i in range(3):
+            f = str(pdir / f"pages-{i:02d}.parquet")
+            pq.write_table(w["pages"].slice(i * step, step), f)
+            shards.append([f])
+        all_files = [f for g in shards for f in g]
+
+        host_root = str(tmp_path_factory.mktemp("fs_shard_host"))
+        fs = pafs.SubTreeFileSystem(host_root, pafs.LocalFileSystem())
+        sub = static_join.build_state(
+            "st", rd.read_parquet(all_files), w["osm_nodes"],
+            w["osm_ways"], w["osm_relations"], pages_shards=shards,
+            filesystem=fs,
+        )
+        # stage dirs cleaned up after the final commit
+        assert not os.path.exists(os.path.join(host_root, "st",
+                                               "pages.stage"))
+        local_root = str(tmp_path_factory.mktemp("fs_shard_local"))
+        plain = static_join.build_state(
+            local_root, rd.read_parquet(all_files), w["osm_nodes"],
+            w["osm_ways"], w["osm_relations"],
+        )
+        for name in ("assignments", "pages"):
+            a = sub.read_tiles(name).sort_by("url")
+            b = plain.read_tiles(name).sort_by("url")
+            assert a.equals(b.cast(a.schema))
