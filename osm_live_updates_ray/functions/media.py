@@ -8,15 +8,15 @@ required for the uncompressed formats:
 - **PPMV** — a trivial length-prefixed concatenation of P6 frames used
   as the video container for tests (real frame extraction: seek by the
   frame index, no full decode of the other frames)
+- **PNG** decode/encode (stdlib zlib + numpy; all five filters)
+- **GIF87a/89a** decode (real LZW, global/local palettes, interlace,
+  transparency; first frame) + an exact-palette GIF89a encoder
+- **JPEG** baseline + progressive live in ``functions/jpeg.py``
+- **G.711 / IMA ADPCM WAV** and **MJPEG-AVI** below
 
-Compressed formats (PNG/JPEG/...) are gated behind an import-try of
-PIL and raise ``NotImplementedError`` when it is absent (it is absent
-in this container); callers treat that as a decode failure (null row).
-
-Format sniffing (:func:`sniff`) lets the actor stages run REAL decodes
-when the payload is one of these containers and fall back to the
-deterministic byte-feature stub otherwise, so corpus-derived payloads
-(utf-8 text standing in for media) keep their existing oracles.
+Undecodable or unrecognized payloads raise and surface as
+decode-failure NULL rows in the actor stages — features are never
+synthesized from raw bytes.
 """
 
 from __future__ import annotations
@@ -28,13 +28,16 @@ import numpy as np
 
 
 def sniff(payload: bytes) -> str:
-    """Container sniff: 'ppm' | 'bmp' | 'png' | 'wav' | 'ppmv' | 'unknown'."""
+    """Container sniff: 'ppm' | 'bmp' | 'png' | 'gif' | 'jpeg' | 'wav'
+    | 'ppmv' | 'avi' | 'unknown'."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -267,9 +270,224 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.repeat(recon.reshape(h, w, 1), 3, axis=2)  # grayscale
 
 
+# -- GIF (87a/89a: LZW, global/local palettes, interlace) -------------------
+def encode_gif(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 (at most 256 distinct colors) -> GIF89a bytes with
+    an exact palette and a real LZW-compressed image stream — the
+    fixture role encode_png/encode_jpeg play for their decoders."""
+    import struct
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    # palette size padded to a power of two >= 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1) << 4 | (bits - 1),
+                       0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    min_code = max(2, bits)
+    out.append(min_code)
+    out += _lzw_encode(idx.astype(np.int64), min_code)
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF-flavor LZW (variable code width, CLEAR/EOI codes, LSB-first
+    bit packing, 255-byte sub-blocks) — ITU/W3C GIF89a Appendix F."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    table: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    run: tuple = ()
+    for v in indices.tolist():
+        cand = run + (v,)
+        if cand in table:
+            run = cand
+            continue
+        put(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            put(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        run = (v,)
+    if run:
+        put(table[run])
+    put(eoi)
+    if nbits:
+        body.append(acc & 0xFF)
+    out = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code: int, n_out: int) -> np.ndarray:
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while len(out) < n_out:
+        while nbits < width and pos < n:
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break  # truncated stream: tolerate like the JPEG reader
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return np.frombuffer(bytes(out[:n_out]), dtype=np.uint8)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> HxWx3 uint8 RGB (FIRST frame; transparency
+    composited onto the logical-screen background color; interlaced
+    row order restored).  Animation beyond frame 0 is out of scope for
+    featurization — the first frame is what a crawl thumbnailer
+    renders."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF (or truncated header)")
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        gsize = 2 << (flags & 0x07)
+        gpal = np.frombuffer(payload, np.uint8, gsize * 3, pos).reshape(-1, 3)
+        pos += gsize * 3
+    transparent = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos + 4 < len(payload) and \
+                    payload[pos] >= 4:  # GCE
+                gflags = payload[pos + 1]
+                if gflags & 1:
+                    transparent = payload[pos + 4]
+            while pos < len(payload) and payload[pos]:  # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            pal = gpal
+            if iflags & 0x80:
+                lsize = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, lsize * 3, pos).reshape(-1, 3)
+                pos += lsize * 3
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            # truncation-tolerant sub-block walk (JPEG-reader
+            # discipline): EOF mid-stream ends the data, never raises
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            idx = _lzw_decode(bytes(data), min_code, iw * ih)
+            if len(idx) < iw * ih:  # truncated: pad with background
+                idx = np.concatenate([
+                    idx, np.full(iw * ih - len(idx), bg, np.uint8)])
+            grid = idx.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: restore row order
+                # rows[y] = storage position of display row y
+                rows = np.empty(ih, dtype=np.int64)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, ih, step):
+                        rows[y] = src
+                        src += 1
+                grid = grid[rows]
+            safe = np.minimum(grid.astype(np.int64), len(pal) - 1)
+            rgb = pal[safe]
+            if transparent is not None:
+                bg_rgb = pal[min(bg, len(pal) - 1)]
+                rgb = np.where(
+                    (grid == transparent)[..., None], bg_rgb, rgb)
+            canvas = np.zeros((h, w, 3), dtype=np.uint8)
+            canvas[:, :] = (gpal[min(bg, len(gpal) - 1)]
+                            if gpal is not None else 0)
+            ey, ex = min(iy + ih, h), min(ix + iw, w)
+            canvas[iy:ey, ix:ex] = rgb[: ey - iy, : ex - ix]
+            return canvas
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniffed decode: PPM/BMP/PNG/baseline-JPEG natively; anything
-    else needs PIL (absent here — surfaces as a decode-failure row)."""
+    """Sniffed decode: PPM/BMP/PNG/GIF/JPEG (baseline + progressive)
+    natively; anything else needs PIL (absent here — surfaces as a
+    decode-failure row)."""
     kind = sniff(payload)
     if kind == "ppm":
         return decode_ppm(payload)
@@ -277,6 +495,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "gif":
+        return decode_gif(payload)
     if kind == "jpeg":
         from . import jpeg
 

@@ -3359,9 +3359,10 @@ def video_frames(sf_dir: str):
                              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              CASE
                WHEN doc_id % 3 = 0 THEN
-                 CASE (doc_id // 3) % 3 WHEN 0 THEN 'png'
+                 CASE (doc_id // 3) % 4 WHEN 0 THEN 'png'
                                         WHEN 1 THEN 'jpeg-baseline'
-                                        ELSE 'jpeg-progressive' END
+                                        WHEN 2 THEN 'jpeg-progressive'
+                                        ELSE 'gif' END
                WHEN doc_id % 3 = 1 THEN
                  CASE (doc_id // 3) % 3 WHEN 0 THEN 'wav-pcm'
                                         WHEN 1 THEN 'wav-ulaw'
@@ -3398,6 +3399,8 @@ def media_container_stats(sf_dir: str):
             p = payload or b""
             if p[:8] == b"\x89PNG\r\n\x1a\n":
                 c = "png"
+            elif p[:6] in (b"GIF87a", b"GIF89a"):
+                c = "gif"
             elif p[:2] == b"\xff\xd8":
                 c = ("jpeg-progressive" if b"\xff\xc2" in p
                      else "jpeg-baseline")

@@ -73,7 +73,7 @@ class ImageFeaturizer:
         self.proj = rng.standard_normal((out_dim, out_dim)).astype(np.float32)
 
     def _raw(self, payload: bytes) -> np.ndarray | None:
-        if _media.sniff(payload) in ("ppm", "bmp", "png", "jpeg"):
+        if _media.sniff(payload) in ("ppm", "bmp", "png", "gif", "jpeg"):
             img = _media.decode_image(payload)
             img = _media.resize_nearest(img, *self.resize)
             col = img.astype(np.float32).mean(axis=(0, 2))  # per-column gray
@@ -114,9 +114,10 @@ class ImageFeaturizer:
 def _doc_image(doc_id: int, w: int, h: int, text: bytes) -> bytes:
     """Deterministic small REAL compressed image for an image-kind
     document row: a doc-seeded gradient through the actual encoders —
-    PNG, baseline JPEG and progressive JPEG rotate per doc (a real
-    crawl is mostly JPEG, a large share of it progressive), so
-    featurization exercises ALL THREE compressed decode paths."""
+    PNG, baseline JPEG, progressive JPEG and GIF rotate per doc (a
+    real crawl is mostly JPEG, a large share progressive, plus
+    PNG/GIF), so featurization exercises ALL FOUR compressed decode
+    paths."""
     xs = np.arange(w, dtype=np.int64)[None, :]
     ys = np.arange(h, dtype=np.int64)[:, None]
     s = int(doc_id) & 0xFF
@@ -129,7 +130,7 @@ def _doc_image(doc_id: int, w: int, h: int, text: bytes) -> bytes:
         ],
         axis=2,
     )
-    v = (int(doc_id) // 3) % 3
+    v = (int(doc_id) // 3) % 4
     if v == 1:
         from ..functions import jpeg as _jp
 
@@ -144,6 +145,13 @@ def _doc_image(doc_id: int, w: int, h: int, text: bytes) -> bytes:
             img, quality=85 + (int(doc_id) % 3) * 5,
             subsample=bool(int(doc_id) % 2),
         )
+    if v == 3:
+        # quantize until the palette fits (shift 6 bounds distinct
+        # triples at 4^3 = 64, so the loop always terminates)
+        for shift in (3, 4, 5, 6):
+            q = (img >> shift) << shift
+            if len(np.unique(q.reshape(-1, 3), axis=0)) <= 256:
+                return _media.encode_gif(q)
     return _media.encode_png(img, filter_type=int(doc_id) % 5)
 
 
@@ -182,9 +190,11 @@ def media_from_documents(batch: pa.Table) -> pa.Table:
     kinds = np.array(["image", "audio", "video"], dtype=object)[kind_idx]
     mimes = np.array(["image/png", "audio/wav", "video/mp4"], dtype=object)[kind_idx]
     is_img = kind_idx == 0
-    mimes = np.where(
-        is_img & (((did // 3) % 3) >= 1), "image/jpeg", mimes
-    ).astype(object)
+    rot = (did // 3) % 4
+    mimes = np.where(is_img & ((rot == 1) | (rot == 2)),
+                     "image/jpeg", mimes).astype(object)
+    mimes = np.where(is_img & (rot == 3), "image/gif", mimes
+                     ).astype(object)
     is_timed = ~is_img
     # small real dimensions for image rows (payload must match the
     # metadata); the byte payloads stay tiny so batch x concurrency

@@ -685,14 +685,16 @@ class TestRealMediaDecode:
             assert (media.decode_ppm(blob) == frames[idx]).all()
 
     def test_compressed_decode_gated(self):
-        # PNG and baseline JPEG now decode natively; the PIL gate
-        # remains for formats without a native path (e.g. GIF/WebP) —
-        # such payloads must surface NotImplementedError in this
-        # container; malformed PNG/JPEG raise ValueError, not a crash
+        # PNG/JPEG/GIF decode natively; the PIL gate remains for
+        # formats without a native path (e.g. WebP) — such payloads
+        # must surface NotImplementedError in this container;
+        # malformed PNG/JPEG/GIF raise ValueError, not a crash
         from osm_live_updates_ray.functions import media
 
         with pytest.raises(NotImplementedError):
-            media.decode_image(b"GIF89a-rest-of-gif")
+            media.decode_image(b"RIFFxxxxWEBPVP8 rest-of-webp")
+        with pytest.raises(ValueError):
+            media.decode_image(b"GIF89a")  # truncated header
         with pytest.raises(ValueError):
             media.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")  # no SOF/SOS
         with pytest.raises(ValueError):

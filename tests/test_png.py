@@ -117,26 +117,27 @@ class TestFeaturizerRealPngPath:
         from osm_live_updates_ray.stages import multimodal
 
         docs = pa.table({
-            "doc_id": pa.array([0, 3, 6, 9, 1, 2], type=pa.int64()),
-            "text": pa.array(["aaa", "bbb", "ccc", "ddd", "eee", "fff"]),
+            "doc_id": pa.array([0, 3, 6, 9, 12, 1, 2], type=pa.int64()),
+            "text": pa.array(["aaa", "bbb", "ccc", "ddd", "eee", "fff",
+                              "ggg"]),
         })
         m = multimodal.media_from_documents(docs)
         imgs = m.filter(pa.compute.equal(m.column("kind"), "image"))
-        assert imgs.num_rows == 4
+        assert imgs.num_rows == 5
         kinds = set()
         progressive = 0
         for row in imgs.to_pylist():
             p = row["payload"]
             k = media.sniff(p)
             kinds.add(k)
-            v = (row["media_id"] // 3) % 3
-            expect = "png" if v == 0 else "jpeg"
+            v = (row["media_id"] // 3) % 4
+            expect = {0: "png", 1: "jpeg", 2: "jpeg", 3: "gif"}[v]
             assert k == expect
             assert row["mime"] == f"image/{expect}"
             if k == "jpeg" and b"\xff\xc2" in p:
                 progressive += 1  # SOF2 present
             arr = media.decode_image(p)
             assert arr.shape == (row["height"], row["width"], 3)
-        # all three real compressed decode paths exercised
-        assert kinds == {"png", "jpeg"}
+        # all four real compressed decode paths exercised
+        assert kinds == {"png", "jpeg", "gif"}
         assert progressive >= 1
