@@ -518,6 +518,7 @@ class StateStore:
         ids: np.ndarray,
         columns: list[str] | None = None,
         key: str | None = None,
+        use_ray_reads: bool = False,
     ) -> pa.Table:
         """Semi-join: rows of ``name`` whose key is in ``ids``.
 
@@ -527,6 +528,13 @@ class StateStore:
         result is delta-sized.  Missing ids simply yield no rows
         (regional-extract tolerance, reference
         src/osm/OsmChangeHandler.cpp:340-343).
+
+        ``use_ray_reads=True`` runs the SAME filter expression as a
+        distributed ``ray.data.read_parquet(filter=...)`` scan instead
+        of the local threaded pyarrow.dataset scan — the cluster-scale
+        shape when the pruned partition set is itself large (many
+        nodes each scan their share); semantics identical
+        (equality-pinned by pytest).
         """
         key = key or _TABLE_KEYS[name]
         ids = np.asarray(ids, dtype=np.int64)
@@ -545,18 +553,39 @@ class StateStore:
         scan_columns = columns
         if guard and columns is not None and key not in columns:
             scan_columns = list(columns) + [key]
-        dset = self.io.parquet_dataset(files)
         out = []
         bs = self.config.batch_size
-        for s in range(0, len(ids), bs):
-            chunk = ids[s : s + bs]
-            out.append(
-                dset.to_table(
+        if use_ray_reads:
+            import ray.data as rd
+
+            for s in range(0, len(ids), bs):
+                chunk = ids[s : s + bs]
+                ds = rd.read_parquet(
+                    files,
                     columns=scan_columns,
                     filter=pads.field(key).isin(pa.array(chunk)),
+                    filesystem=self.io.fs,
                 )
-            )
-        result = pa.concat_tables(out)
+                out.extend(
+                    b for b in ds.iter_batches(batch_format="pyarrow")
+                    if b.num_rows
+                )
+            want = _schema_of(name).empty_table()
+            if scan_columns:
+                want = want.select(scan_columns)
+            result = (pa.concat_tables(out).select(want.column_names)
+                      .cast(want.schema) if out else want)
+        else:
+            dset = self.io.parquet_dataset(files)
+            for s in range(0, len(ids), bs):
+                chunk = ids[s : s + bs]
+                out.append(
+                    dset.to_table(
+                        columns=scan_columns,
+                        filter=pads.field(key).isin(pa.array(chunk)),
+                    )
+                )
+            result = pa.concat_tables(out)
         if guard and result.num_rows:
             keys = result.column(key).to_numpy(zero_copy_only=False)
             n_unique = len(np.unique(keys))

@@ -215,3 +215,36 @@ class TestOptionDiscovery:
 
         with _pytest.raises(RuntimeError, match="newer engine"):
             StateStore(store.root)
+
+
+class TestUseRayReads:
+    def test_ray_scan_equals_local_scan(self, ray_session, tmp_path):
+        """lookup(use_ray_reads=True): the distributed
+        ray.data.read_parquet(filter=...) scan must return exactly the
+        local threaded pyarrow.dataset result (the cluster-scale shape
+        the module docstring promises)."""
+        import numpy as np
+
+        from osm_live_updates_ray.sources import synthetic
+        from osm_live_updates_ray.state.store import StateStore
+
+        w = synthetic.gen_world("t1")
+        store = StateStore.build(
+            str(tmp_path / "s"), nodes=w["osm_nodes"], ways=w["osm_ways"],
+            relations=w["osm_relations"],
+        )
+        ids = w["osm_nodes"].column("id").to_numpy(
+            zero_copy_only=False)[::7].astype(np.int64)
+        a = store.lookup("nodes", ids).sort_by("id")
+        b = store.lookup("nodes", ids, use_ray_reads=True).sort_by("id")
+        assert a.equals(b.cast(a.schema))
+        # column projection + the duplicate-row guard column path
+        a2 = store.lookup("nodes", ids, columns=["lon", "lat"])
+        b2 = store.lookup("nodes", ids, columns=["lon", "lat"],
+                          use_ray_reads=True)
+        assert a2.sort_by("lon").equals(
+            b2.sort_by("lon").cast(a2.schema))
+        # empty result shape
+        none_ids = np.array([10**15], dtype=np.int64)
+        e = store.lookup("nodes", none_ids, use_ray_reads=True)
+        assert e.num_rows == 0 and e.schema.names == a.schema.names
