@@ -120,31 +120,14 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 image -> PNG.  (h,w) => grayscale, (h,w,3) => RGB,
-    (h,w,4) => RGBA; 8-bit, non-interlaced.  ``filter_type`` applies
-    one scanline filter (0-4) to every row — the decoder's filter
-    reconstruction is exercised against all five in tests."""
-    import zlib
-
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        ct, ch = 0, 1
-        flat = img[:, :, None]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ct, ch = 2, 3
-        flat = img
-    elif img.ndim == 3 and img.shape[2] == 4:
-        ct, ch = 6, 4
-        flat = img
-    else:
-        raise ValueError("expected (h,w), (h,w,3) or (h,w,4) uint8")
-    h, w = flat.shape[:2]
-    stride = w * ch
-    rows = flat.reshape(h, stride).astype(np.int64)
+def _png_filter_rows(rows: np.ndarray, ch: int, filter_type: int
+                     ) -> bytearray:
+    """Filter a (sub-)image's rows (2D int64 (n, stride)) with one
+    filter type; returns filter-byte-prefixed scanline bytes."""
+    n, stride = rows.shape
     prev = np.zeros(stride, dtype=np.int64)
     out = bytearray()
-    for y in range(h):
+    for y in range(n):
         cur = rows[y]
         left = np.zeros(stride, dtype=np.int64)
         left[ch:] = cur[:-ch]
@@ -172,7 +155,48 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         out.append(filter_type)
         out.extend((filt & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return out
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """uint8 image -> PNG.  (h,w) => grayscale, (h,w,3) => RGB,
+    (h,w,4) => RGBA; 8-bit.  ``filter_type`` applies one scanline
+    filter (0-4) to every row — the decoder's filter reconstruction is
+    exercised against all five in tests.  ``interlace=True`` writes
+    Adam7 (7 passes, each filtered independently) so tests pin the
+    deinterlacing decoder against known pixels."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ct, ch = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ct, ch = 2, 3
+        flat = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        ct, ch = 6, 4
+        flat = img
+    else:
+        raise ValueError("expected (h,w), (h,w,3) or (h,w,4) uint8")
+    h, w = flat.shape[:2]
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            out += _png_filter_rows(
+                sub.reshape(ph, pw * ch).astype(np.int64), ch, filter_type
+            )
+    else:
+        out = _png_filter_rows(
+            flat.reshape(h, w * ch).astype(np.int64), ch, filter_type
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0,
+                       1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -181,51 +205,23 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> HxWx3 uint8, pure stdlib-zlib + numpy: 8-bit depth,
-    color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA, alpha
-    dropped), non-interlaced; all five scanline filters.  Filters 0-2
-    reconstruct vectorized (per-channel ``np.add.accumulate`` wraps
-    mod 256 exactly like the spec); avg/Paeth rows fall back to a
-    per-byte loop (they are sequential in x by definition).  16-bit
-    and Adam7 raise NotImplementedError — surfaced as decode-failure
-    null rows by the featurize stage."""
-    import zlib
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos = 8
-    ihdr = None
-    plte = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        ln, tag = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif tag == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ct, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ct not in (0, 2, 3, 6):
-        raise NotImplementedError(
-            f"PNG depth={depth} color={ct} interlace={interlace} unsupported"
-        )
-    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
-    stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (stride + 1):
+
+def _png_unfilter(raw: bytes, offset: int, sub_h: int, stride: int,
+                  ch: int) -> tuple[np.ndarray, int]:
+    """Reconstruct one (sub-)image's scanlines from ``raw`` starting at
+    ``offset``; returns (rows as (sub_h, stride) uint8, next offset).
+    Filters 0-2 vectorized (uint8 wrap == mod-256 per spec); avg/Paeth
+    per-byte (sequential in x by definition)."""
+    if len(raw) - offset < sub_h * (stride + 1):
         raise ValueError("PNG IDAT truncated")
-    recon = np.zeros((h, stride), dtype=np.uint8)
+    recon = np.zeros((sub_h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        base = y * (stride + 1)
+    for y in range(sub_h):
+        base = offset + y * (stride + 1)
         f = raw[base]
         cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
                             offset=base + 1).copy()
@@ -259,6 +255,58 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter byte {f}")
         recon[y] = cur
         prev = cur
+    return recon, offset + sub_h * (stride + 1)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8, pure stdlib-zlib + numpy: 8-bit depth,
+    color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA, alpha
+    dropped); all five scanline filters; non-interlaced AND Adam7
+    interlaced (7-pass deinterlace, each pass filter-reconstructed
+    independently per spec 8.2).  16-bit raises NotImplementedError —
+    surfaced as decode-failure null rows by the featurize stage."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if depth != 8 or interlace not in (0, 1) or ct not in (0, 2, 3, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ct} interlace={interlace} unsupported"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        recon, _ = _png_unfilter(raw, 0, h, w * ch, ch)
+    else:
+        recon = np.zeros((h, w * ch), dtype=np.uint8)
+        grid = recon.reshape(h, w, ch)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass emits NO scanlines (spec 8.2)
+            sub, off = _png_unfilter(raw, off, ph, pw * ch, ch)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
     if ct == 2:
         return recon.reshape(h, w, 3)
     if ct == 6:

@@ -141,3 +141,51 @@ class TestFeaturizerRealPngPath:
         # all four real compressed decode paths exercised
         assert kinds == {"png", "jpeg", "gif"}
         assert progressive >= 1
+
+
+class TestAdam7:
+    """Adam7 interlaced PNG: 7-pass deinterlace pinned against known
+    pixels via the encoder's interlace mode (each pass filtered
+    independently, empty passes emit no scanlines)."""
+
+    @pytest.mark.parametrize("h,w", [(1, 1), (7, 9), (8, 8), (17, 19),
+                                     (9, 32)])
+    def test_roundtrip_all_filters(self, h, w):
+        rng = np.random.RandomState(h * 31 + w)
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            enc = media.encode_png(img, filter_type=ft, interlace=True)
+            assert np.array_equal(media.decode_png(enc), img)
+
+    def test_interlace_flag_in_header(self):
+        img = np.zeros((8, 8, 3), np.uint8)
+        enc = media.encode_png(img, interlace=True)
+        # IHDR data starts at byte 16; the interlace byte is its last
+        assert enc[16 + 12] == 1
+        assert media.decode_png(media.encode_png(img)).shape == (8, 8, 3)
+
+    def test_gray_and_rgba_interlaced(self):
+        rng = np.random.RandomState(4)
+        g = rng.randint(0, 256, (13, 11), dtype=np.uint8)
+        out = media.decode_png(media.encode_png(g, interlace=True))
+        assert np.array_equal(out[..., 0], g)
+        ra = rng.randint(0, 256, (10, 6, 4), dtype=np.uint8)
+        out = media.decode_png(media.encode_png(ra, interlace=True))
+        assert np.array_equal(out, ra[..., :3])
+
+    def test_featurizer_identical_via_interlaced(self):
+        from osm_live_updates_ray.stages import multimodal
+
+        rng = np.random.RandomState(6)
+        img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        fz = multimodal.ImageFeaturizer(out_dim=8, resize=(16, 16))
+        batch = pa.table({
+            "media_id": pa.array([1, 2], type=pa.int64()),
+            "payload": pa.array(
+                [media.encode_png(img),
+                 media.encode_png(img, filter_type=4, interlace=True)],
+                type=pa.binary(),
+            ),
+        })
+        f = fz(batch).column("feat").to_pylist()
+        assert f[0] is not None and f[0] == f[1]
