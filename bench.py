@@ -338,7 +338,10 @@ def battery(sf_dir: str) -> dict:
                  # embed->retrieve, entropy signal, expectations gate
                  "near_dup_keep_best", "doc_hash_embed",
                  "image_dedup_phash", "hash_embed_search",
-                 "doc_entropy", "data_quality_checks"):
+                 "doc_entropy", "data_quality_checks",
+                 # round-5: byte-sniffed container census (now incl.
+                 # progressive JPEG + GIF decode-path payloads)
+                 "media_container_stats"):
         t0 = time.time()
         res = Q.QUERIES[name](sf_dir)
         if hasattr(res, "count"):
