@@ -76,9 +76,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         pos = end
     pos += 1  # single whitespace byte after maxval
     w, h, maxval = fields
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
     n = w * h * 3
+    if maxval > 255:
+        # 16-bit P6: big-endian two-byte samples; render the high
+        # byte scaled by maxval (the standard 8-bit presentation)
+        arr = np.frombuffer(payload, dtype=">u2", count=n, offset=pos)
+        return ((arr.astype(np.uint32) * 255) // maxval).astype(
+            np.uint8).reshape(h, w, 3)
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return arr.reshape(h, w, 3)
 
@@ -214,8 +218,10 @@ def _png_unfilter(raw: bytes, offset: int, sub_h: int, stride: int,
                   ch: int) -> tuple[np.ndarray, int]:
     """Reconstruct one (sub-)image's scanlines from ``raw`` starting at
     ``offset``; returns (rows as (sub_h, stride) uint8, next offset).
-    Filters 0-2 vectorized (uint8 wrap == mod-256 per spec); avg/Paeth
-    per-byte (sequential in x by definition)."""
+    ``ch`` is the filter byte-distance (bytes per pixel — channels x
+    bytes-per-sample, per spec 9.2).  Filters 0-2 vectorized (uint8
+    wrap == mod-256 per spec); avg/Paeth per-byte (sequential in x by
+    definition)."""
     if len(raw) - offset < sub_h * (stride + 1):
         raise ValueError("PNG IDAT truncated")
     recon = np.zeros((sub_h, stride), dtype=np.uint8)
@@ -288,25 +294,32 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ct, comp, filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1) or ct not in (0, 2, 3, 6):
+    if depth not in (8, 16) or interlace not in (0, 1) \
+            or ct not in (0, 2, 3, 6) or (depth == 16 and ct == 3):
         raise NotImplementedError(
             f"PNG depth={depth} color={ct} interlace={interlace} unsupported"
         )
     ch = {0: 1, 2: 3, 3: 1, 6: 4}[ct]
+    bps = depth // 8  # bytes per sample; filters act on BYTES (9.2)
+    bpp = ch * bps
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        recon, _ = _png_unfilter(raw, 0, h, w * ch, ch)
+        recon, _ = _png_unfilter(raw, 0, h, w * bpp, bpp)
     else:
-        recon = np.zeros((h, w * ch), dtype=np.uint8)
-        grid = recon.reshape(h, w, ch)
+        recon = np.zeros((h, w * bpp), dtype=np.uint8)
+        grid = recon.reshape(h, w, bpp)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = -(-(w - x0) // dx) if w > x0 else 0
             ph = -(-(h - y0) // dy) if h > y0 else 0
             if pw <= 0 or ph <= 0:
                 continue  # empty pass emits NO scanlines (spec 8.2)
-            sub, off = _png_unfilter(raw, off, ph, pw * ch, ch)
-            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if depth == 16:
+        # big-endian samples: the HIGH byte is the standard 8-bit
+        # rendering (what viewers/thumbnailers show)
+        recon = recon.reshape(h, w * ch, 2)[:, :, 0].reshape(h, w * ch)
     if ct == 2:
         return recon.reshape(h, w, 3)
     if ct == 6:

@@ -73,22 +73,60 @@ class TestPngRoundTrip:
         assert (fmt, w, h) == ("png", 4, 6)
         np.testing.assert_array_equal(media.decode_image(p), img)
 
-    def test_unsupported_raise(self):
+    def test_16bit_depth_decodes_high_byte(self):
         import struct
         import zlib
 
-        # 16-bit depth
+        # 1x1 16-bit RGB, filter 0: samples 0xABCD 0x0102 0xFF00
+        row = b"\x00" + bytes([0xAB, 0xCD, 0x01, 0x02, 0xFF, 0x00])
         ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
         p = (
             b"\x89PNG\r\n\x1a\n"
             + media._png_chunk(b"IHDR", ihdr)
-            + media._png_chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+            + media._png_chunk(b"IDAT", zlib.compress(row))
+            + media._png_chunk(b"IEND", b"")
+        )
+        out = media.decode_png(p)
+        np.testing.assert_array_equal(
+            out, np.array([[[0xAB, 0x01, 0xFF]]], dtype=np.uint8))
+
+    def test_unsupported_raise(self):
+        import struct
+        import zlib
+
+        # 4-bit depth stays unsupported
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+        p = (
+            b"\x89PNG\r\n\x1a\n"
+            + media._png_chunk(b"IHDR", ihdr)
+            + media._png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + media._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            media.decode_png(p)
+        # 16-bit PALETTE is not a legal PNG combination; rejected
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+        p = (
+            b"\x89PNG\r\n\x1a\n"
+            + media._png_chunk(b"IHDR", ihdr)
+            + media._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
             + media._png_chunk(b"IEND", b"")
         )
         with pytest.raises(NotImplementedError):
             media.decode_png(p)
         with pytest.raises(ValueError):
             media.decode_png(b"nope")
+
+    def test_16bit_ppm_decodes_scaled(self):
+        # P6 maxval 65535: big-endian 2-byte samples scale to 8-bit
+        hdr = b"P6\n2 1\n65535\n"
+        px = np.array([65535, 0, 32768, 255, 1000, 65535],
+                      dtype=">u2").tobytes()
+        out = media.decode_ppm(hdr + px)
+        want = ((np.array([65535, 0, 32768, 255, 1000, 65535],
+                          dtype=np.uint32) * 255) // 65535).astype(
+            np.uint8).reshape(1, 2, 3)
+        np.testing.assert_array_equal(out, want)
 
 
 class TestFeaturizerRealPngPath:
