@@ -545,6 +545,117 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+def encode_gif_anim(frames: list[np.ndarray], frame_ms: int = 100
+                    ) -> bytes:
+    """Frame list (same dims, <=256 distinct colors ACROSS all frames)
+    -> animated GIF89a: NETSCAPE loop extension + per-frame GCE delay
+    + one LZW image stream per frame over a shared global palette."""
+    import struct as _st
+
+    h, w = frames[0].shape[:2]
+    stack = np.stack([np.asarray(f, dtype=np.uint8) for f in frames])
+    palette, idx = np.unique(
+        stack.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif_anim needs <= 256 distinct colors")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    idx = idx.reshape(len(frames), h * w)
+    out = bytearray(b"GIF89a")
+    out += _st.pack("<HHBBB", w, h, 0x80 | (bits - 1) << 4 | (bits - 1),
+                    0, 0)
+    out += pal.tobytes()
+    # NETSCAPE 2.0 loop-forever extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, bits)
+    delay_cs = max(1, frame_ms // 10)
+    for f in range(len(frames)):
+        out += bytes([0x21, 0xF9, 4, 0x00]) + _st.pack("<H", delay_cs) \
+            + b"\x00\x00"
+        out += _st.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        out += _lzw_encode(idx[f].astype(np.int64), min_code)
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_walk_frames(payload: bytes):
+    """Yield (gce_bytes_or_None, descriptor+palette+data bytes) per
+    frame by SUB-BLOCK WALKING only — no LZW decode of any frame."""
+    import struct as _st
+
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += (2 << (flags & 0x07)) * 3
+    pending_gce = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:
+            label = payload[pos + 1]
+            start = pos
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            if label == 0xF9:
+                pending_gce = payload[start:pos]
+        elif b0 == 0x2C:
+            start = pos
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += (2 << (iflags & 0x07)) * 3
+            pos += 1  # LZW min code size
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            yield pending_gce, payload[start:pos]
+            pending_gce = None
+        elif b0 == 0x3B:
+            return
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+
+
+def gif_info(payload: bytes) -> tuple[int, int]:
+    """(n_frames, frame_ms) from the block structure only (delay from
+    the first GCE, x10 ms; 100 ms default when absent)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    import struct as _st
+
+    n = 0
+    frame_ms = 100
+    for gce, _img in _gif_walk_frames(payload):
+        if n == 0 and gce is not None and len(gce) >= 6:
+            d = _st.unpack_from("<H", gce, 4)[0]
+            if d:
+                frame_ms = d * 10
+        n += 1
+    return n, frame_ms
+
+
+def gif_frame_bytes(payload: bytes, index: int) -> bytes:
+    """ONE frame as a standalone single-frame GIF (header + global
+    palette + that frame's blocks + trailer) — decodable by
+    :func:`decode_gif`; frames before it are only block-walked, never
+    LZW-decoded."""
+    flags = payload[10]
+    head_end = 13 + ((2 << (flags & 0x07)) * 3 if flags & 0x80 else 0)
+    for i, (gce, img) in enumerate(_gif_walk_frames(payload)):
+        if i == index:
+            return (payload[:head_end] + (gce or b"") + img + b"\x3b")
+    raise IndexError(f"frame {index} not in GIF")
+
+
+def decode_gif_frame(payload: bytes, index: int) -> np.ndarray:
+    return decode_gif(gif_frame_bytes(payload, index))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Sniffed decode: PPM/BMP/PNG/GIF/JPEG (baseline + progressive)
     natively; anything else needs PIL (absent here — surfaces as a

@@ -8,10 +8,11 @@ Decode is format-sniffed (``functions/media.py``):
   baseline JPEG images (numpy; nearest-neighbor resize), PCM WAV +
   G.711 mu-law/A-law + mono IMA ADPCM audio (true per-window MFCCs:
   Hann -> power spectrum -> mel filterbank -> log -> DCT-II, plain
-  numpy), PPMV frame sequences (length-prefixed P6
-  frames) and MJPEG-AVI videos (standard RIFF layout, JPEG frames
-  via functions/jpeg.py; the sampler seeks to the requested frame —
-  by size prefix or idx1 index — without touching the others).
+  numpy), PPMV frame sequences (length-prefixed P6 frames),
+  MJPEG-AVI videos (standard RIFF layout, JPEG frames via
+  functions/jpeg.py) and ANIMATED GIFs; the sampler seeks to the
+  requested frame — by size prefix, idx1 index, or GIF block walk —
+  without decoding the others.
 - **Exotic compressed formats** (MP3/AAC, MP4...) are gated behind an
   import-try of PIL and surface as decode-failure null rows in this
   container.
@@ -373,8 +374,10 @@ class FrameSampler:
     flat_map-shaped expansion a real pipeline uses for per-frame
     inference.  PPMV and MJPEG-AVI payloads take the REAL path: the
     frame covering each sampled timestamp is extracted by seeking the
-    container's size prefixes (PPMV) or its idx1 index (AVI) — its raw
-    P6/JPEG bytes emitted; no other frame touched.  Unknown payloads
+    container's size prefixes (PPMV), its idx1 index (AVI), or its
+    block structure (animated GIF) — its raw P6/JPEG/single-frame-GIF
+    bytes emitted; no other frame touched (GIF frames before the
+    sample are block-walked, never LZW-decoded).  Unknown payloads
     emit the 16-byte prefix stub."""
 
     def __init__(self, every_ms: int = 1000):
@@ -396,6 +399,11 @@ class FrameSampler:
             elif fmt == "avi":
                 n_frames, frame_ms, _, _ = _media.avi_info(payload)
                 grab = _media.avi_frame_bytes
+            elif fmt == "gif":
+                # animated GIF: frames located by sub-block walking
+                # only — no LZW decode of unsampled frames
+                n_frames, frame_ms = _media.gif_info(payload)
+                grab = _media.gif_frame_bytes
             else:
                 grab = None
             for t in range(0, max(dur, 1), self.every_ms):
@@ -444,10 +452,19 @@ def gen_media(n: int, seed: int = 42) -> pa.Table:
                 rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
                 for _ in range(6)
             ]
-            if (i // 3) % 2:
+            v3 = (i // 3) % 3
+            if v3 == 1:
                 # MJPEG-AVI: fps=2 => 500 ms/frame, same grid as PPMV
                 payloads.append(_media.encode_mjpeg_avi(frames, fps=2))
                 mimes.append("video/x-msvideo")
+            elif v3 == 2:
+                # animated GIF on the same 500 ms grid (palette-bounded
+                # frames: gray ramps share <=256 colors)
+                gf = [np.repeat(
+                    rng.randint(0, 256, (16, 16, 1), dtype=np.uint8),
+                    3, axis=2) for _ in range(6)]
+                payloads.append(_media.encode_gif_anim(gf, frame_ms=500))
+                mimes.append("image/gif")
             else:
                 payloads.append(_media.encode_ppmv(frames, frame_ms=500))
                 mimes.append("video/x-ppm-seq")

@@ -141,3 +141,47 @@ class TestFeaturizeGifPath:
         out = fz(batch)
         f = out.column("feat").to_pylist()
         assert f[0] is not None and f[0] == f[1]
+
+
+class TestAnimatedGif:
+    def test_anim_roundtrip_every_frame(self):
+        rng = np.random.RandomState(0)
+        frames = [np.repeat(rng.randint(0, 256, (12, 10, 1),
+                                        dtype=np.uint8), 3, axis=2)
+                  for _ in range(5)]
+        enc = media.encode_gif_anim(frames, frame_ms=500)
+        assert media.gif_info(enc) == (5, 500)
+        for i in range(5):
+            assert np.array_equal(media.decode_gif_frame(enc, i),
+                                  frames[i])
+        # decode_gif (single-frame API) renders frame 0
+        assert np.array_equal(media.decode_gif(enc), frames[0])
+
+    def test_frame_bytes_is_standalone_gif(self):
+        frames = [np.full((4, 4, 3), i * 20, dtype=np.uint8)
+                  for i in range(4)]
+        enc = media.encode_gif_anim(frames, frame_ms=250)
+        fb = media.gif_frame_bytes(enc, 2)
+        assert media.sniff(fb) == "gif"
+        assert len(fb) < len(enc)  # one frame, not the whole stream
+        assert np.array_equal(media.decode_gif(fb), frames[2])
+        with pytest.raises(IndexError):
+            media.gif_frame_bytes(enc, 4)
+
+    def test_frame_sampler_takes_gif_path(self, ray_session):
+        from osm_live_updates_ray.stages import multimodal
+
+        frames = [np.full((4, 4, 3), i * 11, dtype=np.uint8)
+                  for i in range(6)]
+        payload = media.encode_gif_anim(frames, frame_ms=500)
+        t = pa.table({
+            "media_id": pa.array([7], pa.int64()),
+            "duration_ms": pa.array([3000], pa.int32()),
+            "payload": pa.array([payload], pa.binary()),
+        })
+        out = multimodal.FrameSampler(every_ms=1000)(t)
+        assert out.num_rows == 3  # t = 0, 1000, 2000
+        for row, t_ms in zip(range(3), (0, 1000, 2000)):
+            blob = out.column("frame_stub")[row].as_py()
+            idx = t_ms // 500
+            assert np.array_equal(media.decode_gif(blob), frames[idx])
