@@ -98,10 +98,10 @@ class TestFrameSamplerAvi:
             pa.compute.equal(media_t.column("kind"), "video")
         )
         fmts = {media.sniff(p.as_py()) for p in vids.column("payload")}
-        assert fmts == {"ppmv", "avi"}
+        assert fmts == {"ppmv", "avi", "gif"}  # r5: animated GIF joins
         out = multimodal.FrameSampler(every_ms=1000)(vids)
         assert out.num_rows == vids.num_rows * 3
         # every emitted frame is a real container frame, never a stub
         for blob in out.column("frame_stub"):
             b = blob.as_py()
-            assert b[:2] in (b"P6", b"\xff\xd8")
+            assert b[:2] in (b"P6", b"\xff\xd8", b"GI")
